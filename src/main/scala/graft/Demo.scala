@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.corpus.Transcripts
+import graft.index.{DocIds, IndexBuilder, IndexConfig}
+import graft.query.{Oracle, Searcher}
+
+/** Demo / smoke CLI: builds the full index over the seed-42 synthetic
+  * transcript corpus and runs a few BM25 queries through the WAND path,
+  * cross-checking one against the exhaustive oracle.
+  *
+  * Usage: sbt "runMain graft.Demo [nConvs] [query...]"
+  */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val nConvs = args.headOption.map(_.toLong).getOrElse(2000L)
+    val query = if (args.length > 1) args.drop(1).mkString(" ") else "zanzibar quasar lattice"
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[8]"))
+      .appName("graft-demo")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val indexDir = java.nio.file.Files.createTempDirectory("graft-demo-index").toString
+    val cfg = IndexConfig(numBuckets = 4, numShards = 8, partitions = 8)
+
+    println(s"== building index over $nConvs conversations -> $indexDir")
+    val t0 = System.nanoTime()
+    val docs = DocIds.assign(DocIds.dedup(Transcripts.generate(spark, nConvs)), 8)
+    val report = new IndexBuilder(spark, indexDir, "demo-snap-1", cfg).build(docs)
+    val buildSec = (System.nanoTime() - t0) / 1e9
+    println(f"== built: N=${report.n} avgdl=${report.avgdl}%.2f vocab=${report.vocab} " +
+      f"postings=${report.postings} bytes=${report.bytesCompressed} " +
+      f"(${report.bytesCompressed.toDouble / math.max(1, report.postings)}%.2f B/posting) " +
+      f"in $buildSec%.1f s (${report.n / buildSec}%.0f turns/s)")
+
+    val searcher = new Searcher(spark, indexDir, cfg.numShards)
+    for (q <- Seq(query, "the", "one have t999", "totally-oov-term", "!!! ...")) {
+      val t1 = System.nanoTime()
+      val hits = searcher.search(q, 10)
+      val ms = (System.nanoTime() - t1) / 1e6
+      println(f"== query '$q' -> ${hits.length} hits in $ms%.0f ms")
+      hits.take(5).foreach(h => println(f"   doc=${h.docId}%6d score=${h.score}%.6f"))
+    }
+
+    println(s"== resolved hits for '$query':")
+    searcher.searchResolved(query, 5).show(false)
+
+    println("== oracle cross-check (exhaustive scorer, no index):")
+    val oracle = Oracle.topK(spark.read.parquet(s"$indexDir/docs"), query, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val wand = searcher.search(query, 10).map(s => (s.docId, s.score)).toSeq
+    println(if (oracle == wand) "   RANK-IDENTICAL (docIds and scores match exactly)"
+            else s"   MISMATCH!\n   oracle=$oracle\n   wand  =$wand")
+
+    spark.stop()
+  }
+}

@@ -1,0 +1,60 @@
+package graft.analysis
+
+import java.util.Locale
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Fulltext analyzer — the single tokenization rule shared by the index
+  * and query paths (ES parity rule: query analyzer ≡ index analyzer;
+  * SURVEY.md §7.2).
+  *
+  * Spec (pinned by AnalyzerSpec): lowercase (Locale.ROOT) → split on runs
+  * of non-alphanumeric (`[^\p{L}\p{N}]+`) → drop empties → truncate tokens
+  * longer than 255 chars. This approximates the ES standard analyzer the
+  * reference relies on for its dynamic-mapped fulltext fields
+  * (reference mapping.json:12-17; UAX#29 + lowercase + max_token_length
+  * 255, no stopwords).
+  *
+  * Two implementations that MUST agree (tested): a Catalyst column
+  * composition (codegen'd, used on the hot index path) and a plain Scala
+  * function (used inside typed mapPartitions and at query parse time).
+  */
+object Analyzer {
+  val TokenRegex = "[^\\p{L}\\p{N}]+"
+  val MaxTokenLen = 255
+  private val pattern = java.util.regex.Pattern.compile(TokenRegex)
+
+  /** Scala-side tokenizer — identical semantics to [[tokensCol]]. */
+  def tokenize(text: String): Array[String] = {
+    if (text == null || text.isEmpty) return Array.empty
+    val lowered = text.toLowerCase(Locale.ROOT)
+    val parts = pattern.split(lowered, -1)
+    val out = new scala.collection.mutable.ArrayBuffer[String](parts.length)
+    var i = 0
+    while (i < parts.length) {
+      val p = parts(i)
+      if (p.nonEmpty) out += (if (p.length > MaxTokenLen) p.substring(0, MaxTokenLen) else p)
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** Query analysis: tokenize, dedupe, ascending term order (spec: each
+    * distinct query term scores once; summation order = term asc,
+    * SURVEY.md §7.5).
+    */
+  def analyzeQuery(q: String): Array[String] = tokenize(q).distinct.sorted
+
+  /** Column tokenizer: ArrayType(StringType) of analyzed tokens.
+    * Composed from codegen'd built-ins — stays inside whole-stage codegen.
+    */
+  def tokensCol(c: Column): Column =
+    transform(
+      filter(split(lower(c), TokenRegex, -1), t => t =!= lit("")),
+      t => substring(t, 1, MaxTokenLen)
+    )
+
+  /** Token count column (BM25 `dl`). */
+  def dlCol(c: Column): Column = size(tokensCol(c))
+}

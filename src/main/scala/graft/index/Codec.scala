@@ -1,0 +1,133 @@
+package graft.index
+
+import graft.model.PostingBlock
+
+/** Posting-list compression: delta + LEB128 varint with per-block max
+  * metadata (north_rule: "delta-encoded + varint-compressed docID blocks
+  * and per-block max-score metadata"). Plain Scala — runs inside typed
+  * `mapPartitions`, off the Catalyst expression tree, so the hot codec
+  * loops stay monomorphic and JIT-friendly (SURVEY.md §2.9).
+  */
+object Codec {
+
+  /** Unsigned LEB128 append. */
+  def writeVarLong(buf: java.io.ByteArrayOutputStream, value: Long): Unit = {
+    var v = value
+    while ((v & ~0x7fL) != 0L) {
+      buf.write(((v & 0x7f) | 0x80).toInt)
+      v >>>= 7
+    }
+    buf.write(v.toInt)
+  }
+
+  def encodeVarLongs(values: Array[Long]): Array[Byte] = {
+    val buf = new java.io.ByteArrayOutputStream(values.length * 2)
+    var i = 0
+    while (i < values.length) { writeVarLong(buf, values(i)); i += 1 }
+    buf.toByteArray
+  }
+
+  def decodeVarLongs(bytes: Array[Byte], n: Int): Array[Long] = {
+    val out = new Array[Long](n)
+    var pos = 0
+    var i = 0
+    while (i < n) {
+      var shift = 0
+      var v = 0L
+      var b = 0
+      do {
+        b = bytes(pos) & 0xff
+        pos += 1
+        v |= (b & 0x7fL) << shift
+        shift += 7
+      } while ((b & 0x80) != 0)
+      out(i) = v
+      i += 1
+    }
+    out
+  }
+
+  def encodeVarInts(values: Array[Int]): Array[Byte] =
+    encodeVarLongs(values.map(_.toLong))
+
+  def decodeVarInts(bytes: Array[Byte], n: Int): Array[Int] =
+    decodeVarLongs(bytes, n).map(_.toInt)
+
+  /** Delta-encode an ascending docId run (first entry encoded as delta
+    * from `firstDocId`, i.e. 0; strictly ascending ⇒ later deltas ≥ 1).
+    */
+  def deltaEncode(docIds: Array[Long]): Array[Byte] = {
+    val buf = new java.io.ByteArrayOutputStream(docIds.length * 2)
+    var prev = docIds(0)
+    writeVarLong(buf, 0L)
+    var i = 1
+    while (i < docIds.length) {
+      writeVarLong(buf, docIds(i) - prev)
+      prev = docIds(i)
+      i += 1
+    }
+    buf.toByteArray
+  }
+
+  def deltaDecode(bytes: Array[Byte], n: Int, firstDocId: Long): Array[Long] = {
+    val deltas = decodeVarLongs(bytes, n)
+    val out = new Array[Long](n)
+    var acc = firstDocId
+    var i = 0
+    while (i < n) {
+      acc += deltas(i)
+      out(i) = acc
+      i += 1
+    }
+    out
+  }
+
+  /** Encode one term's postings (already sorted by docId asc) into blocks
+    * of ≤ blockSize, computing exact per-block max tf and max BM25 score.
+    * `scores(i)` is the exact per-posting BM25 contribution (computed at
+    * build with the global df/N/avgdl).
+    */
+  def encodeBlocks(
+      term: String,
+      shard: Int,
+      bucket: Int,
+      docIds: Array[Long],
+      tfs: Array[Int],
+      dls: Array[Int],
+      scores: Array[Double],
+      blockSize: Int
+  ): Iterator[PostingBlock] = {
+    val n = docIds.length
+    val nBlocks = (n + blockSize - 1) / blockSize
+    (0 until nBlocks).iterator.map { b =>
+      val lo = b * blockSize
+      val hi = math.min(lo + blockSize, n)
+      val ids = java.util.Arrays.copyOfRange(docIds, lo, hi)
+      val t = java.util.Arrays.copyOfRange(tfs, lo, hi)
+      val d = java.util.Arrays.copyOfRange(dls, lo, hi)
+      var maxTf = 0
+      var maxScore = Double.NegativeInfinity
+      var i = lo
+      while (i < hi) {
+        if (tfs(i) > maxTf) maxTf = tfs(i)
+        if (scores(i) > maxScore) maxScore = scores(i)
+        i += 1
+      }
+      PostingBlock(
+        term = term, shard = shard, bucket = bucket, blockId = b,
+        firstDocId = ids(0), lastDocId = ids(ids.length - 1), count = hi - lo,
+        docs = deltaEncode(ids), tfs = encodeVarInts(t), dls = encodeVarInts(d),
+        maxTf = maxTf, maxScore = maxScore
+      )
+    }
+  }
+
+  final case class DecodedBlock(docIds: Array[Long], tfs: Array[Int], dls: Array[Int])
+
+  def decodeBlock(b: PostingBlock): DecodedBlock =
+    DecodedBlock(
+      deltaDecode(b.docs, b.count, b.firstDocId),
+      decodeVarInts(b.tfs, b.count),
+      decodeVarInts(b.dls, b.count)
+    )
+}

@@ -1,0 +1,78 @@
+package graft.index
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.analysis.Analyzer
+import graft.model.{Doc, Turn}
+
+/** Dense, gap-free docId assignment in stable `(conv_id, turn_idx)` order
+  * — the engine's record identity (≙ reference `_id = path`,
+  * BulkIndexer.java:48) without the 1-task global `row_number()`
+  * bottleneck (SURVEY.md §7.5 decision 1): range-repartition on the key,
+  * sort within partitions, count per partition, broadcast the cumulative
+  * offsets, then a second pass numbers rows per partition. Two jobs over
+  * a cached Dataset instead of one global sort on a single task — the
+  * shape that survives 1000 executors.
+  */
+object DocIds {
+
+  /** Deterministic last-write-wins dedup on the doc key (≙ reference
+    * duplicate-path semantics, CsvReader.java:361-376 + upsert-by-id):
+    * keep the row with the greatest `ts` (ties: greatest text — pinned,
+    * arbitrary but deterministic).
+    */
+  def dedup(turns: Dataset[Turn]): Dataset[Turn] = {
+    import turns.sparkSession.implicits._
+    turns
+      .groupByKey(t => (t.conv_id, t.turn_idx))
+      .reduceGroups { (a, b) =>
+        if (a.ts.getTime != b.ts.getTime) { if (a.ts.getTime > b.ts.getTime) a else b }
+        else if (a.text >= b.text) a
+        else b
+      }
+      .map(_._2)
+  }
+
+  def assign(turns: Dataset[Turn], partitions: Int): Dataset[Doc] = {
+    val spark: SparkSession = turns.sparkSession
+    import spark.implicits._
+    val sorted = turns
+      .repartitionByRange(partitions, col("conv_id"), col("turn_idx"))
+      .sortWithinPartitions(col("conv_id"), col("turn_idx"))
+      .cache()
+    val counts: Map[Int, Long] = sorted
+      .select(spark_partition_id().as("pid"))
+      .groupBy("pid").count()
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+      .toMap
+    val offsets: Map[Int, Long] = {
+      var acc = 0L
+      (0 until partitions).map { pid =>
+        val o = pid -> acc
+        acc += counts.getOrElse(pid, 0L)
+        o
+      }.toMap
+    }
+    val bc = spark.sparkContext.broadcast(offsets)
+    // NOTE: range-partition boundaries are re-sampled per execution (the
+    // sampling seed involves the RDD id), so the numbered result is
+    // materialized exactly once while `sorted` is still cached, and
+    // pinned with MEMORY_AND_DISK. Durable builds (IndexBuilder phase A)
+    // immediately persist it to parquet and re-read from there.
+    val docs = sorted.mapPartitions { it =>
+      var id = bc.value(TaskContext.getPartitionId())
+      it.map { t =>
+        val d = Doc(id, t.conv_id, t.turn_idx, t.role, t.text, t.tool, t.ts,
+          Analyzer.tokenize(t.text).length)
+        id += 1
+        d
+      }
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    docs.count()
+    sorted.unpersist(blocking = false)
+    docs
+  }
+}

@@ -1,0 +1,87 @@
+package graft.model
+
+import java.sql.Timestamp
+
+/** Core data model of the Spark-native fulltext engine (SURVEY.md §1.2).
+  *
+  * The input shape is the transcript table from BASELINE.json `input_hint`:
+  * `(conv_id, turn_idx, role, text, tool, ts)`. One document = one turn
+  * (≙ reference's one-document-per-file, ArchivedFileInfo.java:15-47);
+  * the doc key `(conv_id, turn_idx)` plays the role of the reference's
+  * `_id = path` identity (BulkIndexer.java:48).
+  */
+final case class Turn(
+    conv_id: String,
+    turn_idx: Int,
+    role: String,
+    text: String,
+    tool: Option[String],
+    ts: Timestamp
+)
+
+/** A turn with its assigned dense docId and doc length (token count).
+  * `dl` ≙ the reference's `sizeInBytes` long (mapping.json:26-28) — the
+  * numeric per-doc stat; here it feeds the BM25 length norm.
+  */
+final case class Doc(
+    docId: Long,
+    conv_id: String,
+    turn_idx: Int,
+    role: String,
+    text: String,
+    tool: Option[String],
+    ts: Timestamp,
+    dl: Int
+)
+
+/** Uncompressed posting (build-time intermediate). */
+final case class Posting(term: String, docId: Long, tf: Int, dl: Int)
+
+/** One compressed posting block (≤ blockSize postings of one term within
+  * one bucket/segment). docIds are delta+varint encoded relative to
+  * `firstDocId`; tfs and dls are varint encoded. `maxScore` is the exact
+  * BM25 block-max used by WAND pruning.
+  */
+final case class PostingBlock(
+    term: String,
+    shard: Int,
+    bucket: Int,
+    blockId: Int,
+    firstDocId: Long,
+    lastDocId: Long,
+    count: Int,
+    docs: Array[Byte],
+    tfs: Array[Byte],
+    dls: Array[Byte],
+    maxTf: Int,
+    maxScore: Double
+)
+
+/** Per-term dictionary row (≙ ES/Lucene term dictionary). `maxScore` is
+  * the global term score upper bound used by WAND pivot selection.
+  */
+final case class TermStats(term: String, shard: Int, df: Long, cf: Long, maxScore: Double)
+
+/** Singleton corpus stats (BM25 norm inputs). */
+final case class IndexStats(n: Long, avgdl: Double, sourceSnapshotId: String)
+
+/** Per-cell build checkpoint with lineage + metrics (north_rule:
+  * "resumable from per-partition checkpoints carrying lineage (source
+  * snapshot ID, partition range, term-shard) and metrics (postings
+  * emitted, bytes compressed)"). A cell is one unit of idempotent work:
+  * "docs", "dict0", "bucket=<i>" (a contiguous docId range), "finalize".
+  */
+final case class BuildManifest(
+    cell: String,
+    bucket: Int,
+    docIdLo: Long,
+    docIdHi: Long,
+    sourceSnapshotId: String,
+    postingsEmitted: Long,
+    bytesCompressed: Long,
+    status: String,
+    wallSec: Double
+)
+
+/** A scored document (query-time). */
+final case class Scored(docId: Long, score: Double)

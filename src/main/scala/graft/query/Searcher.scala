@@ -1,0 +1,157 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.analysis.Analyzer
+import graft.index.GraftHash
+import graft.model.{IndexStats, PostingBlock, Scored, TermStats}
+
+/** BM25 top-k execution over a built index (SURVEY.md §3.3 — the query
+  * lifecycle the reference delegates to Elasticsearch, Spark-native).
+  *
+  * Plan shape per query: (1) analyze the query with the SAME analyzer as
+  * index time; (2) dictionary lookup restricted to the query terms —
+  * a metadata-size read, broadcast to executors; (3) posting-block scan
+  * pruned by term-shard partition dirs + term predicate pushed to
+  * parquet; (4) block-max WAND per bucket (buckets = docId-disjoint
+  * segments ⇒ embarrassingly parallel, exactly ES's shard-then-merge
+  * topology); (5) tiny driver merge of per-bucket top-k.
+  */
+class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
+  import spark.implicits._
+
+  lazy val stats: IndexStats =
+    spark.read.parquet(s"$indexDir/stats").as[IndexStats].head()
+  private lazy val dict = spark.read.parquet(s"$indexDir/dict")
+  private lazy val blocks = spark.read.parquet(s"$indexDir/blocks")
+  lazy val docs: DataFrame = spark.read.parquet(s"$indexDir/docs")
+
+  /** Dictionary rows for the query terms (tiny). */
+  def lookupTerms(terms: Seq[String]): Map[String, TermStats] = {
+    if (terms.isEmpty) return Map.empty
+    val shards = terms.map(GraftHash.shardOf(_, numShards)).distinct
+    dict
+      .filter(col("shard").isin(shards: _*) && col("term").isin(terms: _*))
+      .as[TermStats].collect().map(t => t.term -> t).toMap
+  }
+
+  private def selectBlocks(terms: Seq[String]): DataFrame = {
+    val shards = terms.map(GraftHash.shardOf(_, numShards)).distinct
+    // shard is a partition dir => partition pruning; term is pushed to
+    // parquet row groups (blocks are term-sorted within files).
+    blocks.filter(col("shard").isin(shards: _*) && col("term").isin(terms: _*))
+  }
+
+  private def runPerBucket(
+      terms: Seq[String],
+      k: Int,
+      conjunctive: Boolean
+  ): Array[Scored] = {
+    val found = lookupTerms(terms)
+    if (found.isEmpty) return Array.empty
+    if (conjunctive && found.size < terms.distinct.size) return Array.empty
+    val present = found.keys.toSeq.sorted
+    val n = stats.n
+    val avgdl = stats.avgdl
+    val dfUb: Map[String, (Long, Double)] = found.map { case (t, s) => t -> (s.df, s.maxScore) }
+    val perBucket = selectBlocks(present)
+      .as[PostingBlock]
+      .groupByKey(_.bucket)
+      .flatMapGroups { (_, it) =>
+        val byTerm = it.toArray.groupBy(_.term)
+        val iters = byTerm.map { case (t, bs) =>
+          val (df, ub) = dfUb(t)
+          new Wand.TermIterator(t, bs, ub, df, n, avgdl)
+        }.toSeq
+        val top = if (conjunctive) Wand.topKConjunctive(iters, k) else Wand.topK(iters, k)
+        top.iterator
+      }
+    // per-bucket heaps (≤ k each) → global top-k merge: Catalyst plans
+    // TakeOrderedAndProject (per-partition heap + driver merge).
+    perBucket.orderBy(col("score").desc, col("docId").asc).limit(k).collect()
+  }
+
+  /** Disjunctive (OR / ES `match`) BM25 top-k. */
+  def search(query: String, k: Int): Array[Scored] =
+    runPerBucket(Analyzer.analyzeQuery(query).toSeq, k, conjunctive = false)
+
+  /** Conjunctive (AND) BM25 top-k. */
+  def searchConjunctive(query: String, k: Int): Array[Scored] =
+    runPerBucket(Analyzer.analyzeQuery(query).toSeq, k, conjunctive = true)
+
+  /** Top-k resolved back to turn metadata + text (SURVEY.md J4): the k
+    * hits are broadcast against the doc store.
+    */
+  def searchResolved(query: String, k: Int): DataFrame = {
+    val hits = runPerBucket(Analyzer.analyzeQuery(query).toSeq, k, conjunctive = false)
+    // hits are already (score desc, docId asc)-sorted and tiny: rank here,
+    // not via an unpartitioned window.
+    val hitsDF = hits.toSeq.zipWithIndex
+      .map { case (s, i) => (s.docId, s.score, i + 1) }.toDF("docId", "score", "rank")
+    docs.join(broadcast(hitsDF), Seq("docId"))
+      .select(col("rank"), col("docId"), col("score"), col("conv_id"), col("turn_idx"),
+        col("role"), col("text"))
+      .orderBy(col("rank"))
+  }
+}
+
+/** The in-repo exhaustive-scoring oracle (SURVEY.md §5.2.3): brute-force
+  * BM25 from the raw docs, no index structures — defines rank-identity
+  * truth for the golden tests. Per-doc score = sum of per-term
+  * contributions in ascending term order, pinned via
+  * sort_array(collect_list(struct(term, s))) + aggregate().
+  */
+object Oracle {
+
+  /** Per-posting scored rows for a query term set. */
+  private def scoredPostings(docs: DataFrame, terms: Seq[String]): DataFrame = {
+    val spark = docs.sparkSession
+    val row = docs.agg(count(lit(1)), avg(Analyzer.dlCol(col("text")))).head()
+    val n = row.getLong(0)
+    val avgdl = if (row.isNullAt(1)) 0.0 else row.getDouble(1)
+    val postings = docs
+      .select(col("docId"), Analyzer.dlCol(col("text")).as("dl"),
+        explode(Analyzer.tokensCol(col("text"))).as("term"))
+      .groupBy(col("term"), col("docId"), col("dl"))
+      .agg(count(lit(1)).cast("int").as("tf"))
+    val df = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    postings
+      .filter(col("term").isin(terms: _*))
+      .join(df, Seq("term"))
+      .withColumn("s", Bm25.scoreCol(col("tf"), col("df"), col("dl"), n, avgdl))
+  }
+
+  private def orderedSum: Column =
+    aggregate(
+      sort_array(collect_list(struct(col("term"), col("s")))),
+      lit(0.0),
+      (acc, x) => acc + x.getField("s")
+    )
+
+  def topK(docs: DataFrame, query: String, k: Int): DataFrame = {
+    val terms = Analyzer.analyzeQuery(query).toSeq
+    if (terms.isEmpty)
+      return docs.sparkSession.emptyDataFrame
+        .withColumn("docId", lit(0L)).withColumn("score", lit(0.0)).limit(0)
+    scoredPostings(docs, terms)
+      .groupBy(col("docId"))
+      .agg(orderedSum.as("score"))
+      .orderBy(col("score").desc, col("docId").asc)
+      .limit(k)
+  }
+
+  def topKConjunctive(docs: DataFrame, query: String, k: Int): DataFrame = {
+    val terms = Analyzer.analyzeQuery(query).toSeq
+    if (terms.isEmpty)
+      return docs.sparkSession.emptyDataFrame
+        .withColumn("docId", lit(0L)).withColumn("score", lit(0.0)).limit(0)
+    scoredPostings(docs, terms)
+      .groupBy(col("docId"))
+      .agg(orderedSum.as("score"), count(lit(1)).as("nt"))
+      .filter(col("nt") === lit(terms.size))
+      .drop("nt")
+      .orderBy(col("score").desc, col("docId").asc)
+      .limit(k)
+  }
+}

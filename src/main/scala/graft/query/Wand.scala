@@ -1,0 +1,201 @@
+package graft.query
+
+import graft.index.Codec
+import graft.model.{PostingBlock, Scored}
+
+/** Block-max WAND top-k over compressed posting blocks (north_rule:
+  * "BM25 top-k query executor using posting-list intersection with
+  * block-max WAND pruning"; Ding & Suel, SIGIR'11 pattern). Exact:
+  * pruning uses per-term global upper bounds and per-block max scores
+  * with a small safety margin, so it never skips a doc that could enter
+  * the top-k; every surviving doc is scored with the exact BM25 sum in
+  * ascending term order — bit-identical to the exhaustive oracle
+  * (SURVEY.md §7.5 float-determinism decisions).
+  */
+object Wand {
+  private val Margin = 1e-7
+
+  /** One term's posting cursor over its block list (blocks sorted by
+    * firstDocId; docId-disjoint — guaranteed by build: range-partitioned
+    * runs within docId-range buckets). Blocks are decoded lazily; block
+    * skipping never decodes skipped blocks.
+    */
+  final class TermIterator(
+      val term: String,
+      blocksIn: Array[PostingBlock],
+      val ub: Double,
+      df: Long,
+      n: Long,
+      avgdl: Double
+  ) {
+    private val blocks = blocksIn.sortBy(b => (b.firstDocId, b.lastDocId))
+    private var bi = 0
+    private var dec: Codec.DecodedBlock = _
+    private var pos = 0
+    var curDoc: Long = _
+    decodeCurrent()
+
+    private def decodeCurrent(): Unit = {
+      if (bi >= blocks.length) { curDoc = Long.MaxValue; dec = null }
+      else { dec = Codec.decodeBlock(blocks(bi)); pos = 0; curDoc = dec.docIds(0) }
+    }
+
+    def exhausted: Boolean = curDoc == Long.MaxValue
+
+    /** Max score of the block that contains (or is the first after) the
+      * current position — used for the block-max refinement.
+      */
+    def blockMax: Double = if (bi >= blocks.length) 0.0 else blocks(bi).maxScore
+
+    /** Last docId of the current block (skip horizon). */
+    def blockLast: Long = if (bi >= blocks.length) Long.MaxValue else blocks(bi).lastDocId
+
+    /** Shallow block seek: advance the block pointer (no decode) until the
+      * current block's lastDocId >= target. Invalidates the in-block
+      * position, so callers must follow with nextGEQ(target) before
+      * reading scores; curDoc stays a lower bound.
+      */
+    def shallowSeek(target: Long): Unit = {
+      if (bi < blocks.length && blocks(bi).lastDocId >= target) return
+      while (bi < blocks.length && blocks(bi).lastDocId < target) bi += 1
+      dec = null; pos = 0
+      if (bi >= blocks.length) curDoc = Long.MaxValue
+    }
+
+    def nextGEQ(target: Long): Unit = {
+      if (curDoc >= target && dec != null) return
+      while (bi < blocks.length && blocks(bi).lastDocId < target) { bi += 1; dec = null }
+      if (bi >= blocks.length) { curDoc = Long.MaxValue; dec = null; return }
+      if (dec == null) { dec = Codec.decodeBlock(blocks(bi)); pos = 0 }
+      // in-block scan (blocks are <=128 entries; galloping not worth it)
+      while (dec.docIds(pos) < target) pos += 1
+      curDoc = dec.docIds(pos)
+    }
+
+    def advancePast(doc: Long): Unit = nextGEQ(doc + 1)
+
+    /** Exact BM25 contribution at the current position. */
+    def score: Double = Bm25.score(dec.tfs(pos), df, dec.dls(pos), n, avgdl)
+  }
+
+  private final case class HeapEntry(score: Double, docId: Long)
+  // min-heap: worst entry on top = lowest score, then LARGEST docId
+  // (ties rank by docId asc, so the largest docId is the weakest).
+  private val heapOrd: Ordering[HeapEntry] =
+    Ordering.by[HeapEntry, (Double, Long)](e => (-e.score, e.docId))
+
+  /** Disjunctive (OR) BM25 top-k — the ES `match` query shape (SURVEY.md
+    * J3/T1). `lists` must be keyed by distinct terms.
+    */
+  def topK(lists: Seq[TermIterator], k: Int): Array[Scored] = {
+    if (lists.isEmpty || k <= 0) return Array.empty
+    val byTerm = lists.sortBy(_.term).toArray // fixed scoring order: term asc
+    val heap = scala.collection.mutable.PriorityQueue.empty[HeapEntry](heapOrd)
+    var theta = Double.NegativeInfinity
+    def offer(score: Double, docId: Long): Unit = {
+      if (heap.size < k) {
+        heap.enqueue(HeapEntry(score, docId))
+        if (heap.size == k) theta = heap.head.score
+      } else if (score > heap.head.score) {
+        heap.dequeue()
+        heap.enqueue(HeapEntry(score, docId))
+        theta = heap.head.score
+      }
+    }
+
+    val iters = byTerm.clone() // sorted by curDoc during the loop
+    def sortIters(): Unit = java.util.Arrays.sort(iters, Ordering.by[TermIterator, Long](_.curDoc))
+
+    sortIters()
+    var running = true
+    while (running) {
+      // pivot selection on term upper bounds
+      var acc = 0.0
+      var p = 0
+      var found = false
+      while (p < iters.length && !found) {
+        if (!iters(p).exhausted) {
+          acc += iters(p).ub
+          if (acc + Margin > theta) found = true else p += 1
+        } else p = iters.length
+      }
+      if (!found || p >= iters.length || iters(p).exhausted) running = false
+      else {
+        val pivotDoc = iters(p).curDoc
+        if (iters(0).curDoc == pivotDoc) {
+          // block-max refinement: shallow-seek lists 0..p to pivotDoc's blocks
+          var i = 0
+          var blockSum = 0.0
+          while (i <= p) { iters(i).shallowSeek(pivotDoc); blockSum += iters(i).blockMax; i += 1 }
+          // lists beyond p that already sit on pivotDoc also contribute
+          while (i < iters.length && iters(i).curDoc == pivotDoc) { blockSum += iters(i).blockMax; i += 1 }
+          if (blockSum + Margin <= theta) {
+            // cannot qualify anywhere in these blocks: jump past the
+            // nearest block horizon (capped by the next list's curDoc)
+            var horizon = Long.MaxValue
+            var j = 0
+            while (j <= p) { horizon = math.min(horizon, iters(j).blockLast); j += 1 }
+            var target = if (horizon == Long.MaxValue) Long.MaxValue else horizon + 1
+            if (p + 1 < iters.length) target = math.min(target, iters(p + 1).curDoc)
+            target = math.max(target, pivotDoc + 1)
+            j = 0
+            while (j <= p) { iters(j).nextGEQ(target); j += 1 }
+          } else {
+            // fully score pivotDoc: exact sum in ascending TERM order
+            var s = 0.0
+            var t = 0
+            while (t < byTerm.length) {
+              val it = byTerm(t)
+              if (it.curDoc == pivotDoc) { it.nextGEQ(pivotDoc); s += it.score }
+              t += 1
+            }
+            offer(s, pivotDoc)
+            t = 0
+            while (t < byTerm.length) {
+              if (byTerm(t).curDoc == pivotDoc) byTerm(t).advancePast(pivotDoc)
+              t += 1
+            }
+          }
+          sortIters()
+        } else {
+          // advance the first list (smallest curDoc) up to the pivot
+          iters(0).nextGEQ(pivotDoc)
+          sortIters()
+        }
+      }
+    }
+    heap.dequeueAll.map((e: HeapEntry) => Scored(e.docId, e.score)).toArray
+      .sortBy(s => (-s.score, s.docId))
+  }
+
+  /** Conjunctive (AND) top-k: docs containing ALL terms, BM25-scored —
+    * posting-list intersection via nextGEQ galloping (SURVEY.md J2).
+    */
+  def topKConjunctive(lists: Seq[TermIterator], k: Int): Array[Scored] = {
+    if (lists.isEmpty || k <= 0) return Array.empty
+    val byTerm = lists.sortBy(_.term).toArray
+    val heap = scala.collection.mutable.PriorityQueue.empty[HeapEntry](heapOrd)
+    var candidate = byTerm.map(_.curDoc).max
+    while (candidate != Long.MaxValue) {
+      var aligned = true
+      var i = 0
+      while (i < byTerm.length && aligned) {
+        byTerm(i).nextGEQ(candidate)
+        if (byTerm(i).curDoc != candidate) { candidate = byTerm(i).curDoc; aligned = false }
+        i += 1
+      }
+      if (aligned && candidate != Long.MaxValue) {
+        var s = 0.0
+        var t = 0
+        while (t < byTerm.length) { s += byTerm(t).score; t += 1 }
+        if (heap.size < k) heap.enqueue(HeapEntry(s, candidate))
+        else if (s > heap.head.score) { heap.dequeue(); heap.enqueue(HeapEntry(s, candidate)) }
+        val next = candidate + 1
+        byTerm.foreach(_.nextGEQ(next))
+        candidate = byTerm.map(_.curDoc).max
+      }
+    }
+    heap.dequeueAll.map((e: HeapEntry) => Scored(e.docId, e.score)).toArray
+      .sortBy(s => (-s.score, s.docId))
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.index.Codec
+
+class CodecSpec extends AnyFunSuite {
+  private val rnd = new scala.util.Random(42)
+
+  test("varint boundary values round-trip") {
+    val vals = Array(0L, 1L, 127L, 128L, 16383L, 16384L, (1L << 21) - 1, 1L << 21,
+      (1L << 28) - 1, 1L << 28, (1L << 35), (1L << 42), (1L << 49), (1L << 56), Long.MaxValue)
+    assert(Codec.decodeVarLongs(Codec.encodeVarLongs(vals), vals.length).toSeq == vals.toSeq)
+  }
+
+  test("varint round-trip property (seeded)") {
+    for (_ <- 1 to 200) {
+      val a = Array.fill(rnd.nextInt(200))(rnd.nextLong().abs)
+      assert(Codec.decodeVarLongs(Codec.encodeVarLongs(a), a.length).toSeq == a.toSeq)
+    }
+  }
+
+  test("delta round-trip property on ascending docIds (seeded)") {
+    for (_ <- 1 to 200) {
+      val sorted = Array.fill(1 + rnd.nextInt(300))(rnd.nextLong().abs % (1L << 40))
+        .distinct.sorted
+      val enc = Codec.deltaEncode(sorted)
+      assert(Codec.deltaDecode(enc, sorted.length, sorted(0)).toSeq == sorted.toSeq)
+    }
+  }
+
+  test("block encode/decode round-trips and computes maxes") {
+    val ids = Array.tabulate(300)(i => i.toLong * 7 + 3)
+    val tfs = Array.tabulate(300)(i => 1 + (i % 9))
+    val dls = Array.tabulate(300)(i => 10 + (i % 50))
+    val scores = Array.tabulate(300)(i => (i % 13) * 0.37)
+    val blocks = Codec.encodeBlocks("t", 1, 0, ids, tfs, dls, scores, 128).toArray
+    assert(blocks.length == 3)
+    assert(blocks.map(_.count).sum == 300)
+    val decoded = blocks.flatMap { b =>
+      val d = Codec.decodeBlock(b)
+      assert(d.docIds.head == b.firstDocId && d.docIds.last == b.lastDocId)
+      d.docIds.zip(d.tfs).zip(d.dls).map { case ((a, t), l) => (a, t, l) }
+    }
+    assert(decoded.toSeq == ids.zip(tfs).zip(dls).map { case ((a, t), l) => (a, t, l) }.toSeq)
+    assert(blocks(0).maxTf == tfs.take(128).max)
+    assert(blocks(0).maxScore == scores.take(128).max)
+    // compression sanity: small deltas ≈ 1 byte each
+    assert(blocks(0).docs.length < 2 * 128)
+  }
+}

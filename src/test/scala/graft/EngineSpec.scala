@@ -1,0 +1,171 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.corpus.Transcripts
+import graft.index.{DocIds, IndexBuilder, IndexConfig}
+import graft.model.Scored
+import graft.query.{Oracle, Searcher}
+
+/** Golden end-to-end: the full engine (docIds → salted build → compressed
+  * blocks → block-max WAND) must be rank-identical — docIDs AND BM25
+  * scores — to the in-repo exhaustive-scoring oracle on the reference
+  * query set over the seed-42 corpus (north_rule correctness gate).
+  */
+class EngineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val nConvs = 400L
+  private lazy val indexDir = s"${TestSpark.tmpRoot}/index-golden"
+  private lazy val cfg = IndexConfig(numBuckets = 3, numShards = 8, blockSize = 32, partitions = 8)
+
+  private lazy val built: graft.index.BuildReport = {
+    val turns = DocIds.dedup(Transcripts.generate(spark, nConvs))
+    val docs = DocIds.assign(turns, 8)
+    new IndexBuilder(spark, indexDir, "snap-test-1", cfg).build(docs)
+  }
+  private lazy val searcher = { built; new Searcher(spark, indexDir, cfg.numShards) }
+  private lazy val docsDF = { built; spark.read.parquet(s"$indexDir/docs") }
+
+  // The reference query set (FIXTURES.md §2): rare, hot, mixed, markers,
+  // OOV, analyzed-away.
+  private val queries = Seq(
+    "zanzibar",                         // rare marker term
+    "zanzibar quasar lattice",          // planted phrase
+    "cinnabar monolith archipelago",    // planted phrase, partial overlap
+    "perihelion vellum",                // planted phrase
+    "the",                              // hottest Zipf term
+    "the a of",                         // multiple hot terms
+    "the zanzibar",                     // hot + rare mix
+    "t100 t2000 t30000",                // mid + rare Zipf terms
+    "one have t999",                    // mixed
+    "definitely-notavocab-word",        // OOV → empty
+    "!!! ...",                          // analyzes away → empty
+    "The, A; OF!",                      // case/punct normalization
+    "t10 t11 t12 t13",                  // 4-term conjunction material
+    "t1 t500000x the"                   // mix incl. OOV
+  )
+
+  test("docIds are dense, gap-free, ordered by (conv_id, turn_idx)") {
+    val ids = docsDF.select("docId", "conv_id", "turn_idx")
+      .orderBy("conv_id", "turn_idx").as[(Long, String, Int)].collect()
+    assert(ids.map(_._1).toSeq == ids.indices.map(_.toLong).toSeq)
+  }
+
+  test("per-turn text equality under stable (conv_id, turn_idx) ordering") {
+    val src = Transcripts.generate(spark, nConvs)
+      .orderBy("conv_id", "turn_idx").select("conv_id", "turn_idx", "text")
+      .as[(String, Int, String)].collect()
+    val idx = docsDF.orderBy("conv_id", "turn_idx").select("conv_id", "turn_idx", "text")
+      .as[(String, Int, String)].collect()
+    assert(src.toSeq == idx.toSeq)
+  }
+
+  test("WAND top-k rank-identical (docIds AND scores) to exhaustive oracle") {
+    for (q <- queries) {
+      val want = Oracle.topK(docsDF, q, 10).as[Scored].collect().toSeq
+      val got = searcher.search(q, 10).toSeq
+      assert(got == want, s"query '$q':\n got=$got\n want=$want")
+    }
+  }
+
+  test("conjunctive (AND) top-k rank-identical to oracle") {
+    for (q <- Seq("the a", "zanzibar quasar", "t10 t11 the", "the definitely-notavocab")) {
+      val want = Oracle.topKConjunctive(docsDF, q, 10).as[Scored].collect().toSeq
+      val got = searcher.searchConjunctive(q, 10).toSeq
+      assert(got == want, s"AND query '$q':\n got=$got\n want=$want")
+    }
+  }
+
+  test("marker phrase hits resolve to the planted turns with text equality") {
+    val res = searcher.searchResolved("zanzibar quasar lattice", 10)
+      .select("conv_id", "turn_idx", "text").as[(String, Int, String)].collect()
+    val hitKeys = res.map(r => (r._1, r._2)).toSet
+    assert(hitKeys.contains(("conv-00000003", 1)) && hitKeys.contains(("conv-00000017", 0)))
+    res.foreach { case (c, t, text) =>
+      val conv = c.stripPrefix("conv-").toLong
+      assert(text == Transcripts.turnFor(conv, t).text)
+    }
+  }
+
+  test("salted dictionary ≡ direct dictionary") {
+    val b = new IndexBuilder(spark, indexDir, "snap-test-1", cfg)
+    val postings = b.postingsOf(docsDF)
+    val direct = b.dictDirect(postings).orderBy("term").as[(String, Long, Long)].collect()
+    val salted = b.dictSalted(postings, 16).orderBy("term").as[(String, Long, Long)].collect()
+    assert(direct.toSeq == salted.toSeq)
+  }
+
+  test("dedup keeps deterministic last-write-wins on dirty corpus") {
+    val dirty = Transcripts.generateDirty(spark, 200L)
+    val deduped = DocIds.dedup(dirty)
+    val keys = deduped.select("conv_id", "turn_idx").as[(String, Int)].collect()
+    assert(keys.length == keys.distinct.length)
+    // conv 7 turn 0 was duplicated with a later ts and marked text
+    val winner = deduped.filter($"conv_id" === "conv-00000007" && $"turn_idx" === 0)
+      .select("text").as[String].head()
+    assert(winner.endsWith("duplicated later write"))
+    assert(deduped.count() == Transcripts.generate(spark, 200L).count())
+  }
+
+  test("resume skips done cells; a cleared cell is rebuilt identically") {
+    val dir2 = s"${TestSpark.tmpRoot}/index-resume"
+    val turns = DocIds.dedup(Transcripts.generate(spark, 120L))
+    val docs = DocIds.assign(turns, 4)
+    val cfg2 = cfg.copy(numBuckets = 2)
+    val b1 = new IndexBuilder(spark, dir2, "snap-r1", cfg2)
+    val r1 = b1.build(docs)
+    assert(r1.cellsBuilt.nonEmpty && r1.cellsSkipped.isEmpty)
+    // semantic index identity: decoded postings (block layout may differ
+    // across runs — range-partition boundaries are sampled)
+    def blockFingerprint() = spark.read.parquet(s"$dir2/blocks")
+      .as[graft.model.PostingBlock].collect()
+      .flatMap { b =>
+        val d = graft.index.Codec.decodeBlock(b)
+        d.docIds.indices.map(i => (b.term, d.docIds(i), d.tfs(i), d.dls(i)))
+      }
+      .sortBy(t => (t._1, t._2))
+    val blocksBefore = blockFingerprint()
+
+    // full re-run: everything skipped
+    val r2 = new IndexBuilder(spark, dir2, "snap-r1", cfg2).build(docs)
+    assert(r2.cellsBuilt.isEmpty && r2.cellsSkipped.size == r1.cellsBuilt.size)
+
+    // clear one bucket cell → only that cell (still same snapshot) rebuilds
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir2/manifest/bucket-1.props"), false)
+    val r3 = new IndexBuilder(spark, dir2, "snap-r1", cfg2).build(docs)
+    assert(r3.cellsBuilt == Seq("bucket=1"), r3.toString)
+    val blocksAfter = blockFingerprint()
+    assert(blocksAfter.toSeq == blocksBefore.toSeq)
+
+    // changed snapshot id ⇒ nothing is trusted, full rebuild
+    val r4 = new IndexBuilder(spark, dir2, "snap-r2", cfg2).build(docs, resume = true)
+    assert(r4.cellsBuilt.size == r1.cellsBuilt.size)
+  }
+
+  test("manifest carries lineage and metrics") {
+    built
+    val ms = new IndexBuilder(spark, indexDir, "snap-test-1", cfg).allManifests
+    val buckets = ms.filter(_.cell.startsWith("bucket="))
+    assert(buckets.size == cfg.numBuckets)
+    assert(buckets.forall(m => m.status == "done" && m.sourceSnapshotId == "snap-test-1"))
+    assert(buckets.map(_.postingsEmitted).sum > 0)
+    assert(buckets.map(_.bytesCompressed).sum > 0)
+    // contiguous, non-overlapping docId ranges covering [0, N)
+    val sorted = buckets.sortBy(_.docIdLo)
+    assert(sorted.head.docIdLo == 0)
+    sorted.sliding(2).foreach {
+      case Seq(a, b) => assert(a.docIdHi == b.docIdLo)
+      case _ =>
+    }
+  }
+
+  test("compression is effective (bytes/posting < 4)") {
+    built
+    val ms = new IndexBuilder(spark, indexDir, "snap-test-1", cfg).allManifests
+    val buckets = ms.filter(_.cell.startsWith("bucket="))
+    val bpp = buckets.map(_.bytesCompressed).sum.toDouble / buckets.map(_.postingsEmitted).sum
+    assert(bpp < 4.0, s"bytes per posting = $bpp")
+  }
+}
