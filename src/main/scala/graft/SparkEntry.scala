@@ -1,13 +1,432 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.analysis.Analyzer
+import graft.compat.CatalogCompat
+import graft.index.{IndexBuilder, IndexConfig}
+import graft.model.Doc
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.query.{Bm25, Oracle, Searcher}
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ the training-data-pipeline ops), each with a DuckDB
+  * `oracleSql` twin where SQL-expressible. Column names are aligned
+  * between both sides (the driver sorts columns by name and hashes
+  * values).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Identical token rule on the DuckDB side (Analyzer parity). */
+  private val SqlTokRegex = "[^\\p{L}\\p{N}]+"
+  private def toksCte(table: String, id: String): String =
+    s"WITH toks0 AS (SELECT $id, unnest(regexp_split_to_array(lower(text), '$SqlTokRegex')) AS term FROM $table), " +
+      s"tok AS (SELECT $id, term FROM toks0 WHERE term <> '')"
+
+  private def inList(xs: Seq[String]): String = xs.map(s => s"'$s'").mkString("(", ",", ")")
+
+  // ---- documents → engine index (built once per (JVM, sfDir)) --------------
+  private val idxCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def documentsDocs(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) =>
+        Doc(id, f"doc-$id%08d", 0, "doc", t, None, new Timestamp(0L), Analyzer.tokenize(t).length)
+      }
+  }
+
+  private def documentsIndex(spark: SparkSession, dir: String): String =
+    idxCache.computeIfAbsent(dir, _ => {
+      val out = java.nio.file.Files.createTempDirectory("graft-docs-index").toString
+      val cfg = IndexConfig(numBuckets = 4, numShards = 8,
+        partitions = spark.sparkContext.defaultParallelism)
+      new IndexBuilder(spark, out, s"docs:$dir", cfg).build(documentsDocs(spark, dir))
+      out
+    })
+
+  private def wandTopK(spark: SparkSession, dir: String, q: String, k: Int,
+      conjunctive: Boolean): DataFrame = {
+    import spark.implicits._
+    val s = new Searcher(spark, documentsIndex(spark, dir), 8)
+    val hits = if (conjunctive) s.searchConjunctive(q, k) else s.search(q, k)
+    hits.toSeq.zipWithIndex
+      .map { case (h, i) => ((i + 1).toLong, h.docId, BigDecimal(h.score).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      .toDF("rank", "doc_id", "score")
+  }
+
+  /** BM25 oracle SQL over the documents table for a fixed query. */
+  private def bm25Sql(terms: Seq[String], k: Int, conjunctive: Boolean): String = {
+    val score = Bm25.scoreSql("tf.tf", "df.df", "dl.dl", "st.n", "st.avgdl")
+    val having = if (conjunctive) s"HAVING count(*) = ${terms.size}" else ""
+    s"""${toksCte("documents", "doc_id")},
+dl AS (SELECT d.doc_id, coalesce(t.n, 0) AS dl FROM documents d
+       LEFT JOIN (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id) t ON d.doc_id = t.doc_id),
+st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id, sum($score ORDER BY tf.term ASC) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE tf.term IN ${inList(terms)}
+  GROUP BY tf.doc_id $having)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, round(score, 4) AS score
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
+  }
+
+  private val Bm25Query = "spark query window merge"
+  private val AndQuery = "spark window customer"
+
+  /** Flagship: BM25 WAND top-10 over sf0.001 documents via the full
+    * engine (index build + compressed blocks + block-max WAND).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    wandTopK(spark, "/root/testdata/sf0.001", Bm25Query, 10, conjunctive = false)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- scans / filters / projections (SURVEY §2.1–2.2) ----
+    "q_filter_keyword" -> ((s, dir) => {
+      s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("lang") === lit("en"))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("source"))
+    }),
+    "q_filter_range" -> ((s, dir) => {
+      s.read.parquet(s"$dir/events.parquet")
+        .filter(col("ts") >= lit("2024-01-10").cast("timestamp") &&
+          col("ts") < lit("2024-01-20").cast("timestamp") && col("value") > lit(0.0))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+    // ---- aggregation / join / top-k / window / set ops (§2.4–2.8) ----
+    "q_agg_lineitem" -> ((s, dir) => {
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum((lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")) *
+            col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+    "q_join_broadcast" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val o = broadcast(s.read.parquet(s"$dir/orders.parquet"))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
+    }),
+    "q_topk_orders" -> ((s, dir) => {
+      s.read.parquet(s"$dir/orders.parquet")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .limit(10)
+    }),
+    "q_window_rank" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("n_chars").desc, col("doc_id").asc)
+      s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= lit(3))
+        .select(col("source"), col("rank"), col("doc_id"), col("n_chars"))
+        .orderBy(col("source"), col("rank"))
+    }),
+    "q_union_dedup" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      d.filter(col("lang") === lit("en")).select(col("doc_id"))
+        .unionByName(d.filter(col("source") === lit("src1")).select(col("doc_id")))
+        .dropDuplicates("doc_id")
+        .orderBy(col("doc_id"))
+    }),
+    "q_validation_counters" -> ((s, dir) => {
+      s.read.parquet(s"$dir/documents.parquet").agg(
+        count(lit(1)).as("n_total"),
+        sum(when(length(col("text")) === lit(0), 1L).otherwise(0L)).as("n_empty_text"),
+        sum(when(length(col("text")) =!= col("n_chars"), 1L).otherwise(0L)).as("n_bad_nchars"))
+    }),
+    // ---- compat scalar functions (§2.3) ----
+    "q_date_multiformat" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/events.parquet").filter(col("event_id") < lit(1000))
+      val str = when(pmod(col("event_id"), lit(3)) === lit(0), date_format(col("ts"), "dd.MM.yyyy HH:mm:ss"))
+        .when(pmod(col("event_id"), lit(3)) === lit(1), date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
+        .otherwise(date_format(col("ts"), "MM/dd/yyyy HH:mm:ss"))
+      e.withColumn("raw", str)
+        .withColumn("normalized", CatalogCompat.formatRefDate(CatalogCompat.parseMultiDate(col("raw"))))
+        .select(col("event_id"), col("normalized"))
+        .orderBy(col("event_id"))
+    }),
+    "q_size_parse" -> ((s, dir) => {
+      s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("size_str",
+          concat(lit("doc ("), (col("n_chars") * lit(1000)).cast("string"), lit(" Bytes)")))
+        .select(col("doc_id"), CatalogCompat.sizeToBytes(col("size_str")).as("size_bytes"))
+        .orderBy(col("doc_id"))
+    }),
+    // ---- fulltext: tokenize / tf / df / stats / BM25 (§2.1 S10, §2.4 A6–A8, §3.3) ----
+    "q_tokenize_count" -> ((s, dir) => {
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), Analyzer.dlCol(col("text")).cast("long").as("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_tf" -> ((s, dir) => {
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), explode(Analyzer.tokensCol(col("text"))).as("term"))
+        .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+        .orderBy(col("term"), col("doc_id"))
+    }),
+    "q_df" -> ((s, dir) => {
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), explode(Analyzer.tokensCol(col("text"))).as("term"))
+        .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+        .groupBy(col("term")).agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+        .orderBy(col("term"))
+    }),
+    "q_corpus_stats" -> ((s, dir) => {
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(Analyzer.dlCol(col("text")).as("dl"))
+        .agg(count(lit(1)).as("n_docs"), round(avg(col("dl")), 6).as("avgdl"))
+    }),
+    "q_bm25_topk" -> ((s, dir) =>
+      wandTopK(s, dir, Bm25Query, 10, conjunctive = false)),
+    "q_bm25_and" -> ((s, dir) =>
+      wandTopK(s, dir, AndQuery, 10, conjunctive = true)),
+    "q_bm25_oracle" -> ((s, dir) => {
+      import s.implicits._
+      // exhaustive scorer, no index — the in-repo oracle as an operator
+      val docs = documentsDocs(s, dir).toDF()
+      val rows = Oracle.topK(docs, Bm25Query, 10)
+        .select(col("docId").as("doc_id"), round(col("score"), 4).as("score"))
+        .as[(Long, Double)].collect()
+      rows.toSeq.zipWithIndex.map { case ((id, sc), i) => ((i + 1).toLong, id, sc) }
+        .toDF("rank", "doc_id", "score")
+    }),
+    // ---- dedup family ----
+    "q_dedup_exact" -> ((s, dir) => {
+      Dedup.exactGroups(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+    "q_jaccard_pairs" -> ((s, dir) => {
+      Dedup.jaccardPairs(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", 3, 0.3)
+        .select(col("ida"), col("idb"), col("jaccard"))
+        .orderBy(col("ida"), col("idb"))
+    }),
+    "q_minhash_lsh" -> ((s, dir) => {
+      Dedup.minhashPairs(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        shingleK = 3, numPerms = 64, bands = 16, minEstJ = 0.3)
+        .orderBy(col("ida"), col("idb"))
+    }),
+    "q_simhash_pairs" -> ((s, dir) => {
+      Dedup.simhashPairs(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", maxHamming = 3)
+        .orderBy(col("ida"), col("idb"))
+    }),
+    "q_fingerprint" -> ((s, dir) => {
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), TextOps.fingerprintCol(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+    // ---- similarity search ----
+    "q_ann_cosine" -> ((s, dir) => {
+      import s.implicits._
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val q = emb.filter(col("vec_id") === lit(0))
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      val ids = Similarity.bruteTopK(emb, "vec_id", "embedding", q, 10, excludeId = 0L)
+        .select(col("vec_id")).as[Long].collect()
+      ids.toSeq.zipWithIndex.map { case (id, i) => (id, (i + 1).toLong) }
+        .toDF("vec_id", "rank")
+    }),
+    "q_ann_lsh" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val q = emb.filter(col("vec_id") === lit(0))
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      Similarity.lshTopK(emb, "vec_id", "embedding", q, 10, excludeId = 0L)
+        .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
+    }),
+    // ---- text analysis ----
+    "q_langid" -> ((s, dir) => {
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), TextOps.langIdCol(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_quality" -> ((s, dir) => {
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          round(TextOps.stopRatioCol(col("text")), 4).as("stop_ratio"),
+          round(TextOps.punctRatioCol(col("text")), 4).as("punct_ratio"),
+          round(TextOps.qualityCol(col("text")), 4).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_token_counts" -> ((s, dir) => {
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          TextOps.wsTokensCol(col("text")).cast("long").as("ws_tokens"),
+          TextOps.bpeTokensCol(col("text")).cast("long").as("bpe_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+    // ---- multimodal plumbing ----
+    "q_multimodal_meta" -> ((s, dir) => {
+      Multimodal.extractMeta(
+        Multimodal.attachBinary(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text"))
+        .toDF()
+        .select(col("doc_id"), col("mime"), col("n_bytes").cast("long").as("n_bytes"),
+          col("width").cast("long").as("width"), col("height").cast("long").as("height"),
+          col("n_frames").cast("long").as("n_frames"))
+        .orderBy(col("doc_id"))
+    }),
+    // ---- transcript engine end-to-end (rows-only; primary payload) ----
+    "q_transcript_bm25" -> ((s, _) => {
+      import s.implicits._
+      val dir = idxCache.computeIfAbsent("__transcripts__", _ => {
+        val out = java.nio.file.Files.createTempDirectory("graft-transcript-index").toString
+        val docs = graft.index.DocIds.assign(
+          graft.index.DocIds.dedup(graft.corpus.Transcripts.generate(s, 300L)), 8)
+        new IndexBuilder(s, out, "verify-transcripts", IndexConfig(partitions = 8)).build(docs)
+        out
+      })
+      new Searcher(s, dir, 8).searchResolved("zanzibar quasar lattice", 10)
+        .select(col("rank"), col("docId"), col("conv_id"), col("turn_idx"))
+    })
+  )
+
+  // --------------------------------------------------------------------------
+  def oracleSql: Map[String, String] = {
+    val langCase = {
+      def cnt(set: Seq[String]) =
+        s"count(*) FILTER (term IN ${inList(set)})"
+      s"""${toksCte("documents", "doc_id")},
+s AS (SELECT d.doc_id,
+        ${cnt(TextOps.enStop)} AS en, ${cnt(TextOps.deStop)} AS de,
+        ${cnt(TextOps.esStop)} AS es, ${cnt(TextOps.frStop)} AS fr
+      FROM documents d LEFT JOIN tok ON tok.doc_id = d.doc_id GROUP BY d.doc_id)
+SELECT doc_id,
+  CASE WHEN greatest(en, de, es, fr) = 0 THEN 'und'
+       WHEN en = greatest(en, de, es, fr) THEN 'en'
+       WHEN de = greatest(en, de, es, fr) THEN 'de'
+       WHEN es = greatest(en, de, es, fr) THEN 'es'
+       ELSE 'fr' END AS lang_pred
+FROM s ORDER BY doc_id"""
+    }
+    Map(
+      "q_filter_keyword" ->
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents WHERE lang = 'en' GROUP BY source ORDER BY source",
+      "q_filter_range" ->
+        ("SELECT event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value FROM events " +
+          "WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20' AND value > 0 " +
+          "GROUP BY event_type ORDER BY event_type"),
+      "q_agg_lineitem" ->
+        ("SELECT l_returnflag, l_linestatus, " +
+          "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +
+          "CAST(sum((CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue, " +
+          "CAST(count(*) AS BIGINT) AS n " +
+          "FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"),
+      "q_join_broadcast" ->
+        ("SELECT o_orderpriority, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +
+          "CAST(count(*) AS BIGINT) AS n " +
+          "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1 ORDER BY 1"),
+      "q_topk_orders" ->
+        "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10",
+      "q_window_rank" ->
+        ("SELECT source, CAST(rank AS BIGINT) AS rank, doc_id, n_chars FROM (" +
+          "SELECT source, doc_id, n_chars, row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS rank " +
+          "FROM documents) WHERE rank <= 3 ORDER BY source, rank"),
+      "q_union_dedup" ->
+        ("SELECT DISTINCT doc_id FROM (SELECT doc_id FROM documents WHERE lang = 'en' " +
+          "UNION ALL SELECT doc_id FROM documents WHERE source = 'src1') ORDER BY doc_id"),
+      "q_validation_counters" ->
+        ("SELECT CAST(count(*) AS BIGINT) AS n_total, " +
+          "CAST(sum(CASE WHEN length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_text, " +
+          "CAST(sum(CASE WHEN length(text) <> n_chars THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_nchars " +
+          "FROM documents"),
+      "q_date_multiformat" ->
+        ("SELECT event_id, strftime(coalesce(" +
+          "try_strptime(raw, '%d.%m.%Y %H:%M:%S'), try_strptime(raw, '%Y-%m-%d %H:%M:%S'), " +
+          "try_strptime(raw, '%m/%d/%Y %H:%M:%S')), '%d.%m.%Y %H:%M:%S') AS normalized FROM (" +
+          "SELECT event_id, CASE CAST(event_id % 3 AS INT) " +
+          "WHEN 0 THEN strftime(ts, '%d.%m.%Y %H:%M:%S') " +
+          "WHEN 1 THEN strftime(ts, '%Y-%m-%d %H:%M:%S') " +
+          "ELSE strftime(ts, '%m/%d/%Y %H:%M:%S') END AS raw " +
+          "FROM events WHERE event_id < 1000) ORDER BY event_id"),
+      "q_size_parse" ->
+        ("SELECT doc_id, CAST(replace(replace(regexp_extract(" +
+          "'doc (' || CAST(n_chars * 1000 AS VARCHAR) || ' Bytes)', '\\(([0-9.,]+) B', 1), '.', ''), ',', '') AS BIGINT) AS size_bytes " +
+          "FROM documents ORDER BY doc_id"),
+      "q_tokenize_count" ->
+        s"""${toksCte("documents", "doc_id")}
+SELECT d.doc_id, CAST(coalesce(t.n, 0) AS BIGINT) AS n_tokens
+FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id) t
+ON d.doc_id = t.doc_id ORDER BY d.doc_id""",
+      "q_tf" ->
+        s"""${toksCte("documents", "doc_id")}
+SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2 ORDER BY term, doc_id""",
+      "q_df" ->
+        s"""${toksCte("documents", "doc_id")},
+tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2)
+SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY 1 ORDER BY term""",
+      "q_corpus_stats" ->
+        s"""${toksCte("documents", "doc_id")},
+dl AS (SELECT d.doc_id, coalesce(t.n, 0) AS dl FROM documents d
+       LEFT JOIN (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id) t ON d.doc_id = t.doc_id)
+SELECT CAST(count(*) AS BIGINT) AS n_docs, round(avg(dl), 6) AS avgdl FROM dl""",
+      "q_bm25_topk" -> bm25Sql(Analyzer.analyzeQuery(Bm25Query).toSeq, 10, conjunctive = false),
+      "q_bm25_and" -> bm25Sql(Analyzer.analyzeQuery(AndQuery).toSeq, 10, conjunctive = true),
+      "q_bm25_oracle" ->
+        (bm25Sql(Analyzer.analyzeQuery(Bm25Query).toSeq, 10, conjunctive = false)),
+      "q_dedup_exact" ->
+        ("SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS copies " +
+          "FROM documents GROUP BY text ORDER BY 1"),
+      "q_jaccard_pairs" ->
+        s"""WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '$SqlTokRegex'), x -> x <> '') AS arr FROM documents),
+sh AS (SELECT DISTINCT doc_id, unnest([arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] for i in range(1, greatest(len(arr) - 1, 1))]) AS sh FROM t),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS c FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT ida, idb, round(c * 1.0 / (ca.n + cb.n - c), 4) AS jaccard
+FROM inter JOIN cnt ca ON ca.doc_id = ida JOIN cnt cb ON cb.doc_id = idb
+WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.3 ORDER BY ida, idb""",
+      "q_ann_cosine" ->
+        ("WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), " +
+          "s AS (SELECT vec_id, list_cosine_similarity(embedding, (SELECT qv FROM q)) AS c " +
+          "FROM embeddings WHERE vec_id <> 0) " +
+          "SELECT vec_id, CAST(row_number() OVER (ORDER BY c DESC, vec_id ASC) AS BIGINT) AS rank " +
+          "FROM s ORDER BY c DESC, vec_id ASC LIMIT 10"),
+      "q_langid" -> langCase,
+      "q_token_counts" ->
+        ("SELECT doc_id, " +
+          "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS ws_tokens, " +
+          s"CAST(len(regexp_extract_all(lower(text), '${TextOps.BpePattern}')) AS BIGINT) AS bpe_tokens " +
+          "FROM documents ORDER BY doc_id"),
+      "q_quality" ->
+        s"""${toksCte("documents", "doc_id")},
+m AS (SELECT d.doc_id, d.text,
+        coalesce(t.n, 0) AS n_tokens, coalesce(t.stop, 0) AS stop_n
+      FROM documents d LEFT JOIN (
+        SELECT doc_id, count(*) AS n,
+               count(*) FILTER (term IN ${inList(TextOps.enStop)}) AS stop
+        FROM tok GROUP BY doc_id) t ON d.doc_id = t.doc_id),
+r AS (SELECT doc_id,
+        CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(stop_n AS DOUBLE) / n_tokens END AS stop_ratio,
+        CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g')) AS DOUBLE) / length(text) END AS punct_ratio,
+        n_tokens FROM m)
+SELECT doc_id, round(stop_ratio, 4) AS stop_ratio, round(punct_ratio, 4) AS punct_ratio,
+       round(least(1.0, n_tokens / 50.0) * (1.0 - punct_ratio) * least(1.0, 5.0 * stop_ratio), 4) AS quality
+FROM r ORDER BY doc_id""",
+      "q_multimodal_meta" ->
+        ("SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 'image/fake' ELSE 'video/fake' END AS mime, " +
+          "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
+          "CAST(64 + octet_length(encode(text)) % 640 AS BIGINT) AS width, " +
+          "CAST(64 + octet_length(encode(text)) % 480 AS BIGINT) AS height, " +
+          "CAST(1 + octet_length(encode(text)) % 16 AS BIGINT) AS n_frames " +
+          "FROM documents ORDER BY doc_id")
+      // rows-only (no SQL-expressible oracle): q_minhash_lsh, q_simhash_pairs,
+      // q_fingerprint (engine-defined hashes), q_ann_lsh (probing set),
+      // q_transcript_bm25 (synthetic corpus not in DuckDB)
+    )
+  }
 }

@@ -191,12 +191,16 @@ class IndexBuilder(
     phase("docs") {
       docsIn.write.mode(SaveMode.Overwrite).parquet(docsPath)
       val d = spark.read.parquet(docsPath)
-      val row = d.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl")).head()
+      val row = d.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"),
+        max(col("docId")).as("mx")).head()
       val n = row.getLong(0)
       val avgdl = if (row.isNullAt(1)) 0.0 else row.getDouble(1)
+      val bound = if (row.isNullAt(2)) 0L else row.getLong(2) + 1L
       Seq(IndexStats(n, avgdl, snapshotId)).toDS()
         .write.mode(SaveMode.Overwrite).parquet(statsPath)
-      BuildManifest("docs", -1, 0, n, snapshotId, n, 0, "done", 0)
+      // docIdHi of the "docs" cell = exclusive docId bound for bucketing
+      // (docIds need not start at 0 or be dense for external corpora)
+      BuildManifest("docs", -1, 0, bound, snapshotId, n, 0, "done", 0)
     }
     val docs = spark.read.parquet(docsPath)
     val stats = spark.read.parquet(statsPath).as[IndexStats].head()
@@ -217,12 +221,13 @@ class IndexBuilder(
     val dict0 = spark.read.parquet(dict0Path)
 
     // Phase C — per-bucket (contiguous docId range) compressed blocks.
-    val bucketWidth = math.max(1L, (n + cfg.numBuckets - 1) / cfg.numBuckets)
+    val idBound = readManifest("docs").map(_.docIdHi).getOrElse(n)
+    val bucketWidth = math.max(1L, (idBound + cfg.numBuckets - 1) / cfg.numBuckets)
     val numShards = cfg.numShards
     val blockSize = cfg.blockSize
     for (b <- 0 until cfg.numBuckets) {
       val lo = b.toLong * bucketWidth
-      val hi = math.min(n, lo + bucketWidth)
+      val hi = math.min(idBound, lo + bucketWidth)
       phase(s"bucket=$b") {
         val bdocs = docs.filter(col("docId") >= lit(lo) && col("docId") < lit(hi))
         val scored = postingsOf(bdocs)

@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (Array[Float]).
+  *
+  * Brute-force cosine top-k is the exactness baseline (one scan +
+  * TakeOrderedAndProject — still the right plan when the query set is
+  * small and the corpus is scanned once); the LSH-bucketed variant is
+  * the scale path: random-hyperplane signatures partition the corpus so
+  * a query probes only its bucket neighborhood.
+  */
+object Similarity {
+
+  /** Cosine similarity of two float-array columns, accumulated in double
+    * left-to-right (deterministic order — functions.aggregate over
+    * zip_with, all codegen'd).
+    */
+  def cosineCol(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")), lit(0.0), _ + _)
+    val na = sqrt(dot(a, a))
+    val nb = sqrt(dot(b, b))
+    when(na === lit(0.0) || nb === lit(0.0), lit(0.0)).otherwise(dot(a, b) / (na * nb))
+  }
+
+  /** Exact cosine top-k neighbours of `queryVec` (excluding exact self if
+    * `excludeId` >= 0).
+    */
+  def bruteTopK(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryVec: Array[Float],
+      k: Int,
+      excludeId: Long = -1L
+  ): DataFrame = {
+    val q = typedLit(queryVec.toSeq)
+    embeddings
+      .filter(col(idCol) =!= lit(excludeId))
+      .withColumn("cosine", cosineCol(col(vecCol), q))
+      .select(col(idCol), col("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  private def splitmix64(x0: Long): Long = {
+    var z = x0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic pseudo-random hyperplanes: nbits × dim in [-1, 1). */
+  def hyperplanes(dim: Int, nbits: Int, seed: Long): Array[Array[Double]] =
+    Array.tabulate(nbits)(i => Array.tabulate(dim) { j =>
+      (splitmix64(seed ^ (i.toLong * 1048573L + j)) >>> 11) * (2.0 / (1L << 53)) - 1.0
+    })
+
+  def signatureOf(vec: Array[Float], planes: Array[Array[Double]]): Int = {
+    var sig = 0
+    var i = 0
+    while (i < planes.length) {
+      var d = 0.0
+      var j = 0
+      while (j < vec.length) { d += vec(j) * planes(i)(j); j += 1 }
+      if (d > 0) sig |= (1 << i)
+      i += 1
+    }
+    sig
+  }
+
+  /** LSH-bucketed approximate top-k: probe the query's bucket plus all
+    * buckets within `probeHamming` bits, exact-rerank inside. At scale
+    * the bucket column is a partition/cluster key so a query touches a
+    * small fraction of the corpus.
+    */
+  def lshTopK(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryVec: Array[Float],
+      k: Int,
+      nbits: Int = 12,
+      probeHamming: Int = 2,
+      seed: Long = 42L,
+      excludeId: Long = -1L
+  ): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val dim = queryVec.length
+    val planes = hyperplanes(dim, nbits, seed)
+    val bc = spark.sparkContext.broadcast(planes)
+    val withSig = embeddings
+      .filter(col(idCol) =!= lit(excludeId))
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (id, v, signatureOf(v, bc.value)) }
+      .toDF(idCol, vecCol, "bucket")
+    val qSig = signatureOf(queryVec, planes)
+    val probeBuckets = (0 until (1 << nbits))
+      .filter(b => java.lang.Integer.bitCount(b ^ qSig) <= probeHamming)
+    withSig
+      .filter(col("bucket").isin(probeBuckets: _*))
+      .withColumn("cosine", cosineCol(col(vecCol), typedLit(queryVec.toSeq)))
+      .select(col(idCol), col("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+}
