@@ -25,14 +25,16 @@ object DocIds {
     */
   def dedup(turns: Dataset[Turn]): Dataset[Turn] = {
     import turns.sparkSession.implicits._
-    turns
-      .groupByKey(t => (t.conv_id, t.turn_idx))
-      .reduceGroups { (a, b) =>
-        if (a.ts.getTime != b.ts.getTime) { if (a.ts.getTime > b.ts.getTime) a else b }
-        else if (a.text >= b.text) a
-        else b
-      }
-      .map(_._2)
+    // expression-based (stays in whole-stage codegen; one shuffle on the
+    // doc key, same as the hash-agg a reduceGroups would need)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("conv_id"), col("turn_idx"))
+      .orderBy(col("ts").desc, col("text").desc)
+    turns.toDF()
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === lit(1))
+      .drop("__rn")
+      .as[Turn]
   }
 
   def assign(turns: Dataset[Turn], partitions: Int): Dataset[Doc] = {

@@ -93,6 +93,7 @@ class IndexBuilder(
 
   def docsPath = s"$indexDir/docs"
   def statsPath = s"$indexDir/stats"
+  def postings0Path = s"$indexDir/postings0"
   def dict0Path = s"$indexDir/dict0"
   def blocksPath = s"$indexDir/blocks"
   def partialsPath = s"$indexDir/termpartials"
@@ -206,11 +207,27 @@ class IndexBuilder(
     val stats = spark.read.parquet(statsPath).as[IndexStats].head()
     val n = stats.n
     val avgdl = stats.avgdl
+    val idBound = readManifest("docs").map(_.docIdHi).getOrElse(n)
+    val bucketWidth = math.max(1L, (idBound + cfg.numBuckets - 1) / cfg.numBuckets)
+
+    // Phase B0 — tokenize ONCE: postings materialized partitioned by
+    // bucket (contiguous docId ranges), so the dictionary pass and every
+    // bucket cell reuse them without re-scanning the corpus (at 10^12
+    // turns, tokenization is the dominant CPU cost — one pass, not B+1).
+    phase("postings") {
+      val p = postingsOf(docs)
+        .withColumn("bucket", least(floor(col("docId") / lit(bucketWidth)),
+          lit(cfg.numBuckets - 1)).cast("int"))
+      p.write.partitionBy("bucket").mode(SaveMode.Overwrite).parquet(postings0Path)
+      val cnt = spark.read.parquet(postings0Path).count()
+      BuildManifest("postings", -1, 0, idBound, snapshotId, cnt, 0, "done", 0)
+    }
+    val postings0 = spark.read.parquet(postings0Path)
 
     // Phase B — pre-finalize dictionary (global df/cf) via salted merge.
     phase("dict0") {
       val numShards = cfg.numShards
-      val dict0 = dictSalted(postingsOf(docs), cfg.salt)
+      val dict0 = dictSalted(postings0, cfg.salt)
         .as[(String, Long, Long)]
         .map { case (t, df, cf) => (t, GraftHash.shardOf(t, numShards), df, cf) }
         .toDF("term", "shard", "df", "cf")
@@ -221,16 +238,13 @@ class IndexBuilder(
     val dict0 = spark.read.parquet(dict0Path)
 
     // Phase C — per-bucket (contiguous docId range) compressed blocks.
-    val idBound = readManifest("docs").map(_.docIdHi).getOrElse(n)
-    val bucketWidth = math.max(1L, (idBound + cfg.numBuckets - 1) / cfg.numBuckets)
     val numShards = cfg.numShards
     val blockSize = cfg.blockSize
     for (b <- 0 until cfg.numBuckets) {
       val lo = b.toLong * bucketWidth
       val hi = math.min(idBound, lo + bucketWidth)
       phase(s"bucket=$b") {
-        val bdocs = docs.filter(col("docId") >= lit(lo) && col("docId") < lit(hi))
-        val scored = postingsOf(bdocs)
+        val scored = postings0.filter(col("bucket") === lit(b))
           .join(dict0.select(col("term"), col("df")), Seq("term"))
           .withColumn("score", Bm25.scoreCol(col("tf"), col("df"), col("dl"), n, avgdl))
           .select(col("term"), col("docId"), col("tf"), col("dl"), col("score"))

@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog in a field of rye"),
+    (1L, "the quick brown fox jumps over the lazy dog in a field of corn"), // near-dup of 0
+    (2L, "der hund und die katze sind nicht ein problem"),
+    (3L, "el perro y los gatos que viven en una casa"),
+    (4L, "le chien et les chats est une des merveilles"),
+    (5L, "zzz qqq www eee rrr ttt yyy uuu iii ooo"),
+    (6L, "the quick brown fox jumps over the lazy dog in a field of rye"), // exact dup of 0
+    (7L, ""),
+    (8L, "completely different text about spark catalyst optimizer internals and codegen stages here")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups by text, survivor = min id") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text").orderBy("doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(g(0L) == 2L) // docs 0 and 6
+    assert(g(1L) == 1L)
+    assert(g.values.sum == 9L)
+  }
+
+  test("exact jaccard pairs find the near-dup and the exact dup") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 6L))) // jaccard 1.0
+    assert(pairs.contains((0L, 1L)) && pairs.contains((1L, 6L))) // high overlap
+    assert(!pairs.exists(p => p._1 == 8L || p._2 == 8L))
+  }
+
+  test("minhash LSH candidates cover all high-jaccard pairs (recall)") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.6)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashPairs(docs, "doc_id", "text", 3, 64, 16, 0.5)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    assert(exact.subsetOf(lsh), s"missed: ${exact -- lsh}")
+  }
+
+  test("minhash estimate approximates true jaccard") {
+    val est = Dedup.minhashPairs(docs, "doc_id", "text", 3, 64, 16, 0.0)
+      .filter($"ida" === 0L && $"idb" === 6L)
+      .select("est_jaccard").as[Double].head()
+    assert(est == 1.0) // identical shingle sets → identical signatures
+  }
+
+  test("simhash pairs find near-dups, hamming metric sane") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", 6)
+      .as[(Long, Long, Int)].collect()
+    val m = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(m((0L, 6L)) == 0) // identical text → identical simhash
+    assert(m.contains((0L, 1L)) && m((0L, 1L)) <= 6)
+  }
+
+  test("simhash is deterministic and order-insensitive wrt tf weighting") {
+    val a = Dedup.simhash(Seq("x", "y", "x"))
+    val b = Dedup.simhash(Seq("x", "x", "y"))
+    assert(a == b)
+  }
+
+  test("brute cosine topK exact against in-memory computation") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val all = emb.select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    val q = all.find(_._1 == 0L).get._2
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      if (na == 0 || nb == 0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val want = all.filter(_._1 != 0L).map { case (id, v) => (id, cos(q, v)) }
+      .sortBy(t => (-t._2, t._1)).take(10).map(_._1).toSeq
+    val got = Similarity.bruteTopK(emb, "vec_id", "embedding", q, 10, excludeId = 0L)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got == want)
+  }
+
+  test("LSH topK recalls planted near-neighbours (>= 0.9)") {
+    // the driver's embeddings are isotropic-random (no neighbourhood
+    // structure — verified), so recall is tested on planted neighbours:
+    // 10 noisy copies of the query (cos > 0.99) among 500 random vectors.
+    val rnd = new scala.util.Random(7)
+    val dim = 64
+    val q = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val planted = (1L to 10L).map { id =>
+      (id, q.map(x => x + 0.02f * rnd.nextGaussian().toFloat))
+    }
+    val noise = (11L until 511L).map(id => (id, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val emb = (planted ++ noise).toDF("vec_id", "embedding")
+    val brute = Similarity.bruteTopK(emb, "vec_id", "embedding", q, 10)
+      .select("vec_id").as[Long].collect().toSet
+    assert(brute == (1L to 10L).toSet)
+    val lsh = Similarity.lshTopK(emb, "vec_id", "embedding", q, 10, nbits = 12,
+      probeHamming = 2)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.9, s"recall=$recall")
+  }
+
+  test("langid picks each planted language; empty → und") {
+    val got = docs.select($"doc_id", TextOps.langIdCol($"text")).as[(Long, String)]
+      .collect().toMap
+    assert(got(0L) == "en" && got(2L) == "de" && got(3L) == "es" && got(4L) == "fr")
+    assert(got(5L) == "und" && got(7L) == "und")
+  }
+
+  test("token counts: whitespace vs bpe-ish") {
+    val got = Seq("a b  c", "can't stop-won't", "")
+      .toDF("text")
+      .select($"text", TextOps.wsTokensCol($"text"), TextOps.bpeTokensCol($"text"))
+      .as[(String, Int, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("a b  c") == ((3, 3)))
+    assert(got("") == ((0, 0)))
+    assert(got("can't stop-won't") == ((2, 8))) // can|'|t|stop|-|won|'|t
+  }
+
+  test("fingerprint is deterministic, order-sensitive, in 31-bit range") {
+    val fps = Seq(("a b c", 1L), ("c b a", 2L), ("a b c", 3L)).toDF("text", "id")
+      .select($"id", TextOps.fingerprintCol($"text")).as[(Long, Long)].collect().toMap
+    assert(fps(1L) == fps(3L))
+    assert(fps(1L) != fps(2L))
+    assert(fps.values.forall(v => v >= 0 && v < (1L << 31)))
+  }
+
+  test("multimodal plumbing: meta + frame sampling round-trips bytes") {
+    val media = Multimodal.attachBinary(docs, "doc_id", "text")
+    val meta = Multimodal.extractMeta(media).collect().map(m => m.doc_id -> m).toMap
+    assert(meta(0L).n_bytes == docs.filter($"doc_id" === 0L).select(length($"text")).as[Int].head())
+    assert(meta(7L).n_bytes == 0)
+    assert(meta.values.forall(m => m.width >= 64 && m.height >= 64 && m.n_frames >= 1))
+    val frames = Multimodal.sampleFrames(media, 1).collect()
+    val rebuilt = frames.filter(_.doc_id == 8L).sortBy(_.frame_idx).flatMap(_.payload)
+    val orig = docs.filter($"doc_id" === 8L).select($"text").as[String].head()
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    // frames cover a prefix (integer division truncates the tail evenly)
+    assert(rebuilt.length > 0 && rebuilt.toSeq == orig.take(rebuilt.length).toSeq)
+  }
+}
