@@ -42,8 +42,8 @@ object Bench {
     val report = new IndexBuilder(spark, dir, s"bench-$nConvs", cfg).build(docs)
     docs.unpersist(blocking = false)
     val buildSec = (System.nanoTime() - t0) / 1e9
-    val searcher = new Searcher(spark, dir, cfg.numShards)
-    searcher.search("warmup the", 10) // footer/dict warmup
+    val searcher = new Searcher(spark, dir, cfg.numShards).warm()
+    searcher.search("warmup the", 10)
     var lat = Seq.empty[Double]
     for (r <- 1 to rounds) {
       lat = transcriptQueries.map { q =>

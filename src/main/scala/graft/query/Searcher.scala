@@ -27,9 +27,27 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
   private lazy val blocks = spark.read.parquet(s"$indexDir/blocks")
   lazy val docs: DataFrame = spark.read.parquet(s"$indexDir/docs")
 
+  // driver-side dictionary (populated by warm() when the vocabulary fits;
+  // otherwise lookups stay distributed — the 100 TB path)
+  @volatile private var dictMap: Map[String, TermStats] = _
+
+  /** Pin blocks in executor memory and the dictionary on the driver (the
+    * "warm index" state a serving deployment runs in; spills to disk if
+    * larger than memory). `maxDriverDictTerms` guards driver memory —
+    * beyond it the dictionary stays a distributed lookup.
+    */
+  def warm(maxDriverDictTerms: Long = 5_000_000L): this.type = {
+    blocks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
+    if (dict.count() <= maxDriverDictTerms)
+      dictMap = dict.as[TermStats].collect().map(t => t.term -> t).toMap
+    else dict.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
+    this
+  }
+
   /** Dictionary rows for the query terms (tiny). */
   def lookupTerms(terms: Seq[String]): Map[String, TermStats] = {
     if (terms.isEmpty) return Map.empty
+    if (dictMap != null) return terms.flatMap(t => dictMap.get(t).map(t -> _)).toMap
     val shards = terms.map(GraftHash.shardOf(_, numShards)).distinct
     dict
       .filter(col("shard").isin(shards: _*) && col("term").isin(terms: _*))

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.corpus.Transcripts
+import graft.index.IndexConfig
+import graft.query.Searcher
+import graft.streaming.StreamingIngest
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming ingest: arriving files become query-able segments") {
+    val src = s"${TestSpark.tmpRoot}/stream-src"
+    val idx = s"${TestSpark.tmpRoot}/stream-idx"
+    // two "arrivals" of transcript files
+    Transcripts.generate(spark, 60L).filter($"conv_id" < "conv-00000030")
+      .write.parquet(s"$src/part-a")
+    Transcripts.generate(spark, 60L).filter($"conv_id" >= "conv-00000030")
+      .write.parquet(s"$src/part-b")
+    val q = StreamingIngest.ingestToIndex(spark, s"$src/part-*",
+      idx, IndexConfig(numBuckets = 1, partitions = 4), Trigger.AvailableNow())
+    q.awaitTermination(120000)
+
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val segs = fs.listStatus(new org.apache.hadoop.fs.Path(idx))
+      .map(_.getPath.getName).filter(_.startsWith("seg-"))
+    assert(segs.nonEmpty)
+
+    // every turn is present exactly once across segments, disjoint docIds
+    val all = segs.map(s => spark.read.parquet(s"$idx/$s/docs")).reduce(_ unionByName _)
+    assert(all.count() == Transcripts.generate(spark, 60L).count())
+    assert(all.select("docId").distinct().count() == all.count())
+    assert(all.select("conv_id", "turn_idx").distinct().count() == all.count())
+
+    // a marker query over the newest segment containing conv 17
+    val segWithMarker = segs.find { s =>
+      spark.read.parquet(s"$idx/$s/docs")
+        .filter($"conv_id" === "conv-00000017" && $"turn_idx" === 0).count() > 0
+    }.get
+    val hits = new Searcher(spark, s"$idx/$segWithMarker", 8).search("zanzibar quasar", 10)
+    assert(hits.nonEmpty)
+  }
+
+  test("windowed streaming agg over the turn stream (memory sink)") {
+    val src = s"${TestSpark.tmpRoot}/stream-agg-src"
+    Transcripts.generate(spark, 40L).write.parquet(src)
+    val schema = org.apache.spark.sql.Encoders.product[graft.model.Turn].schema
+    val stream = spark.readStream.schema(schema).parquet(src)
+    val agg = StreamingIngest.turnRates(stream, "1 hour", "2 hours")
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName("turn_rates").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // append mode emits only watermark-closed windows; compare those
+    // against the batch computation over the same data
+    val got = spark.table("turn_rates")
+    val batch = StreamingIngest.turnRates(spark.read.parquet(src), "1 hour", "2 hours")
+    val gotRows = got.select($"window.start", $"role", $"n_turns").as[(java.sql.Timestamp, String, Long)]
+      .collect().toSet
+    val batchRows = batch.select($"window.start", $"role", $"n_turns").as[(java.sql.Timestamp, String, Long)]
+      .collect().toSet
+    assert(gotRows.nonEmpty)
+    assert(gotRows.subsetOf(batchRows))
+  }
+}
