@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-inspection main: prints `explain("formatted")` for the operators
+  * whose physical plans matter at scale (pushdown, pruning, broadcast,
+  * codegen spans). Used to keep the plans honest — see PLANS.md.
+  */
+object Plans {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else Seq("q_filter_keyword", "q_filter_range", "q_agg_lineitem",
+        "q_join_broadcast", "q_topk_orders", "q_tf", "q_df")
+    for (n <- names) {
+      println(s"\n===================== $n =====================")
+      try println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+      catch { case e: Exception => println(s"(failed: $e)") }
+    }
+
+    // index block scan: shard dirs must partition-prune, term must push down
+    println("\n===================== index block scan =====================")
+    import org.apache.spark.sql.functions._
+    val idxDir = java.nio.file.Files.createTempDirectory("plans-idx").toString
+    val docs = graft.index.DocIds.assign(
+      graft.corpus.Transcripts.generate(spark, 100L), 4)
+    new graft.index.IndexBuilder(spark, idxDir, "plans",
+      graft.index.IndexConfig(partitions = 4)).build(docs)
+    val blocks = spark.read.parquet(s"$idxDir/blocks")
+      .filter(col("shard").isin(3, 5) && col("term").isin("the", "zanzibar"))
+    println(blocks.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode))
+    spark.stop()
+  }
+}

@@ -254,27 +254,29 @@ class IndexBuilder(
           .sortWithinPartitions(col("term"), col("docId"))
           .mapPartitions(rows => BlockEncoder.encode(rows, b, numShards, blockSize))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val mrow = blocks.agg(
-          coalesce(sum(col("count")), lit(0L)).as("p"),
-          coalesce(sum(length(col("docs")) + length(col("tfs")) + length(col("dls"))), lit(0L)).as("bytes")
-        ).head()
         blocks.drop("bucket").write.partitionBy("shard")
           .mode(SaveMode.Overwrite).parquet(s"$blocksPath/bucket=$b")
-        // per-bucket term partials: exact max score + df/cf shares
-        scored.toDF("term", "docId", "tf", "dl", "score")
-          .groupBy(col("term"))
-          .agg(max(col("score")).as("maxScore"), count(lit(1)).as("dfb"), sum(col("tf")).as("cfb"))
+        // per-bucket term partials straight off the cached blocks (no
+        // second pass over the postings): exact max block score + df/bytes
+        blocks.groupBy(col("term"))
+          .agg(max(col("maxScore")).as("maxScore"), sum(col("count")).as("dfb"),
+            sum(length(col("docs")) + length(col("tfs")) + length(col("dls"))).as("bytesb"))
           .write.mode(SaveMode.Overwrite).parquet(s"$partialsPath/bucket=$b")
         blocks.unpersist(blocking = false)
+        val mrow = spark.read.parquet(s"$partialsPath/bucket=$b")
+          .agg(coalesce(sum(col("dfb")), lit(0L)), coalesce(sum(col("bytesb")), lit(0L))).head()
         BuildManifest(s"bucket=$b", b, lo, hi, snapshotId, mrow.getLong(0), mrow.getLong(1), "done", 0)
       }
     }
 
-    // Phase D — finalize dictionary with global term max scores.
+    // Phase D — finalize dictionary: df/cf from dict0, global max score
+    // from the per-bucket block partials.
     phase("finalize") {
-      val partials = spark.read.parquet(partialsPath)
-      val dict = partials.groupBy(col("term"))
-        .agg(sum(col("dfb")).as("df"), sum(col("cfb")).as("cf"), max(col("maxScore")).as("maxScore"))
+      val maxs = spark.read.parquet(partialsPath)
+        .groupBy(col("term")).agg(max(col("maxScore")).as("maxScore"))
+      val dict = dict0.select(col("term"), col("df"), col("cf"))
+        .join(maxs, Seq("term"))
+        .select(col("term"), col("df"), col("cf"), col("maxScore"))
         .as[(String, Long, Long, Double)]
         .map { case (t, df, cf, ms) => TermStats(t, GraftHash.shardOf(t, numShards), df, cf, ms) }
       dict.write.mode(SaveMode.Overwrite).parquet(dictPath)
