@@ -281,6 +281,29 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
           col("n_frames").cast("long").as("n_frames"))
         .orderBy(col("doc_id"))
     }),
+    "q_embedding_dedup" -> ((s, dir) => {
+      // near-dup pairs by embedding cosine (LSH-blocked); the driver's
+      // embeddings are isotropic so the threshold is set low enough to
+      // yield deterministic candidate pairs
+      Dedup.embeddingPairs(s.read.parquet(s"$dir/embeddings.parquet"),
+        "vec_id", "embedding", minCosine = 0.35, nbits = 8)
+        .orderBy(col("ida"), col("idb"))
+    }),
+    "q_catalog_ingest" -> ((s, _) => {
+      // reference catalog-mode ETL end-to-end on an inline NeoFinder TSV
+      // (S2/S3/P1-P6/F3/F4/F6/F7/A1/A3) — rows-only (no table in DuckDB)
+      val fixture = Seq(
+        Seq("Name", "Pfad", "Größe", "Erstelldatum", "Änderungsdatum", "Art", "Katalog", "Name des Volumes"),
+        Seq("a.jpg", "/arch/a.jpg", "1.23 MB (1,289,748 Bytes)", "05.03.2021 10:11:12", "06.03.2021 11:12:13", "Bild", "K1", "Vol1"),
+        Seq("b.tif", "/arch/b.tif", "4 KB (4.096 Bytes)", "2021-03-05", "garbage", "Bild", "K1", "Vol1"),
+        Seq("c.pdf", "/arch/c.pdf", "(100 Bytes)", "03/05/2021 10:11:12", "03/06/2021 10:11:12", "Dokument", "K1", "Vol1"),
+        Seq("a2.jpg", "/arch/a.jpg", "(1 Bytes)", "05.03.2021", "05.03.2021", "Bild", "K1", "Vol1")
+      ).map(_.mkString("\t")).mkString("\r")
+      val p = java.nio.file.Files.createTempFile("graft-catalog", ".txt")
+      java.nio.file.Files.write(p, fixture.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      graft.compat.CatalogIngest.readCatalog(s, p.toString).records
+        .orderBy(col("path"))
+    }),
     // ---- transcript engine end-to-end (rows-only; primary payload) ----
     "q_transcript_bm25" -> ((s, _) => {
       import s.implicits._

@@ -35,7 +35,16 @@ final case class IndexConfig(
     numShards: Int = 8,
     blockSize: Int = 128,
     salt: Int = 16,
-    partitions: Int = 32
+    partitions: Int = 32,
+    /** true: write the tokenized postings to parquet as their own
+      * checkpoint cell (resume never re-tokenizes — right when the
+      * corpus⇒postings pass dwarfs everything, e.g. 10^12 turns on a
+      * cluster with fast parallel storage). false (default): keep them
+      * in a spillable cache for the duration of the build — one tokenize
+      * pass either way, but no extra full write+read of the posting
+      * stream through storage; a resumed build re-tokenizes once.
+      */
+    materializePostings: Boolean = false
 )
 
 final case class BuildReport(
@@ -210,19 +219,23 @@ class IndexBuilder(
     val idBound = readManifest("docs").map(_.docIdHi).getOrElse(n)
     val bucketWidth = math.max(1L, (idBound + cfg.numBuckets - 1) / cfg.numBuckets)
 
-    // Phase B0 — tokenize ONCE: postings materialized partitioned by
-    // bucket (contiguous docId ranges), so the dictionary pass and every
-    // bucket cell reuse them without re-scanning the corpus (at 10^12
-    // turns, tokenization is the dominant CPU cost — one pass, not B+1).
-    phase("postings") {
-      val p = postingsOf(docs)
-        .withColumn("bucket", least(floor(col("docId") / lit(bucketWidth)),
-          lit(cfg.numBuckets - 1)).cast("int"))
-      p.write.partitionBy("bucket").mode(SaveMode.Overwrite).parquet(postings0Path)
-      val cnt = spark.read.parquet(postings0Path).count()
-      BuildManifest("postings", -1, 0, idBound, snapshotId, cnt, 0, "done", 0)
-    }
-    val postings0 = spark.read.parquet(postings0Path)
+    // Phase B0 — tokenize ONCE: postings either checkpointed to parquet
+    // (own resume cell) or pinned in a spillable cache; the dictionary
+    // pass and every bucket cell reuse them without re-scanning the
+    // corpus (at 10^12 turns, tokenization is the dominant CPU cost —
+    // one pass, not B+1).
+    val withBucket = postingsOf(docs)
+      .withColumn("bucket", least(floor(col("docId") / lit(bucketWidth)),
+        lit(cfg.numBuckets - 1)).cast("int"))
+    val postings0 =
+      if (cfg.materializePostings) {
+        phase("postings") {
+          withBucket.write.partitionBy("bucket").mode(SaveMode.Overwrite).parquet(postings0Path)
+          BuildManifest("postings", -1, 0, idBound, snapshotId, 0, 0, "done", 0)
+        }
+        spark.read.parquet(postings0Path)
+      } else
+        withBucket.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Phase B — pre-finalize dictionary (global df/cf) via salted merge.
     phase("dict0") {
@@ -284,6 +297,7 @@ class IndexBuilder(
       BuildManifest("finalize", -1, 0, n, snapshotId, vocab, 0, "done", 0)
     }
 
+    if (!cfg.materializePostings) postings0.unpersist(blocking = false)
     val ms = allManifests
     BuildReport(
       n, avgdl,

@@ -132,6 +132,36 @@ object Dedup {
       .select(col("ida"), col("idb"), round(col("est_jaccard"), 4).as("est_jaccard"))
   }
 
+  /** Embedding-cosine near-dup pairs: random-hyperplane LSH signatures
+    * block the corpus; only same-bucket pairs are exact-checked, so the
+    * join is linear in bucket occupancy, not quadratic in corpus size
+    * (near-identical vectors share all signature bits w.h.p.).
+    */
+  def embeddingPairs(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minCosine: Double = 0.95,
+      nbits: Int = 16,
+      seed: Long = 42L
+  ): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val first = emb.select(col(vecCol)).head().getSeq[Float](0)
+    val planes = Similarity.hyperplanes(first.length, nbits, seed)
+    val bc = spark.sparkContext.broadcast(planes)
+    val sig = emb.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (id, v, Similarity.signatureOf(v, bc.value)) }
+      .toDF(idCol, vecCol, "bucket")
+    val a = sig.toDF("ida", "va", "bucket")
+    val b = sig.toDF("idb", "vb", "bucket")
+    a.join(b, Seq("bucket")).filter(col("ida") < col("idb"))
+      .withColumn("cosine", Similarity.cosineCol(col("va"), col("vb")))
+      .filter(col("cosine") >= lit(minCosine))
+      .select(col("ida"), col("idb"), round(col("cosine"), 4).as("cosine"))
+  }
+
   // --- SimHash ---------------------------------------------------------------
 
   /** 64-bit SimHash over analyzed tokens weighted by tf. */

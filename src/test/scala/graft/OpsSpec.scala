@@ -102,6 +102,23 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall=$recall")
   }
 
+  test("embedding near-dup pairs: planted duplicates found, full recall") {
+    val rnd = new scala.util.Random(11)
+    val dim = 64
+    val base = Array.fill(5)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val dupes = base.zipWithIndex.map { case (v, i) =>
+      ((i + 100).toLong, v.map(x => x + 0.01f * rnd.nextGaussian().toFloat))
+    }
+    val noise = (200L until 400L).map(id => (id, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val emb = (base.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq ++ dupes.toSeq ++ noise)
+      .toDF("vec_id", "embedding")
+    val pairs = graft.ops.Dedup.embeddingPairs(emb, "vec_id", "embedding", 0.95, nbits = 12)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    val expected = (0 until 5).map(i => (i.toLong, (i + 100).toLong)).toSet
+    assert(expected.subsetOf(pairs), s"missed ${expected -- pairs}")
+    assert(pairs.forall(p => expected.contains(p)), s"spurious ${pairs -- expected}")
+  }
+
   test("langid picks each planted language; empty → und") {
     val got = docs.select($"doc_id", TextOps.langIdCol($"text")).as[(Long, String)]
       .collect().toMap
