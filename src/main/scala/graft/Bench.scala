@@ -38,10 +38,15 @@ object Bench {
     val dir = java.nio.file.Files.createTempDirectory("graft-bench-index").toString
     val cfg = IndexConfig(numBuckets = 4, numShards = 8, partitions = partitions)
     val t0 = System.nanoTime()
-    val docs = DocIds.assign(DocIds.dedup(Transcripts.generate(spark, nConvs)), partitions)
+    val docs = DocIds.dedupAndAssign(Transcripts.generate(spark, nConvs), partitions)
+    val tAssign = System.nanoTime()
     val report = new IndexBuilder(spark, dir, s"bench-$nConvs", cfg).build(docs)
     docs.unpersist(blocking = false)
     val buildSec = (System.nanoTime() - t0) / 1e9
+    System.err.println(f"[bench] cores=$partitions gen+dedup+assign=${(tAssign - t0) / 1e9}%.1f " +
+      f"build=${(System.nanoTime() - tAssign) / 1e9}%.1f cells=" +
+      new IndexBuilder(spark, dir, s"bench-$nConvs", cfg).allManifests
+        .map(m => f"${m.cell}:${m.wallSec}%.1f").sorted.mkString(","))
     val searcher = new Searcher(spark, dir, cfg.numShards).warm()
     searcher.search("warmup the", 10)
     var lat = Seq.empty[Double]

@@ -30,7 +30,7 @@ object Demo {
 
     println(s"== building index over $nConvs conversations -> $indexDir")
     val t0 = System.nanoTime()
-    val docs = DocIds.assign(DocIds.dedup(Transcripts.generate(spark, nConvs)), 8)
+    val docs = DocIds.dedupAndAssign(Transcripts.generate(spark, nConvs), 8)
     val report = new IndexBuilder(spark, indexDir, "demo-snap-1", cfg).build(docs)
     val buildSec = (System.nanoTime() - t0) / 1e9
     println(f"== built: N=${report.n} avgdl=${report.avgdl}%.2f vocab=${report.vocab} " +

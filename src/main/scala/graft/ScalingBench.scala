@@ -6,9 +6,17 @@ import org.apache.spark.sql.SparkSession
   * build+query job at local[8] (N) and local[32] (4N) on the same input;
   * efficiency = throughput(32) / (4 × throughput(8)). Sandbox proxy for
   * the north rule's N vs 4N executor criterion (no real cluster here).
+  *
+  * Each invocation measures ONE parallelism level so every measurement
+  * gets a fresh JVM (same-JVM back-to-back runs inherit GC debt and page
+  * cache from the previous run — measured 2-15× phase variance).
+  * `tools/scaling.sh` runs both and combines.
   */
 object ScalingBench {
-  private def run(cores: Int, nConvs: Long): (Double, Double) = {
+  def main(args: Array[String]): Unit = {
+    val cores = args.headOption.map(_.toInt)
+      .orElse(sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)).getOrElse(32)
+    val nConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "120000").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-scaling-$cores")
@@ -18,23 +26,13 @@ object ScalingBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JIT/codegen warmup on a miniature corpus, then the timed run
+    Bench.transcriptWorkload(spark, 200L, cores, rounds = 1)
     val (turns, buildSec, lat) = Bench.transcriptWorkload(spark, nConvs, cores)
     spark.stop()
-    // SparkSession.stop keeps the JVM; clear the default so the next
-    // builder creates a fresh context with the new master.
-    SparkSession.clearActiveSession()
-    SparkSession.clearDefaultSession()
-    (turns / buildSec, lat.sum / lat.length)
-  }
-
-  def main(args: Array[String]): Unit = {
-    val nConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "40000").toLong
-    val (lo, hi) = (8, 32)
-    val (thLo, qLo) = run(lo, nConvs)
-    val (thHi, qHi) = run(hi, nConvs)
-    val eff = thHi / (4.0 * thLo)
-    println(s"""{"metric":"scaling_efficiency","value":$eff,"unit":"ratio",""" +
-      s""""build_turns_per_sec_local$lo":$thLo,"build_turns_per_sec_local$hi":$thHi,""" +
-      s""""avg_query_sec_local$lo":$qLo,"avg_query_sec_local$hi":$qHi,"nConvs":$nConvs}""")
+    println(s"""{"metric":"scaling_point","cores":$cores,"turns":$turns,""" +
+      s""""build_sec":$buildSec,"build_turns_per_sec":${turns / buildSec},""" +
+      s""""avg_query_sec":${lat.sum / lat.length},""" +
+      s""""p50_query_sec":${Bench.percentile(lat, 0.5)},"nConvs":$nConvs}""")
   }
 }

@@ -309,8 +309,8 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
       import s.implicits._
       val dir = idxCache.computeIfAbsent("__transcripts__", _ => {
         val out = java.nio.file.Files.createTempDirectory("graft-transcript-index").toString
-        val docs = graft.index.DocIds.assign(
-          graft.index.DocIds.dedup(graft.corpus.Transcripts.generate(s, 300L)), 8)
+        val docs = graft.index.DocIds.dedupAndAssign(
+          graft.corpus.Transcripts.generate(s, 300L), 8)
         new IndexBuilder(s, out, "verify-transcripts", IndexConfig(partitions = 8)).build(docs)
         out
       })

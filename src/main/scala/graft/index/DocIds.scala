@@ -37,6 +37,60 @@ object DocIds {
       .as[Turn]
   }
 
+  /** Fused dedup + docId assignment: ONE range shuffle on the doc key
+    * does everything — range partitioning puts all copies of a key in
+    * one partition, the partition sort puts the winner (ts desc, text
+    * desc) first, a per-partition scan drops the rest and numbers the
+    * survivors against broadcast offsets. This is the build hot path;
+    * `dedup`+`assign` remain as the composable pieces.
+    */
+  def dedupAndAssign(turns: Dataset[Turn], partitions: Int): Dataset[Doc] = {
+    val spark: SparkSession = turns.sparkSession
+    import spark.implicits._
+    val sorted = turns
+      .repartitionByRange(partitions, col("conv_id"), col("turn_idx"))
+      .sortWithinPartitions(col("conv_id"), col("turn_idx"), col("ts").desc, col("text").desc)
+      .cache()
+    def winners(it: Iterator[Turn]): Iterator[Turn] = new Iterator[Turn] {
+      private val in = it.buffered
+      private var last: (String, Int) = null
+      private def skipDupes(): Unit =
+        while (in.hasNext && last != null &&
+          in.head.conv_id == last._1 && in.head.turn_idx == last._2) in.next()
+      override def hasNext: Boolean = { skipDupes(); in.hasNext }
+      override def next(): Turn = {
+        skipDupes()
+        val t = in.next()
+        last = (t.conv_id, t.turn_idx)
+        t
+      }
+    }
+    val counts: Map[Int, Long] = sorted
+      .mapPartitions(it => Iterator((TaskContext.getPartitionId(), winners(it).size.toLong)))
+      .collect().toMap
+    val offsets: Map[Int, Long] = {
+      var acc = 0L
+      (0 until partitions).map { pid =>
+        val o = pid -> acc
+        acc += counts.getOrElse(pid, 0L)
+        o
+      }.toMap
+    }
+    val bc = spark.sparkContext.broadcast(offsets)
+    val docs = sorted.mapPartitions { it =>
+      var id = bc.value(TaskContext.getPartitionId())
+      winners(it).map { t =>
+        val d = Doc(id, t.conv_id, t.turn_idx, t.role, t.text, t.tool, t.ts,
+          Analyzer.tokenize(t.text).length)
+        id += 1
+        d
+      }
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    docs.count()
+    sorted.unpersist(blocking = false)
+    docs
+  }
+
   def assign(turns: Dataset[Turn], partitions: Int): Dataset[Doc] = {
     val spark: SparkSession = turns.sparkSession
     import spark.implicits._

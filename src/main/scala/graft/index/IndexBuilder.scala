@@ -36,6 +36,15 @@ final case class IndexConfig(
     blockSize: Int = 128,
     salt: Int = 16,
     partitions: Int = 32,
+    /** true (default): encode ALL buckets' blocks in ONE job (single
+      * range shuffle on (bucket, term, docId), single partitioned write)
+      * — per-bucket manifest cells are still written, but resume
+      * granularity for the block phase is all-buckets-or-none. false:
+      * one job per bucket — fine-grained resume; right when each bucket
+      * is hours of work (at 10^12 turns run fused GROUPS of buckets:
+      * several builds over docId sub-ranges, each fused internally).
+      */
+    fusedBlocks: Boolean = true,
     /** true: write the tokenized postings to parquet as their own
       * checkpoint cell (resume never re-tokenizes — right when the
       * corpus⇒postings pass dwarfs everything, e.g. 10^12 turns on a
@@ -250,10 +259,46 @@ class IndexBuilder(
     }
     val dict0 = spark.read.parquet(dict0Path)
 
-    // Phase C — per-bucket (contiguous docId range) compressed blocks.
+    // Phase C — compressed blocks per bucket (contiguous docId range).
     val numShards = cfg.numShards
     val blockSize = cfg.blockSize
-    for (b <- 0 until cfg.numBuckets) {
+    val bucketCells = (0 until cfg.numBuckets).map(b => s"bucket=$b")
+    if (cfg.fusedBlocks) {
+      if (resume && bucketCells.forall(isDone)) skipped ++= bucketCells
+      else {
+        val t0 = System.nanoTime()
+        val scored = postings0
+          .join(dict0.select(col("term"), col("df")), Seq("term"))
+          .withColumn("score", Bm25.scoreCol(col("tf"), col("df"), col("dl"), n, avgdl))
+          .select(col("bucket"), col("term"), col("docId"), col("tf"), col("dl"), col("score"))
+          .as[(Int, String, Long, Int, Int, Double)]
+        val blocks = scored
+          .repartitionByRange(cfg.partitions, col("bucket"), col("term"), col("docId"))
+          .sortWithinPartitions(col("bucket"), col("term"), col("docId"))
+          .mapPartitions(rows => BlockEncoder.encodeFused(rows, numShards, blockSize))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        blocks.write.partitionBy("bucket", "shard")
+          .mode(SaveMode.Overwrite).parquet(blocksPath)
+        blocks.groupBy(col("bucket"), col("term"))
+          .agg(max(col("maxScore")).as("maxScore"), sum(col("count")).as("dfb"),
+            sum(length(col("docs")) + length(col("tfs")) + length(col("dls"))).as("bytesb"))
+          .write.partitionBy("bucket").mode(SaveMode.Overwrite).parquet(partialsPath)
+        blocks.unpersist(blocking = false)
+        val wall = (System.nanoTime() - t0) / 1e9
+        val byBucket = spark.read.parquet(partialsPath)
+          .groupBy(col("bucket"))
+          .agg(coalesce(sum(col("dfb")), lit(0L)), coalesce(sum(col("bytesb")), lit(0L)))
+          .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+        for (b <- 0 until cfg.numBuckets) {
+          val lo = b.toLong * bucketWidth
+          val hi = math.min(idBound, lo + bucketWidth)
+          val (p, bytes) = byBucket.getOrElse(b, (0L, 0L))
+          writeManifest(BuildManifest(s"bucket=$b", b, lo, hi, snapshotId, p, bytes,
+            "done", wall / cfg.numBuckets))
+          built += s"bucket=$b"
+        }
+      }
+    } else for (b <- 0 until cfg.numBuckets) {
       val lo = b.toLong * bucketWidth
       val hi = math.min(idBound, lo + bucketWidth)
       phase(s"bucket=$b") {
@@ -314,6 +359,31 @@ class IndexBuilder(
   * holding at most `blockSize` postings in memory at a time.
   */
 object BlockEncoder {
+
+  /** Fused-mode encoder: rows sorted by (bucket, term, docId); runs are
+    * grouped on (bucket, term).
+    */
+  def encodeFused(
+      rows: Iterator[(Int, String, Long, Int, Int, Double)],
+      numShards: Int,
+      blockSize: Int
+  ): Iterator[PostingBlock] = {
+    val grouped = new Iterator[Iterator[PostingBlock]] {
+      private val it = rows.buffered
+      override def hasNext: Boolean = it.hasNext
+      override def next(): Iterator[PostingBlock] = {
+        val (bucket, term) = (it.head._1, it.head._2)
+        val run = new scala.collection.mutable.ArrayBuffer[(String, Long, Int, Int, Double)]()
+        while (it.hasNext && it.head._1 == bucket && it.head._2 == term) {
+          val r = it.next()
+          run += ((r._2, r._3, r._4, r._5, r._6))
+        }
+        encode(run.iterator, bucket, numShards, blockSize)
+      }
+    }
+    grouped.flatten
+  }
+
   def encode(
       rows: Iterator[(String, Long, Int, Int, Double)],
       bucket: Int,

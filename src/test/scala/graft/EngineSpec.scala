@@ -112,7 +112,7 @@ class EngineSpec extends SparkSpec {
     val dir2 = s"${TestSpark.tmpRoot}/index-resume"
     val turns = DocIds.dedup(Transcripts.generate(spark, 120L))
     val docs = DocIds.assign(turns, 4)
-    val cfg2 = cfg.copy(numBuckets = 2)
+    val cfg2 = cfg.copy(numBuckets = 2, fusedBlocks = false) // per-bucket resume cells
     val b1 = new IndexBuilder(spark, dir2, "snap-r1", cfg2)
     val r1 = b1.build(docs)
     assert(r1.cellsBuilt.nonEmpty && r1.cellsSkipped.isEmpty)
@@ -142,6 +142,24 @@ class EngineSpec extends SparkSpec {
     // changed snapshot id ⇒ nothing is trusted, full rebuild
     val r4 = new IndexBuilder(spark, dir2, "snap-r2", cfg2).build(docs, resume = true)
     assert(r4.cellsBuilt.size == r1.cellsBuilt.size)
+  }
+
+  test("fused build resumes as a unit and dedupAndAssign ≡ dedup∘assign") {
+    val dir3 = s"${TestSpark.tmpRoot}/index-fused"
+    val dirty = Transcripts.generateDirty(spark, 150L)
+    val fused = DocIds.dedupAndAssign(dirty, 4)
+    val composed = DocIds.assign(DocIds.dedup(dirty), 4)
+    assert(fused.orderBy("docId").collect().toSeq == composed.orderBy("docId").collect().toSeq)
+    val b = new IndexBuilder(spark, dir3, "snap-f", cfg.copy(numBuckets = 2))
+    val r1 = b.build(fused)
+    assert(r1.cellsBuilt.count(_.startsWith("bucket=")) == 2)
+    val r2 = new IndexBuilder(spark, dir3, "snap-f", cfg.copy(numBuckets = 2)).build(fused)
+    assert(r2.cellsBuilt.isEmpty)
+    // fused index answers identically to the oracle
+    val s = new Searcher(spark, dir3, cfg.numShards)
+    val want = Oracle.topK(spark.read.parquet(s"$dir3/docs"), "the zanzibar", 10)
+      .as[Scored].collect().toSeq
+    assert(s.search("the zanzibar", 10).toSeq == want)
   }
 
   test("manifest carries lineage and metrics") {
