@@ -73,17 +73,22 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
     val n = stats.n
     val avgdl = stats.avgdl
     val dfUb: Map[String, (Long, Double)] = found.map { case (t, s) => t -> (s.df, s.maxScore) }
+    val nTerms = present.size
     val perBucket = selectBlocks(present)
       .as[PostingBlock]
       .groupByKey(_.bucket)
       .flatMapGroups { (_, it) =>
         val byTerm = it.toArray.groupBy(_.term)
-        val iters = byTerm.map { case (t, bs) =>
-          val (df, ub) = dfUb(t)
-          new Wand.TermIterator(t, bs, ub, df, n, avgdl)
-        }.toSeq
-        val top = if (conjunctive) Wand.topKConjunctive(iters, k) else Wand.topK(iters, k)
-        top.iterator
+        // AND: a bucket missing any query term cannot contain a match
+        if (conjunctive && byTerm.size < nTerms) Iterator.empty
+        else {
+          val iters = byTerm.map { case (t, bs) =>
+            val (df, ub) = dfUb(t)
+            new Wand.TermIterator(t, bs, ub, df, n, avgdl)
+          }.toSeq
+          val top = if (conjunctive) Wand.topKConjunctive(iters, k) else Wand.topK(iters, k)
+          top.iterator
+        }
       }
     // per-bucket heaps (≤ k each) → global top-k merge: Catalyst plans
     // TakeOrderedAndProject (per-partition heap + driver merge).

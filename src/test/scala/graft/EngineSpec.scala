@@ -70,7 +70,11 @@ class EngineSpec extends SparkSpec {
   }
 
   test("conjunctive (AND) top-k rank-identical to oracle") {
-    for (q <- Seq("the a", "zanzibar quasar", "t10 t11 the", "the definitely-notavocab")) {
+    // "zanzibar cinnabar": both terms exist but never co-occur, and each
+    // lives in a bucket missing the other — regression for the
+    // missing-term-in-bucket false-positive bug
+    for (q <- Seq("the a", "zanzibar quasar", "t10 t11 the", "the definitely-notavocab",
+        "zanzibar cinnabar", "perihelion the")) {
       val want = Oracle.topKConjunctive(docsDF, q, 10).as[Scored].collect().toSeq
       val got = searcher.searchConjunctive(q, 10).toSeq
       assert(got == want, s"AND query '$q':\n got=$got\n want=$want")
