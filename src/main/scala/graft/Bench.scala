@@ -70,13 +70,21 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val nConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "20000").toLong
-    val spark = SparkSession.builder()
+    // tmpfs for shuffle + the throwaway bench index (a real deployment
+    // has NVMe/remote storage scaled with executors; this box has one
+    // disk). Falls back to defaults if /dev/shm is unavailable.
+    val shm = new java.io.File("/dev/shm")
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (shm.isDirectory && shm.canWrite) {
+      builder.config("spark.local.dir", "/dev/shm/graft-bench-spark")
+      sys.props("graft.bench.dir") = "/dev/shm/graft-bench-index"
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
@@ -113,5 +121,7 @@ object Bench {
       s""","build_turns":$turns,"build_turns_per_sec":$turnsPerSec""" +
       s""","bm25_p50_ms":$p50ms,"bm25_p95_ms":$p95ms,"cores":$cpus}""")
     spark.stop()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File("/dev/shm/graft-bench-spark"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File("/dev/shm/graft-bench-index"))
   }
 }

@@ -46,10 +46,16 @@ object Analyzer {
     */
   def analyzeQuery(q: String): Array[String] = tokenize(q).distinct.sorted
 
-  /** Column tokenizer: ArrayType(StringType) of analyzed tokens.
-    * Composed from codegen'd built-ins — stays inside whole-stage codegen.
+  /** Column tokenizer: ArrayType(StringType) of analyzed tokens — the
+    * native byte-level expression (see [[Tokenize]]); equivalent to
+    * [[tokensColRegex]] and [[tokenize]] (property-tested).
     */
-  def tokensCol(c: Column): Column =
+  def tokensCol(c: Column): Column = Tokenize.col(c)
+
+  /** Reference implementation composed from built-ins (regex path) —
+    * kept as the equivalence oracle for the native expression.
+    */
+  def tokensColRegex(c: Column): Column =
     transform(
       filter(split(lower(c), TokenRegex, -1), t => t =!= lit("")),
       t => substring(t, 1, MaxTokenLen)

@@ -33,6 +33,21 @@ class AnalyzerSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("native Tokenize expression ≡ regex column ≡ Scala fn (seeded fuzz)") {
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abcXYZ019 ._-!?\t\näöβ日本é" // ascii + punct + unicode
+    val fuzz = (1 to 300).map(_ =>
+      (1 to rnd.nextInt(60)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val hand = Seq("", "x" * 256, "a" * 255 + "Z" * 10, "ALLCAPS 42", "日本語テスト mixed ascii",
+      "...", "_underscore_", "0a1b2c")
+    val df = (fuzz ++ hand).toDF("text")
+    val native = df.select(Analyzer.tokensCol(col("text"))).as[Seq[String]].collect().toSeq
+    val regex = df.select(Analyzer.tokensColRegex(col("text"))).as[Seq[String]].collect().toSeq
+    val scalaF = (fuzz ++ hand).map(Analyzer.tokenize(_).toSeq)
+    assert(native == regex)
+    assert(native == scalaF)
+  }
+
   test("dl column agrees with Scala token count") {
     val samples = Seq("one two three", "", "a b").toDF("text")
     assert(samples.select(Analyzer.dlCol(col("text"))).as[Int].collect().toSeq == Seq(3, 0, 2))
