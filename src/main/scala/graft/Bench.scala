@@ -63,6 +63,12 @@ object Bench {
         (System.nanoTime() - t1) / 1e9
       }
     }
+    // batched QPS shape (one job for the whole set)
+    val tb = System.nanoTime()
+    searcher.searchMany(transcriptQueries, 10)
+    val batchSec = (System.nanoTime() - tb) / 1e9
+    System.err.println(f"[bench] batched ${transcriptQueries.size} queries in $batchSec%.2f s " +
+      f"(${transcriptQueries.size / batchSec}%.1f qps)")
     (report.n, buildSec, lat)
   }
 

@@ -240,6 +240,8 @@ class IndexBuilder(
     val stats = spark.read.parquet(statsPath).as[IndexStats].head()
     val n = stats.n
     val avgdl = stats.avgdl
+    if (n == 0)
+      return BuildReport(0, 0.0, 0, 0, 0, built.toSeq, skipped.toSeq)
     val idBound = readManifest("docs").map(_.docIdHi).getOrElse(n)
     val bucketWidth = math.max(1L, (idBound + cfg.numBuckets - 1) / cfg.numBuckets)
 

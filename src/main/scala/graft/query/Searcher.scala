@@ -99,6 +99,49 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
   def search(query: String, k: Int): Array[Scored] =
     runPerBucket(Analyzer.analyzeQuery(query).toSeq, k, conjunctive = false)
 
+  /** Batched execution: N queries in ONE Spark job — the throughput
+    * (QPS) shape. Blocks for the union of all query terms are scanned
+    * once; per bucket, each query runs WAND over that bucket's slice of
+    * its own term lists; the tiny (≤ queries × buckets × k) result set
+    * merges on the driver. Results are identical to per-query search
+    * (tested).
+    */
+  def searchMany(queries: Seq[String], k: Int): Map[String, Array[Scored]] = {
+    val analyzed: Map[String, Seq[String]] =
+      queries.map(q => q -> Analyzer.analyzeQuery(q).toSeq).toMap
+    val allTerms = analyzed.values.flatten.toSeq.distinct.sorted
+    val found = lookupTerms(allTerms)
+    val present = found.keys.toSeq.sorted
+    if (present.isEmpty) return queries.map(_ -> Array.empty[Scored]).toMap
+    val n = stats.n
+    val avgdl = stats.avgdl
+    val dfUb: Map[String, (Long, Double)] = found.map { case (t, s) => t -> (s.df, s.maxScore) }
+    val perQueryTerms: Seq[(String, Seq[String])] =
+      queries.map(q => q -> analyzed(q).filter(found.contains))
+    import spark.implicits._
+    val rows = selectBlocks(present)
+      .as[PostingBlock]
+      .groupByKey(_.bucket)
+      .flatMapGroups { (_, it) =>
+        val byTerm = it.toArray.groupBy(_.term)
+        perQueryTerms.iterator.flatMap { case (q, terms) =>
+          val iters = terms.flatMap(t => byTerm.get(t).map { bs =>
+            val (df, ub) = dfUb(t)
+            new Wand.TermIterator(t, bs, ub, df, n, avgdl)
+          })
+          Wand.topK(iters, k).iterator.map(s => (q, s.docId, s.score))
+        }
+      }
+      .collect()
+    val grouped = rows.groupBy(_._1)
+    queries.map { q =>
+      q -> grouped.getOrElse(q, Array.empty)
+        .map(r => Scored(r._2, r._3))
+        .sortBy(s => (-s.score, s.docId))
+        .take(k)
+    }.toMap
+  }
+
   /** Conjunctive (AND) BM25 top-k. */
   def searchConjunctive(query: String, k: Int): Array[Scored] =
     runPerBucket(Analyzer.analyzeQuery(query).toSeq, k, conjunctive = true)

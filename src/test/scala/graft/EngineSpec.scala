@@ -81,6 +81,12 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("searchMany (batched) ≡ per-query search for the whole query set") {
+    val batched = searcher.searchMany(queries, 10)
+    for (q <- queries)
+      assert(batched(q).toSeq == searcher.search(q, 10).toSeq, s"batched mismatch for '$q'")
+  }
+
   test("marker phrase hits resolve to the planted turns with text equality") {
     val res = searcher.searchResolved("zanzibar quasar lattice", 10)
       .select("conv_id", "turn_idx", "text").as[(String, Int, String)].collect()
