@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked runMain output must pass through UNPREFIXED: the bench/verify
+// drivers parse stdout JSON, and sbt's default LoggedOutput decorates
+// every line with "[info] " (round-1 BENCH parse failure).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -26,7 +26,7 @@ object Plans {
       catch { case e: Exception => println(s"(failed: $e)") }
     }
 
-    // index block scan: shard dirs must partition-prune, term must push down
+    // index block scan: shard dirs must partition-prune, termId must push down
     println("\n===================== index block scan =====================")
     import org.apache.spark.sql.functions._
     val idxDir = java.nio.file.Files.createTempDirectory("plans-idx").toString
@@ -34,8 +34,12 @@ object Plans {
       graft.corpus.Transcripts.generate(spark, 100L), 4)
     new graft.index.IndexBuilder(spark, idxDir, "plans",
       graft.index.IndexConfig(partitions = 4)).build(docs)
+    val ids = spark.read.parquet(s"$idxDir/dict")
+      .filter(col("term").isin("the", "zanzibar"))
+      .select("termId", "shard").collect()
     val blocks = spark.read.parquet(s"$idxDir/blocks")
-      .filter(col("shard").isin(3, 5) && col("term").isin("the", "zanzibar"))
+      .filter(col("shard").isin(ids.map(_.getInt(1)).toSeq: _*) &&
+        col("termId").isin(ids.map(_.getLong(0)).toSeq: _*))
     println(blocks.queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode))
     spark.stop()

@@ -35,13 +35,21 @@ object ScalingBench {
     spark.sparkContext.setLogLevel("WARN")
     // JIT/codegen warmup on a miniature corpus, then the timed run
     Bench.transcriptWorkload(spark, 200L, cores, rounds = 1)
-    val (turns, buildSec, lat) = Bench.transcriptWorkload(spark, nConvs, cores)
+    val r = Bench.transcriptWorkload(spark, nConvs, cores)
     spark.stop()
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(localDir))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(localDir + "-index"))
-    println(s"""{"metric":"scaling_point","cores":$cores,"turns":$turns,""" +
-      s""""build_sec":$buildSec,"build_turns_per_sec":${turns / buildSec},""" +
-      s""""avg_query_sec":${lat.sum / lat.length},""" +
-      s""""p50_query_sec":${Bench.percentile(lat, 0.5)},"nConvs":$nConvs}""")
+    // cpu_sec + shuffle bytes: the engine-side numbers — CPU-seconds per
+    // turn should be ~flat across parallelism if the plan scales; wall
+    // efficiency on this shared box additionally reflects SMT/bandwidth
+    // ceilings (BASELINE.md).
+    println(s"""{"metric":"scaling_point","cores":$cores,"turns":${r.turns},""" +
+      s""""build_sec":${r.buildSec},"build_turns_per_sec":${r.turns / r.buildSec},""" +
+      s""""build_cpu_sec":${r.build.cpuSec},"cpu_us_per_turn":${r.build.cpuSec * 1e6 / r.turns},""" +
+      s""""shuffle_write_bytes":${r.build.shuffleWriteBytes},""" +
+      s""""shuffle_bytes_per_turn":${r.build.shuffleWriteBytes.toDouble / r.turns},""" +
+      s""""spill_bytes":${r.build.spillBytes},""" +
+      s""""avg_query_sec":${r.lat.sum / r.lat.length},""" +
+      s""""p50_query_sec":${Bench.percentile(r.lat, 0.5)},"nConvs":$nConvs}""")
   }
 }

@@ -88,7 +88,7 @@ object Codec {
     * build with the global df/N/avgdl).
     */
   def encodeBlocks(
-      term: String,
+      termId: Long,
       shard: Int,
       bucket: Int,
       docIds: Array[Long],
@@ -114,7 +114,7 @@ object Codec {
         i += 1
       }
       PostingBlock(
-        term = term, shard = shard, bucket = bucket, blockId = b,
+        termId = termId, shard = shard, bucket = bucket, blockId = b,
         firstDocId = ids(0), lastDocId = ids(ids.length - 1), count = hi - lo,
         docs = deltaEncode(ids), tfs = encodeVarInts(t), dls = encodeVarInts(d),
         maxTf = maxTf, maxScore = maxScore

@@ -82,21 +82,23 @@ final case class BuildReport(
   * Scale design: buckets are contiguous docId ranges (≙ Lucene segments)
   * so per-term posting runs from different buckets are docId-disjoint and
   * WAND can treat their block lists as one sorted list. Hot-term skew in
-  * block building is defused structurally: blocks are produced after a
-  * `repartitionByRange(term, docId)`, which splits a hot term's postings
-  * across partitions by docId range (the "salted-repartition merge" of
-  * the north rule — salt = docId range); dictionary stats additionally go
-  * through an explicit two-phase salted aggregation (groupBy(term, salt)
-  * partials → groupBy(term) final) so no single reducer ever sees a whole
-  * hot term. Every cell write is an idempotent per-directory overwrite;
-  * the manifest marks a cell done only after the write commits, so a
-  * killed build resumes by skipping done cells (north_rule resumability).
+  * block building is defused structurally: block-encode partitions are
+  * fixed docId slices of a bucket (closed-form routing — docIds are dense
+  * with known bounds — so no range-sampling pass over the postings), and
+  * a hot term therefore splits across ALL of its bucket's partitions (the
+  * "salted-repartition merge" of the north rule — salt = docId range);
+  * dictionary stats additionally go through an explicit two-phase salted
+  * aggregation (groupBy(term, salt) partials → groupBy(term) final) so no
+  * single reducer ever sees a whole hot term. Every cell write is an
+  * idempotent per-directory overwrite; the manifest marks a cell done
+  * only after the write commits, so a killed build resumes by skipping
+  * done cells (north_rule resumability).
   *
   * At 10^12-turn scale the same plan holds: docs/blocks are partitioned
-  * parquet/iceberg, every shuffle is keyed on (term, docId) or (term,
-  * salt) — no global single-task stage anywhere, and the dictionary join
-  * is AQE-broadcast when the vocabulary is small enough, shuffle join
-  * otherwise.
+  * parquet/iceberg, every shuffle is keyed on (docId slice) or (term,
+  * salt) — no global single-task stage and no sampling pass anywhere, and
+  * the dictionary join is AQE-broadcast when the vocabulary is small
+  * enough, shuffle join otherwise.
   */
 class IndexBuilder(
     spark: SparkSession,
@@ -169,13 +171,44 @@ class IndexBuilder(
 
   // --- build phases --------------------------------------------------------
 
-  /** (term, docId, tf, dl) postings. `dl` rides through the explode so no
-    * big doc-side join is ever needed (SURVEY.md A6).
+  /** (term, docId, tf, dl) postings — one row per distinct (term, doc).
+    * `dl` rides along so no big doc-side join is ever needed (SURVEY.md
+    * A6). tf is aggregated PER DOC inside a narrow map pass: a document's
+    * tokens are by definition co-located, so term frequency needs no
+    * shuffle and no corpus-wide hash table. (Round-1 shape —
+    * explode + groupBy(term, docId) — shuffled ~1 row per posting and
+    * built a postings-cardinality hash aggregate for a ~1.35:1 reduction;
+    * measured 34 s of the 96 s build at 1 M turns. This pass is
+    * per-partition imperative logic, the documented legitimate use of
+    * typed mapPartitions.)
     */
   def postingsOf(docs: DataFrame): DataFrame =
-    docs.select(col("docId"), col("dl"), explode(Analyzer.tokensCol(col("text"))).as("term"))
-      .groupBy(col("term"), col("docId"), col("dl"))
-      .agg(count(lit(1)).cast("int").as("tf"))
+    docs.select(col("docId"), col("dl"), col("text"))
+      .as[(Long, Int, String)]
+      .mapPartitions { it =>
+        val counts = new java.util.HashMap[String, Integer](128)
+        it.flatMap { case (id, dl, text) =>
+          counts.clear()
+          val toks = Analyzer.tokenize(text)
+          var i = 0
+          while (i < toks.length) {
+            val prev = counts.get(toks(i))
+            counts.put(toks(i), if (prev == null) 1 else prev + 1)
+            i += 1
+          }
+          // materialize eagerly: `counts` is reused for the next doc
+          val out = new Array[(String, Long, Int, Int)](counts.size)
+          val entries = counts.entrySet().iterator()
+          var j = 0
+          while (entries.hasNext) {
+            val e = entries.next()
+            out(j) = (e.getKey, id, e.getValue.intValue(), dl)
+            j += 1
+          }
+          out.iterator
+        }
+      }
+      .toDF("term", "docId", "tf", "dl")
 
   /** Direct per-term df/cf (single hash agg — partial+final via Catalyst). */
   def dictDirect(postings: DataFrame): DataFrame =
@@ -245,11 +278,14 @@ class IndexBuilder(
     val idBound = readManifest("docs").map(_.docIdHi).getOrElse(n)
     val bucketWidth = math.max(1L, (idBound + cfg.numBuckets - 1) / cfg.numBuckets)
 
-    // Phase B0 — tokenize ONCE: postings either checkpointed to parquet
-    // (own resume cell) or pinned in a spillable cache; the dictionary
-    // pass and every bucket cell reuse them without re-scanning the
-    // corpus (at 10^12 turns, tokenization is the dominant CPU cost —
-    // one pass, not B+1).
+    // Phase B0 — the posting stream. With per-doc tf folded into the
+    // tokenize pass (postingsOf), producing postings is one narrow
+    // codegen'd scan (~1-2 s/M turns measured); CACHING the ~50 rows/turn
+    // stream costs more memory traffic than recomputing it, so by default
+    // the two consumers (dict0, block encode) each re-derive it from the
+    // columnar doc store. materializePostings=true instead checkpoints
+    // the stream to parquet as its own resume cell — right when the
+    // corpus scan itself is the dominant cost (e.g. remote storage).
     val withBucket = postingsOf(docs)
       .withColumn("bucket", least(floor(col("docId") / lit(bucketWidth)),
         lit(cfg.numBuckets - 1)).cast("int"))
@@ -260,16 +296,26 @@ class IndexBuilder(
           BuildManifest("postings", -1, 0, idBound, snapshotId, 0, 0, "done", 0)
         }
         spark.read.parquet(postings0Path)
-      } else
-        withBucket.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      } else withBucket
 
-    // Phase B — pre-finalize dictionary (global df/cf) via salted merge.
+    // Phase B — pre-finalize dictionary (global df/cf) via salted merge,
+    // plus termId assignment (dictionary encoding). Every later
+    // per-posting shuffle/sort/storage carries the 8-byte termId instead
+    // of the term string — the round-1 scaling bottleneck was shuffle
+    // bytes + string sort compares in the block range shuffle. Ids come
+    // from monotonically_increasing_id(): unique (not dense — uniqueness
+    // is all blocks need), assigned in the same codegen pass as the
+    // aggregation, no extra job, no single-task stage; they are
+    // materialized exactly once (this parquet write) so re-execution
+    // nondeterminism cannot leak.
     phase("dict0") {
       val numShards = cfg.numShards
       val dict0 = dictSalted(postings0, cfg.salt)
         .as[(String, Long, Long)]
         .map { case (t, df, cf) => (t, GraftHash.shardOf(t, numShards), df, cf) }
         .toDF("term", "shard", "df", "cf")
+        .withColumn("termId", monotonically_increasing_id())
+        .select(col("term"), col("termId"), col("shard"), col("df"), col("cf"))
       dict0.write.mode(SaveMode.Overwrite).parquet(dict0Path)
       val vocab = spark.read.parquet(dict0Path).count()
       BuildManifest("dict0", -1, 0, n, snapshotId, vocab, 0, "done", 0)
@@ -284,19 +330,61 @@ class IndexBuilder(
       if (resume && bucketCells.forall(isDone)) skipped ++= bucketCells
       else {
         val t0 = System.nanoTime()
+        // Shuffle schema is deliberately minimal: (bucket, termId, shard,
+        // docId, tf, dl, df). No term string (dict-encoded), no per-posting
+        // score (recomputed inside the encoder from tf/df/dl — df is
+        // run-constant per term, so it lz4-compresses to ~nothing in the
+        // sorted shuffle, unlike the high-entropy double it replaces).
+        //
+        // Partition routing is CLOSED-FORM and df-AWARE — no
+        // repartitionByRange sampling pass (which re-executed the whole
+        // posting stream):
+        //   cold terms (df < hotDf): term-major — all of a term's postings
+        //     in a bucket land in ONE partition (pmod(hash(termId), ppb)),
+        //     so block lists stay compact (~df/blockSize blocks). No cold
+        //     term can skew a partition: its posting share is bounded by
+        //     hotDf/totalPostings ≤ 1/(4·numParts).
+        //   hot terms (df ≥ hotDf): docId-sliced across ALL of the
+        //     bucket's partitions (the north-rule "salted-repartition
+        //     merge", salt = docId range) — a stopword-class term can
+        //     never serialize on one reducer, and with hotDf ≥
+        //     numParts·blockSize every slice still fills whole blocks.
+        // Within a partition, sort on (termId, docId) restores term runs;
+        // across partitions a hot term's runs are docId-disjoint slices —
+        // exactly the invariant WAND needs of its block lists.
+        val partsPerBucket = math.max(1, cfg.partitions / cfg.numBuckets)
+        val subWidth = math.max(1L, (bucketWidth + partsPerBucket - 1) / partsPerBucket)
+        val numParts = cfg.numBuckets * partsPerBucket
+        val totalPostings = dict0.agg(coalesce(sum(col("df")), lit(0L))).head().getLong(0)
+        val hotDf = math.max(numParts.toLong * blockSize,
+          totalPostings / (4L * math.max(1, numParts)))
+        // bucket never rides the shuffled rows: the pid expression derives
+        // it from docId (closed form), every resulting partition is
+        // single-bucket, and the encoder re-derives it from
+        // docId/bucketWidth. The routing key is a bare expression too —
+        // nothing but (termId, shard, docId, tf, dl, df) enters the
+        // shuffle/sort.
         val scored = postings0
-          .join(dict0.select(col("term"), col("df")), Seq("term"))
-          .withColumn("score", Bm25.scoreCol(col("tf"), col("df"), col("dl"), n, avgdl))
-          .select(col("bucket"), col("term"), col("docId"), col("tf"), col("dl"), col("score"))
-          .as[(Int, String, Long, Int, Int, Double)]
-        val blocks = scored
-          .repartitionByRange(cfg.partitions, col("bucket"), col("term"), col("docId"))
-          .sortWithinPartitions(col("bucket"), col("term"), col("docId"))
-          .mapPartitions(rows => BlockEncoder.encodeFused(rows, numShards, blockSize))
+          .join(dict0.select(col("term"), col("termId"), col("shard"), col("df")), Seq("term"))
+          .select(col("termId"), col("shard"), col("docId"), col("tf"), col("dl"), col("df"))
+        val bucketExpr = least(floor(col("docId") / lit(bucketWidth)), lit(cfg.numBuckets - 1L))
+        val slicePid = least(
+          floor((col("docId") - bucketExpr * lit(bucketWidth)) / lit(subWidth)),
+          lit(partsPerBucket - 1L))
+        val pid = bucketExpr * lit(partsPerBucket) +
+          when(col("df") >= lit(hotDf), slicePid)
+            .otherwise(pmod(hash(col("termId")), lit(partsPerBucket)))
+        val nBuckets = cfg.numBuckets // local copy: the closure must not capture `this`
+        val bw = bucketWidth
+        val blocks = DirectPartition.byComputedPid(scored, pid, numParts)
+          .sortWithinPartitions(col("termId"), col("docId"))
+          .as[(Long, Int, Long, Int, Int, Long)]
+          .mapPartitions(rows => BlockEncoder.encodeFused(rows, blockSize, n, avgdl,
+            bw, nBuckets))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         blocks.write.partitionBy("bucket", "shard")
           .mode(SaveMode.Overwrite).parquet(blocksPath)
-        blocks.groupBy(col("bucket"), col("term"))
+        blocks.groupBy(col("bucket"), col("termId"))
           .agg(max(col("maxScore")).as("maxScore"), sum(col("count")).as("dfb"),
             sum(length(col("docs")) + length(col("tfs")) + length(col("dls"))).as("bytesb"))
           .write.partitionBy("bucket").mode(SaveMode.Overwrite).parquet(partialsPath)
@@ -320,20 +408,26 @@ class IndexBuilder(
       val hi = math.min(idBound, lo + bucketWidth)
       phase(s"bucket=$b") {
         val scored = postings0.filter(col("bucket") === lit(b))
-          .join(dict0.select(col("term"), col("df")), Seq("term"))
-          .withColumn("score", Bm25.scoreCol(col("tf"), col("df"), col("dl"), n, avgdl))
-          .select(col("term"), col("docId"), col("tf"), col("dl"), col("score"))
-          .as[(String, Long, Int, Int, Double)]
-        val blocks = scored
-          .repartitionByRange(cfg.partitions, col("term"), col("docId"))
-          .sortWithinPartitions(col("term"), col("docId"))
-          .mapPartitions(rows => BlockEncoder.encode(rows, b, numShards, blockSize))
+          .join(dict0.select(col("term"), col("termId"), col("shard"), col("df")), Seq("term"))
+          .select(col("termId"), col("shard"), col("docId"), col("tf"), col("dl"), col("df"))
+        // same sample-free df-aware routing as the fused path
+        val totalPostings = dict0.agg(coalesce(sum(col("df")), lit(0L))).head().getLong(0)
+        val hotDf = math.max(cfg.partitions.toLong * blockSize,
+          totalPostings / (4L * math.max(1, cfg.partitions)))
+        val subWidth = math.max(1L, (bucketWidth + cfg.partitions - 1) / cfg.partitions)
+        val pid = when(col("df") >= lit(hotDf),
+            least(floor((col("docId") - lit(lo)) / lit(subWidth)), lit(cfg.partitions - 1L)))
+          .otherwise(pmod(hash(col("termId")), lit(cfg.partitions)))
+        val blocks = DirectPartition.byComputedPid(scored, pid, cfg.partitions)
+          .sortWithinPartitions(col("termId"), col("docId"))
+          .as[(Long, Int, Long, Int, Int, Long)]
+          .mapPartitions(rows => BlockEncoder.encode(rows, b, blockSize, n, avgdl))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         blocks.drop("bucket").write.partitionBy("shard")
           .mode(SaveMode.Overwrite).parquet(s"$blocksPath/bucket=$b")
         // per-bucket term partials straight off the cached blocks (no
         // second pass over the postings): exact max block score + df/bytes
-        blocks.groupBy(col("term"))
+        blocks.groupBy(col("termId"))
           .agg(max(col("maxScore")).as("maxScore"), sum(col("count")).as("dfb"),
             sum(length(col("docs")) + length(col("tfs")) + length(col("dls"))).as("bytesb"))
           .write.mode(SaveMode.Overwrite).parquet(s"$partialsPath/bucket=$b")
@@ -348,18 +442,16 @@ class IndexBuilder(
     // from the per-bucket block partials.
     phase("finalize") {
       val maxs = spark.read.parquet(partialsPath)
-        .groupBy(col("term")).agg(max(col("maxScore")).as("maxScore"))
-      val dict = dict0.select(col("term"), col("df"), col("cf"))
-        .join(maxs, Seq("term"))
-        .select(col("term"), col("df"), col("cf"), col("maxScore"))
-        .as[(String, Long, Long, Double)]
-        .map { case (t, df, cf, ms) => TermStats(t, GraftHash.shardOf(t, numShards), df, cf, ms) }
+        .groupBy(col("termId")).agg(max(col("maxScore")).as("maxScore"))
+      val dict = dict0
+        .join(maxs, Seq("termId"))
+        .select(col("term"), col("termId"), col("shard"), col("df"), col("cf"), col("maxScore"))
+        .as[TermStats]
       dict.write.mode(SaveMode.Overwrite).parquet(dictPath)
       val vocab = spark.read.parquet(dictPath).count()
       BuildManifest("finalize", -1, 0, n, snapshotId, vocab, 0, "done", 0)
     }
 
-    if (!cfg.materializePostings) postings0.unpersist(blocking = false)
     val ms = allManifests
     BuildReport(
       n, avgdl,
@@ -376,49 +468,61 @@ class IndexBuilder(
   }
 }
 
-/** Streaming run-grouping block encoder: consumes (term, docId, tf, dl,
-  * score) rows sorted by (term, docId) and emits compressed blocks,
-  * holding at most `blockSize` postings in memory at a time.
+/** Streaming run-grouping block encoder: consumes (termId, shard, docId,
+  * tf, dl, df) rows sorted by (termId, docId) and emits compressed
+  * blocks, holding at most `blockSize` postings in memory at a time.
+  * Per-posting BM25 scores (for the exact block-max metadata) are
+  * computed HERE, after the shuffle, from (tf, df, dl, n, avgdl) — the
+  * high-entropy score double never rides the shuffle.
   */
 object BlockEncoder {
 
-  /** Fused-mode encoder: rows sorted by (bucket, term, docId); runs are
-    * grouped on (bucket, term).
+  /** Fused-mode encoder: rows (termId, shard, docId, tf, dl, df) sorted
+    * by (termId, docId). The bucket is NOT carried in the rows — it is
+    * re-derived from docId (buckets are fixed docId ranges). Runs are
+    * grouped on (termId, bucket); docId-sorted order makes bucket
+    * monotonic within a termId run, so both are contiguous.
     */
   def encodeFused(
-      rows: Iterator[(Int, String, Long, Int, Int, Double)],
-      numShards: Int,
-      blockSize: Int
+      rows: Iterator[(Long, Int, Long, Int, Int, Long)],
+      blockSize: Int,
+      n: Long,
+      avgdl: Double,
+      bucketWidth: Long,
+      numBuckets: Int
   ): Iterator[PostingBlock] = {
+    def bucketOf(docId: Long): Int =
+      math.min(docId / bucketWidth, (numBuckets - 1).toLong).toInt
     val grouped = new Iterator[Iterator[PostingBlock]] {
       private val it = rows.buffered
       override def hasNext: Boolean = it.hasNext
       override def next(): Iterator[PostingBlock] = {
-        val (bucket, term) = (it.head._1, it.head._2)
-        val run = new scala.collection.mutable.ArrayBuffer[(String, Long, Int, Int, Double)]()
-        while (it.hasNext && it.head._1 == bucket && it.head._2 == term) {
-          val r = it.next()
-          run += ((r._2, r._3, r._4, r._5, r._6))
-        }
-        encode(run.iterator, bucket, numShards, blockSize)
+        val termId = it.head._1
+        val bucket = bucketOf(it.head._3)
+        val run = new scala.collection.mutable.ArrayBuffer[(Long, Int, Long, Int, Int, Long)]()
+        while (it.hasNext && it.head._1 == termId && bucketOf(it.head._3) == bucket)
+          run += it.next()
+        encode(run.iterator, bucket, blockSize, n, avgdl)
       }
     }
     grouped.flatten
   }
 
+  /** Fields: (termId, shard, docId, tf, dl, df), sorted by (termId, docId). */
   def encode(
-      rows: Iterator[(String, Long, Int, Int, Double)],
+      rows: Iterator[(Long, Int, Long, Int, Int, Long)],
       bucket: Int,
-      numShards: Int,
-      blockSize: Int
+      blockSize: Int,
+      n: Long,
+      avgdl: Double
   ): Iterator[PostingBlock] = new Iterator[PostingBlock] {
     private val it = rows.buffered
     private var out: Iterator[PostingBlock] = Iterator.empty
 
     private def fill(): Unit = {
       while (!out.hasNext && it.hasNext) {
-        val term = it.head._1
-        val shard = GraftHash.shardOf(term, numShards)
+        val termId = it.head._1
+        val shard = it.head._2
         val ids = new scala.collection.mutable.ArrayBuffer[Long](blockSize)
         val tfs = new scala.collection.mutable.ArrayBuffer[Int](blockSize)
         val dls = new scala.collection.mutable.ArrayBuffer[Int](blockSize)
@@ -426,15 +530,16 @@ object BlockEncoder {
         val acc = new scala.collection.mutable.ArrayBuffer[PostingBlock]()
         var blockId = 0
         def flush(): Unit = if (ids.nonEmpty) {
-          acc ++= Codec.encodeBlocks(term, shard, bucket,
+          acc ++= Codec.encodeBlocks(termId, shard, bucket,
             ids.toArray, tfs.toArray, dls.toArray, scs.toArray, blockSize)
             .map(_.copy(blockId = blockId))
           blockId += 1
           ids.clear(); tfs.clear(); dls.clear(); scs.clear()
         }
-        while (it.hasNext && it.head._1 == term) {
+        while (it.hasNext && it.head._1 == termId) {
           val r = it.next()
-          ids += r._2; tfs += r._3; dls += r._4; scs += r._5
+          ids += r._3; tfs += r._4; dls += r._5
+          scs += Bm25.score(r._4, r._6, r._5, n, avgdl)
           if (ids.length == blockSize) flush()
         }
         flush()

@@ -38,12 +38,18 @@ final case class Doc(
 final case class Posting(term: String, docId: Long, tf: Int, dl: Int)
 
 /** One compressed posting block (≤ blockSize postings of one term within
-  * one bucket/segment). docIds are delta+varint encoded relative to
-  * `firstDocId`; tfs and dls are varint encoded. `maxScore` is the exact
-  * BM25 block-max used by WAND pruning.
+  * one bucket/segment). The term is dictionary-encoded: `termId` is the
+  * dense id assigned in the dict0 phase — the block shuffle, sort and
+  * storage never carry the term string (round-1 scaling finding: the
+  * per-posting term string dominated shuffle bytes and sort compares).
+  * docIds are delta+varint encoded relative to `firstDocId`; tfs and dls
+  * are varint encoded (dl is kept per posting in STORAGE deliberately —
+  * Lucene-norm style — so postings can be re-scored under different
+  * global stats, e.g. cross-segment search with merged (N, avgdl)).
+  * `maxScore` is the exact BM25 block-max used by WAND pruning.
   */
 final case class PostingBlock(
-    term: String,
+    termId: Long,
     shard: Int,
     bucket: Int,
     blockId: Int,
@@ -57,10 +63,11 @@ final case class PostingBlock(
     maxScore: Double
 )
 
-/** Per-term dictionary row (≙ ES/Lucene term dictionary). `maxScore` is
+/** Per-term dictionary row (≙ ES/Lucene term dictionary). `termId` is
+  * the dense dictionary-encoded id blocks are keyed by; `maxScore` is
   * the global term score upper bound used by WAND pivot selection.
   */
-final case class TermStats(term: String, shard: Int, df: Long, cf: Long, maxScore: Double)
+final case class TermStats(term: String, termId: Long, shard: Int, df: Long, cf: Long, maxScore: Double)
 
 /** Singleton corpus stats (BM25 norm inputs). */
 final case class IndexStats(n: Long, avgdl: Double, sourceSnapshotId: String)

@@ -54,11 +54,15 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
       .as[TermStats].collect().map(t => t.term -> t).toMap
   }
 
-  private def selectBlocks(terms: Seq[String]): DataFrame = {
-    val shards = terms.map(GraftHash.shardOf(_, numShards)).distinct
-    // shard is a partition dir => partition pruning; term is pushed to
-    // parquet row groups (blocks are term-sorted within files).
-    blocks.filter(col("shard").isin(shards: _*) && col("term").isin(terms: _*))
+  /** Blocks for the found dictionary rows: shard is a partition dir =>
+    * partition pruning; termId (int64) is pushed to parquet row groups
+    * (blocks are termId-sorted within files — cheaper min/max pruning and
+    * dictionary filtering than the round-1 term-string predicate).
+    */
+  private def selectBlocks(found: Iterable[TermStats]): DataFrame = {
+    val shards = found.map(_.shard).toSeq.distinct
+    val ids = found.map(_.termId).toSeq
+    blocks.filter(col("shard").isin(shards: _*) && col("termId").isin(ids: _*))
   }
 
   private def runPerBucket(
@@ -69,21 +73,22 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
     val found = lookupTerms(terms)
     if (found.isEmpty) return Array.empty
     if (conjunctive && found.size < terms.distinct.size) return Array.empty
-    val present = found.keys.toSeq.sorted
     val n = stats.n
     val avgdl = stats.avgdl
-    val dfUb: Map[String, (Long, Double)] = found.map { case (t, s) => t -> (s.df, s.maxScore) }
-    val nTerms = present.size
-    val perBucket = selectBlocks(present)
+    // termId -> (term, df, ub); the term string rides only this tiny map
+    val byId: Map[Long, (String, Long, Double)] =
+      found.map { case (t, s) => s.termId -> (t, s.df, s.maxScore) }
+    val nTerms = found.size
+    val perBucket = selectBlocks(found.values)
       .as[PostingBlock]
       .groupByKey(_.bucket)
       .flatMapGroups { (_, it) =>
-        val byTerm = it.toArray.groupBy(_.term)
+        val byTerm = it.toArray.groupBy(_.termId)
         // AND: a bucket missing any query term cannot contain a match
         if (conjunctive && byTerm.size < nTerms) Iterator.empty
         else {
-          val iters = byTerm.map { case (t, bs) =>
-            val (df, ub) = dfUb(t)
+          val iters = byTerm.map { case (tid, bs) =>
+            val (t, df, ub) = byId(tid)
             new Wand.TermIterator(t, bs, ub, df, n, avgdl)
           }.toSeq
           val top = if (conjunctive) Wand.topKConjunctive(iters, k) else Wand.topK(iters, k)
@@ -111,21 +116,21 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
       queries.map(q => q -> Analyzer.analyzeQuery(q).toSeq).toMap
     val allTerms = analyzed.values.flatten.toSeq.distinct.sorted
     val found = lookupTerms(allTerms)
-    val present = found.keys.toSeq.sorted
-    if (present.isEmpty) return queries.map(_ -> Array.empty[Scored]).toMap
+    if (found.isEmpty) return queries.map(_ -> Array.empty[Scored]).toMap
     val n = stats.n
     val avgdl = stats.avgdl
+    val idOf: Map[String, Long] = found.map { case (t, s) => t -> s.termId }
     val dfUb: Map[String, (Long, Double)] = found.map { case (t, s) => t -> (s.df, s.maxScore) }
     val perQueryTerms: Seq[(String, Seq[String])] =
       queries.map(q => q -> analyzed(q).filter(found.contains))
     import spark.implicits._
-    val rows = selectBlocks(present)
+    val rows = selectBlocks(found.values)
       .as[PostingBlock]
       .groupByKey(_.bucket)
       .flatMapGroups { (_, it) =>
-        val byTerm = it.toArray.groupBy(_.term)
+        val byTerm = it.toArray.groupBy(_.termId)
         perQueryTerms.iterator.flatMap { case (q, terms) =>
-          val iters = terms.flatMap(t => byTerm.get(t).map { bs =>
+          val iters = terms.flatMap(t => byTerm.get(idOf(t)).map { bs =>
             val (df, ub) = dfUb(t)
             new Wand.TermIterator(t, bs, ub, df, n, avgdl)
           })

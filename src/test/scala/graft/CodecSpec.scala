@@ -34,7 +34,7 @@ class CodecSpec extends AnyFunSuite {
     val tfs = Array.tabulate(300)(i => 1 + (i % 9))
     val dls = Array.tabulate(300)(i => 10 + (i % 50))
     val scores = Array.tabulate(300)(i => (i % 13) * 0.37)
-    val blocks = Codec.encodeBlocks("t", 1, 0, ids, tfs, dls, scores, 128).toArray
+    val blocks = Codec.encodeBlocks(7L, 1, 0, ids, tfs, dls, scores, 128).toArray
     assert(blocks.length == 3)
     assert(blocks.map(_.count).sum == 300)
     val decoded = blocks.flatMap { b =>

@@ -132,7 +132,7 @@ class EngineSpec extends SparkSpec {
       .as[graft.model.PostingBlock].collect()
       .flatMap { b =>
         val d = graft.index.Codec.decodeBlock(b)
-        d.docIds.indices.map(i => (b.term, d.docIds(i), d.tfs(i), d.dls(i)))
+        d.docIds.indices.map(i => (b.termId, d.docIds(i), d.tfs(i), d.dls(i)))
       }
       .sortBy(t => (t._1, t._2))
     val blocksBefore = blockFingerprint()

@@ -46,15 +46,16 @@ class WandSpec extends AnyFunSuite {
       }
     }.sortBy(s => (-s.score, s.docId)).take(k)
 
-    // engine: blocks + WAND
-    val iters = terms.map { t =>
+    // engine: blocks + WAND (termId = position in the sorted term list —
+    // any unique id works; blocks are keyed by id, ordering by term string)
+    val iters = terms.zipWithIndex.map { case (t, tid) =>
       val postings = (0 until nDocs).filter(d => docs(d).contains(t))
       val ids = postings.map(_.toLong).toArray
       val tfs = postings.map(d => docs(d)(t)).toArray
       val ds = postings.map(dls(_)).toArray
       val scores = postings.indices.map(i => Bm25.score(tfs(i), df(t), ds(i), n, avgdl)).toArray
       val blocks: Array[PostingBlock] =
-        Codec.encodeBlocks(t, GraftHash.shardOf(t, 8), 0, ids, tfs, ds, scores, blockSize).toArray
+        Codec.encodeBlocks(tid.toLong, GraftHash.shardOf(t, 8), 0, ids, tfs, ds, scores, blockSize).toArray
       val ub = if (scores.isEmpty) 0.0 else scores.max
       new Wand.TermIterator(t, blocks, ub, df(t), n, avgdl)
     }
