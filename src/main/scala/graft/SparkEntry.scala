@@ -219,12 +219,26 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
         .orderBy(col("ida"), col("idb"))
     }),
     "q_minhash_lsh" -> ((s, dir) => {
+      // MinHash-blocked candidates + exact-Jaccard verify: the output is
+      // the exact all-pairs answer (P(miss | J>=0.3) = 0.7^64 ~ 1e-10),
+      // so the DuckDB twin is the exact all-pairs Jaccard
+      Dedup.minhashNearDup(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        shingleK = 3, numPerms = 64, minJ = 0.3)
+        .orderBy(col("ida"), col("idb"))
+    }),
+    "q_minhash_est" -> ((s, dir) => {
+      // the estimated-Jaccard sketch variant (engine-defined hashes —
+      // rows-only; recall/precision pinned by OpsSpec)
       Dedup.minhashPairs(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
         shingleK = 3, numPerms = 64, bands = 16, minEstJ = 0.3)
         .orderBy(col("ida"), col("idb"))
     }),
     "q_simhash_pairs" -> ((s, dir) => {
+      // pigeonhole banding makes recall exactly 1, and the MD5-based
+      // token hash makes the whole SimHash computable in DuckDB — the
+      // twin is the exact all-pairs Hamming join
       Dedup.simhashPairs(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", maxHamming = 3)
+        .select(col("ida"), col("idb"), col("hamming").cast("long").as("hamming"))
         .orderBy(col("ida"), col("idb"))
     }),
     "q_fingerprint" -> ((s, dir) => {
@@ -244,11 +258,21 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
         .toDF("vec_id", "rank")
     }),
     "q_ann_lsh" -> ((s, dir) => {
+      import s.implicits._
+      // bucketed layout + probe enumeration with probeHamming = nbits
+      // (probe every bucket): recall is exactly 1 by construction, so the
+      // DuckDB twin is the brute-force ranking. The driver's embeddings
+      // are isotropic (true neighbors near-orthogonal), so any smaller
+      // radius would be corpus-dependent; OpsSpec pins the small-radius
+      // recall behavior on planted near-dup vectors instead.
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       val q = emb.filter(col("vec_id") === lit(0))
         .select(col("embedding")).head().getSeq[Float](0).toArray
-      Similarity.lshTopK(emb, "vec_id", "embedding", q, 10, excludeId = 0L)
-        .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
+      val ids = Similarity.lshTopK(emb, "vec_id", "embedding", q, 10,
+          nbits = 4, probeHamming = 4, excludeId = 0L)
+        .select(col("vec_id")).as[Long].collect()
+      ids.toSeq.zipWithIndex.map { case (id, i) => (id, (i + 1).toLong) }
+        .toDF("vec_id", "rank")
     }),
     // ---- text analysis ----
     "q_langid" -> ((s, dir) => {
@@ -282,11 +306,14 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
         .orderBy(col("doc_id"))
     }),
     "q_embedding_dedup" -> ((s, dir) => {
-      // near-dup pairs by embedding cosine (LSH-blocked); the driver's
-      // embeddings are isotropic so the threshold is set low enough to
-      // yield deterministic candidate pairs
+      // banded hyperplane LSH candidates + exact-cosine verify. The
+      // driver's embeddings are isotropic (no true near-dups), so the
+      // demo threshold is low and the banding generous — P(miss at
+      // cos>=0.3) = (1-0.597^2)^48 ~ 7e-10 — making the output equal the
+      // exact all-pairs answer (the DuckDB twin). The defaults
+      // (0.95, 8 bits x 16 bands) are the production near-dup config.
       Dedup.embeddingPairs(s.read.parquet(s"$dir/embeddings.parquet"),
-        "vec_id", "embedding", minCosine = 0.35, nbits = 8)
+        "vec_id", "embedding", minCosine = 0.3, bitsPerBand = 2, bands = 48)
         .orderBy(col("ida"), col("idb"))
     }),
     "q_catalog_ingest" -> ((s, _) => {
@@ -301,7 +328,9 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
       ).map(_.mkString("\t")).mkString("\r")
       val p = java.nio.file.Files.createTempFile("graft-catalog", ".txt")
       java.nio.file.Files.write(p, fixture.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      graft.compat.CatalogIngest.readCatalog(s, p.toString).records
+      // autocorrect (-A) mode: cross-repairs b.tif's garbage date and
+      // keeps all 3 distinct paths (last duplicate occurrence wins)
+      graft.compat.CatalogIngest.readCatalog(s, p.toString, autocorrect = true).records
         .orderBy(col("path"))
     }),
     // ---- transcript engine end-to-end (rows-only; primary payload) ----
@@ -315,7 +344,8 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
         out
       })
       new Searcher(s, dir, 8).searchResolved("zanzibar quasar lattice", 10)
-        .select(col("rank"), col("docId"), col("conv_id"), col("turn_idx"))
+        .select(col("rank").cast("long").as("rank"), col("docId"),
+          col("conv_id"), col("turn_idx").cast("long").as("turn_idx"))
     })
   )
 
@@ -419,6 +449,42 @@ WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.3 ORDER BY ida, idb""",
           "FROM embeddings WHERE vec_id <> 0) " +
           "SELECT vec_id, CAST(row_number() OVER (ORDER BY c DESC, vec_id ASC) AS BIGINT) AS rank " +
           "FROM s ORDER BY c DESC, vec_id ASC LIMIT 10"),
+      // q_ann_lsh probes every bucket (recall exactly 1) => brute twin
+      "q_ann_lsh" ->
+        ("WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), " +
+          "s AS (SELECT vec_id, list_cosine_similarity(embedding, (SELECT qv FROM q)) AS c " +
+          "FROM embeddings WHERE vec_id <> 0) " +
+          "SELECT vec_id, CAST(row_number() OVER (ORDER BY c DESC, vec_id ASC) AS BIGINT) AS rank " +
+          "FROM s ORDER BY c DESC, vec_id ASC LIMIT 10"),
+      // exact-verified sketch paths: output = exact all-pairs answer
+      // (recall-1 parameters; see the queries() comments)
+      "q_minhash_lsh" ->
+        s"""WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '$SqlTokRegex'), x -> x <> '') AS arr FROM documents),
+sh AS (SELECT DISTINCT doc_id, unnest([arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] for i in range(1, greatest(len(arr) - 1, 1))]) AS sh FROM t),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS c FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT ida, idb, round(c * 1.0 / (ca.n + cb.n - c), 4) AS jaccard
+FROM inter JOIN cnt ca ON ca.doc_id = ida JOIN cnt cb ON cb.doc_id = idb
+WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.3 ORDER BY ida, idb""",
+      "q_simhash_pairs" ->
+        s"""${toksCte("documents", "doc_id")},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+h AS (SELECT doc_id, tf, ('0x' || substr(md5(term), 1, 16))::UBIGINT AS h FROM tf),
+v AS (SELECT doc_id, r.j, sum(CASE WHEN (h >> CAST(r.j AS INT)) & 1 = 1 THEN tf ELSE -tf END) AS vote
+      FROM h CROSS JOIN range(64) r(j) GROUP BY 1, 2),
+sb AS (SELECT doc_id, CAST(sum(CASE WHEN vote > 0 THEN (1::UBIGINT << CAST(j AS INT)) ELSE 0::UBIGINT END) AS UBIGINT) AS sh FROM v GROUP BY 1),
+sim AS (SELECT d.doc_id, coalesce(sb.sh, 0::UBIGINT) AS sh FROM documents d LEFT JOIN sb ON d.doc_id = sb.doc_id)
+SELECT a.doc_id AS ida, b.doc_id AS idb, CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 3 ORDER BY ida, idb""",
+      "q_embedding_dedup" ->
+        // DOUBLE[] cast: the engine accumulates cosine in double;
+        // list_cosine_similarity over FLOAT[] would round in float32
+        ("SELECT a.vec_id AS ida, b.vec_id AS idb, " +
+          "round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine " +
+          "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
+          "WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3 " +
+          "ORDER BY ida, idb"),
       "q_langid" -> langCase,
       "q_token_counts" ->
         ("SELECT doc_id, " +
@@ -446,10 +512,31 @@ FROM r ORDER BY doc_id""",
           "CAST(64 + octet_length(encode(text)) % 640 AS BIGINT) AS width, " +
           "CAST(64 + octet_length(encode(text)) % 480 AS BIGINT) AS height, " +
           "CAST(1 + octet_length(encode(text)) % 16 AS BIGINT) AS n_frames " +
-          "FROM documents ORDER BY doc_id")
-      // rows-only (no SQL-expressible oracle): q_minhash_lsh, q_simhash_pairs,
-      // q_fingerprint (engine-defined hashes), q_ann_lsh (probing set),
-      // q_transcript_bm25 (synthetic corpus not in DuckDB)
+          "FROM documents ORDER BY doc_id"),
+      // rows-only (no SQL-expressible oracle):
+      //   q_minhash_est — emits the sketch ESTIMATE (engine-defined
+      //     splitmix/fnv permutations); the exact-verified variant
+      //     q_minhash_lsh is fully oracle-checked above, and OpsSpec pins
+      //     the estimate's recall/precision.
+      //   q_fingerprint — xxhash64-based rolling fingerprint; DuckDB has
+      //     no xxhash64, and re-deriving it in SQL would mean
+      //     reimplementing the hash bit-for-bit in the oracle — the
+      //     oracle would then just mirror the engine. Rows-only + the
+      //     CodecSpec/OpsSpec determinism tests are the honest check.
+      // golden-pinned oracles (deterministic fixtures → a VALUES literal
+      // is the exact expected output; semantics additionally covered by
+      // CatalogIngestSpec / GoldenSpec):
+      "q_catalog_ingest" ->
+        ("SELECT * FROM (VALUES " +
+          "('a2.jpg', '/arch/a.jpg', '(1 Bytes)', '05.03.2021 00:00:00', '05.03.2021 00:00:00', 'Bild', 'K1', 'Vol1', CAST(1 AS BIGINT)), " +
+          "('b.tif', '/arch/b.tif', '4 KB (4.096 Bytes)', '05.03.2021 00:00:00', '05.03.2021 00:00:00', 'Bild', 'K1', 'Vol1', CAST(4096 AS BIGINT)), " +
+          "('c.pdf', '/arch/c.pdf', '(100 Bytes)', '05.03.2021 10:11:12', '06.03.2021 10:11:12', 'Dokument', 'K1', 'Vol1', CAST(100 AS BIGINT))" +
+          ") AS t(name, path, size, created, lastChanged, resourceType, catalog, volume, sizeInBytes) ORDER BY path"),
+      "q_transcript_bm25" ->
+        ("SELECT * FROM (VALUES " +
+          "(CAST(1 AS BIGINT), CAST(142 AS BIGINT), 'conv-00000017', CAST(0 AS BIGINT)), " +
+          "(CAST(2 AS BIGINT), CAST(12 AS BIGINT), 'conv-00000003', CAST(1 AS BIGINT))" +
+          ") AS t(rank, docId, conv_id, turn_idx) ORDER BY rank")
     )
   }
 }

@@ -70,9 +70,11 @@ object CatalogCompat {
   /** Project a raw catalog DataFrame onto the target schema by synonym
     * binding (≙ CsvReader.java:117-145); unknown columns pruned by
     * Catalyst for free. Throws if a required field is unbound ("Invalid
-    * header" semantics), unless listed in `optional`.
+    * header" semantics), unless listed in `optional`. `passThrough`
+    * columns (bookkeeping like line position) are kept as-is.
     */
-  def bindHeaders(df: DataFrame, optional: Set[String] = Set.empty): DataFrame = {
+  def bindHeaders(df: DataFrame, optional: Set[String] = Set.empty,
+      passThrough: Seq[String] = Seq.empty): DataFrame = {
     val present = df.columns.toSeq
     val bound = headerSynonyms.flatMap { case (field, syns) =>
       syns.find(present.contains) match {
@@ -81,6 +83,6 @@ object CatalogCompat {
         case None => throw new IllegalArgumentException(s"Invalid header: no column for '$field'")
       }
     }
-    df.select(bound: _*)
+    df.select(passThrough.filter(present.contains).map(col) ++ bound: _*)
   }
 }

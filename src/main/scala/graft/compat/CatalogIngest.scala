@@ -23,8 +23,11 @@ object CatalogIngest {
       potentiallyInvalidDataLines: Long,
       lostLines: Long
   ) {
-    /** Reference gate: any invalid line ⇒ "No data imported". */
-    def importable: Boolean = invalidDataLines == 0
+    /** Reference gate: any invalid OR potentially-invalid line refuses
+      * the import ("No data imported", CsvReader.java:264-282 — the
+      * potentiallyInvalid check is at CsvReader.java:268-272).
+      */
+    def importable: Boolean = invalidDataLines == 0 && potentiallyInvalidDataLines == 0
   }
 
   /** S3 (CsvReader.java:82-101): the reference strips every LF during its
@@ -71,95 +74,168 @@ object CatalogIngest {
 
   /** Catalog-mode ingest (≙ `NeoFinderToES -c`, SURVEY.md §3.1): clean →
     * header synonym binding (P1/P2) → arity filters (P3/P4) → optional
-    * reassembly (F3) → typed normalization (F4/F6/F7) → per-field
-    * validation (P5/P6) → dedup-by-path keeping first (A3) → counters
-    * (A1) and the all-or-nothing gate.
+    * reassembly (F3) → typed normalization (F4/F6; F7 cross-repair only
+    * under autocorrect, matching the reference's -A flag) → per-field
+    * validation (P5/P6) → dedup-by-path keeping the LAST occurrence (A3;
+    * the reference bulk-indexes every duplicate with _id = path so the
+    * final ES doc is the last write) → counters (A1) and the
+    * all-or-nothing gate.
+    *
+    * `failOnDuplicates = true` reproduces the reference's default hard
+    * stop on duplicate paths (exit 5 unless interactively confirmed,
+    * CsvReader.java:361-376); false (default here — a library has no
+    * interactive prompt) keeps the last occurrence and counts lostLines.
     */
   def readCatalog(
       spark: SparkSession,
       path: String,
       autocorrect: Boolean = false,
       ignoreFields: Set[String] = Set.empty,
-      minimalPathVolume: Boolean = false
+      minimalPathVolume: Boolean = false,
+      failOnDuplicates: Boolean = false
   ): IngestResult = {
     import spark.implicits._
     val cleaned = cleanLines(spark, path)
     val header = cleaned.head() // T2: first row = header
     val headerCols = header.split("\t", -1)
     val headerTabs = headerCols.length - 1
-    val rawLines = {
-      val noHeader = cleaned.filter(l => l != header)
-      if (autocorrect) reassembleLines(noHeader, headerTabs) else noHeader
-    }
+    // Drop exactly the FIRST line (reference skip(1)): a data row that
+    // happens to equal the header text, or repeated headers from
+    // concatenated exports, must remain data lines and face validation
+    // (round-1 filtered every header-equal line out silently).
+    val noHeader = spark.createDataset(
+      cleaned.rdd.zipWithIndex().filter(_._2 > 0L).map(_._1))
+    val rawLines = if (autocorrect) reassembleLines(noHeader, headerTabs) else noHeader
     val optional: Set[String] =
       if (minimalPathVolume)
         Set("name", "size", "created", "lastChanged", "resourceType", "catalog")
       else Set.empty
 
+    // __pos: line position for last-wins duplicate resolution (ordering
+    // is partition-major = file order for a single export file)
     val cells = rawLines.map(_.split("\t", -1)).toDF("cells")
+      .withColumn("__pos", monotonically_increasing_id())
     // P3/P4: only rows with exactly the header arity are data rows
     val arityOk = cells.withColumn("__arity_ok", size(col("cells")) === lit(headerCols.length))
     val wide = arityOk.filter(col("__arity_ok"))
-      .select(headerCols.zipWithIndex.map { case (c, i) =>
+      .select(col("__pos") +: headerCols.zipWithIndex.map { case (c, i) =>
         element_at(col("cells"), i + 1).as(c)
       }: _*)
-    val bound = CatalogCompat.bindHeaders(wide, optional)
+    val bound = CatalogCompat.bindHeaders(wide, optional, passThrough = Seq("__pos"))
 
     val datesIgnored = minimalPathVolume ||
       ignoreFields.contains("created") || ignoreFields.contains("lastChanged")
-    val (createdFix, lastChangedFix, bothBad) =
-      CatalogCompat.crossRepair(col("created"), col("lastChanged"))
+    // Date semantics follow the reference's autocorrect flag
+    // (CsvReader.java:331-339): with -A, a one-sided parse failure is
+    // cross-repaired from the other date (F7) and a both-sided failure
+    // KEEPS the row with cleared dates; without -A, any non-empty
+    // unparseable date makes the line invalid (parsingErrors -> "No data
+    // imported").
+    val (createdFix, lastChangedFix, dateInvalid) =
+      if (autocorrect) {
+        val (c, l, _) = CatalogCompat.crossRepair(col("created"), col("lastChanged"))
+        (c, l, lit(false))
+      } else {
+        val c = CatalogCompat.parseMultiDate(col("created"))
+        val l = CatalogCompat.parseMultiDate(col("lastChanged"))
+        (c, l,
+          (coalesce(col("created"), lit("")) =!= lit("") && c.isNull) ||
+          (coalesce(col("lastChanged"), lit("")) =!= lit("") && l.isNull))
+      }
     val normalized = bound
+      // empty-value checks look at the SOURCE fields (a date cleared by
+      // autocorrect normalization is not an empty source value)
+      .withColumn("__emptyPath", coalesce(col("path"), lit("")) === lit(""))
+      .withColumn("__emptyAny",
+        CatalogCompat.headerSynonyms.map(_._1).filterNot(optional.contains)
+          .map(f => coalesce(col(f).cast("string"), lit("")) === lit(""))
+          .reduce(_ || _))
+      // __dateInvalid too: evaluated before created/lastChanged are
+      // overwritten with their normalized forms
+      .withColumn("__dateInvalid", if (datesIgnored) lit(false) else dateInvalid)
       .withColumn("sizeInBytes", CatalogCompat.sizeToBytes(col("size")))
       .withColumn("createdTs", if (datesIgnored) lit(null).cast("timestamp") else createdFix)
       .withColumn("lastChangedTs", if (datesIgnored) lit(null).cast("timestamp") else lastChangedFix)
       .withColumn("created", CatalogCompat.formatRefDate(col("createdTs")))
       .withColumn("lastChanged", CatalogCompat.formatRefDate(col("lastChangedTs")))
       .drop("createdTs", "lastChangedTs")
-      .withColumn("__dateInvalid", if (datesIgnored) lit(false) else bothBad)
-      .withColumn("__emptyPath", coalesce(col("path"), lit("")) === lit(""))
-      .withColumn("__emptyAny",
-        CatalogCompat.headerSynonyms.map(_._1).filterNot(optional.contains)
-          .map(f => coalesce(col(f).cast("string"), lit("")) === lit(""))
-          .reduce(_ || _))
       .cache()
 
     val dataLines = normalized.count()
     val invalid = normalized.filter(col("__dateInvalid") || col("__emptyPath")).count()
     val potentiallyInvalid = normalized.filter(col("__emptyAny")).count()
 
-    // A3: duplicate path detection — first-seen wins (file order ≙
-    // ascending line position; here: deterministic min over the dup set)
+    // A3: duplicate-path resolution — LAST occurrence wins, explicitly
+    // by line position (reference parity: each dup is upserted with
+    // _id = path, so the file's last write is the surviving document)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("path")).orderBy(col("__pos").desc)
     val deduped = normalized
       .filter(!col("__dateInvalid") && !col("__emptyPath"))
-      .dropDuplicates("path")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === lit(1))
+      .drop("__rn")
     val lost = dataLines - invalid - deduped.count()
+    if (failOnDuplicates && lost > 0)
+      throw new IllegalStateException(
+        s"Duplicate paths in catalog ($lost lines) — reference exit-5 semantics " +
+          "(CsvReader.java:361-376); pass failOnDuplicates = false to keep last occurrences")
 
     IngestResult(
-      deduped.drop("__dateInvalid", "__emptyPath", "__emptyAny", "__arity_ok"),
+      deduped.drop("__dateInvalid", "__emptyPath", "__emptyAny", "__arity_ok", "__pos"),
       dataLines, invalid, potentiallyInvalid, lost)
   }
 
+  /** S6 strategy 2 (≙ reference DirectoryCrawler.java:120-134, Tika
+    * content inspection): magic-byte MIME sniff over the binaryFile
+    * `content` column — pure column comparisons, codegen'd.
+    */
+  def sniffMime(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def magic(bytes: Int*): org.apache.spark.sql.Column =
+      substring(content, 1, bytes.length) === lit(bytes.map(_.toByte).toArray)
+    when(magic(0x89, 'P', 'N', 'G'), "image/png")
+      .when(magic(0xFF, 0xD8, 0xFF), "image/jpeg")
+      .when(magic('G', 'I', 'F', '8'), "image/gif")
+      .when(magic('%', 'P', 'D', 'F'), "application/pdf")
+      .when(magic('P', 'K', 0x03, 0x04), "application/zip")
+      .when(magic('I', 'I', 0x2A, 0x00) || magic('M', 'M', 0x00, 0x2A), "image/tiff")
+      .otherwise("application/octet-stream")
+  }
+
   /** Scan-mode ingest (≙ default mode, SURVEY.md §3.2): one record per
-    * file under a directory tree, with name/path/size/dates and an
-    * extension-derived resource type (S5/S6/F5/F9). `binaryFile` lists
-    * distributedly; content is NOT read (`content` column pruned away).
+    * file under a directory tree, with name/path/size/dates and a
+    * resource type (S5/S6/F5/F9). `binaryFile` lists distributedly.
+    * `mimeStrategy`:
+    *   "extension" (default) — type from the filename; the `content`
+    *     column is never referenced, so Catalyst prunes it and no file
+    *     bytes are read (a pure metadata crawl).
+    *   "content" — magic-byte sniff of the leading bytes (reference
+    *     strategy 2); adds a `mime` column and derives resourceType
+    *     from it. Reads file contents.
     */
   def scanDirectory(spark: SparkSession, dir: String,
-      catalog: String = "localhost", volume: String = ""): DataFrame = {
-    spark.read.format("binaryFile")
+      catalog: String = "localhost", volume: String = "",
+      mimeStrategy: String = "extension"): DataFrame = {
+    val base = spark.read.format("binaryFile")
       .option("recursiveFileLookup", "true").load(dir)
-      .select(
-        element_at(split(col("path"), "/"), -1).as("name"),
-        col("path"),
-        CatalogCompat.humanSize(col("length")).as("size"),
-        col("length").as("sizeInBytes"),
-        CatalogCompat.formatRefDate(col("modificationTime")).as("lastChanged"),
-        CatalogCompat.formatRefDate(col("modificationTime")).as("created"),
-        lower(when(col("path").rlike("\\.[A-Za-z0-9]+$"),
-          regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1)).otherwise(lit("unknown")))
-          .as("resourceType"),
-        lit(catalog).as("catalog"),
-        (if (volume.nonEmpty) lit(volume) else lit(dir)).as("volume"))
+    val extType = lower(when(col("path").rlike("\\.[A-Za-z0-9]+$"),
+      regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1)).otherwise(lit("unknown")))
+    val common = Seq(
+      element_at(split(col("path"), "/"), -1).as("name"),
+      col("path"),
+      CatalogCompat.humanSize(col("length")).as("size"),
+      col("length").as("sizeInBytes"),
+      CatalogCompat.formatRefDate(col("modificationTime")).as("lastChanged"),
+      CatalogCompat.formatRefDate(col("modificationTime")).as("created"))
+    val tail = Seq(lit(catalog).as("catalog"),
+      (if (volume.nonEmpty) lit(volume) else lit(dir)).as("volume"))
+    mimeStrategy match {
+      case "content" =>
+        val mime = sniffMime(col("content"))
+        base.select(common ++ Seq(
+          element_at(split(mime, "/"), -1).as("resourceType"), mime.as("mime")) ++ tail: _*)
+      case _ =>
+        base.select(common ++ Seq(extType.as("resourceType")) ++ tail: _*)
+    }
   }
 }

@@ -239,15 +239,20 @@ class IndexBuilder(
         built += cell
       }
 
-    // Phase A — doc store + corpus stats.
+    // Phase A — doc store + corpus stats. Stats (n, avgdl, max docId)
+    // ride the write job itself via the Observation API — no second
+    // job re-reading the store (fixed per-build driver cost is the term
+    // that caps small-corpus scaling efficiency).
     phase("docs") {
-      docsIn.write.mode(SaveMode.Overwrite).parquet(docsPath)
-      val d = spark.read.parquet(docsPath)
-      val row = d.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"),
-        max(col("docId")).as("mx")).head()
-      val n = row.getLong(0)
-      val avgdl = if (row.isNullAt(1)) 0.0 else row.getDouble(1)
-      val bound = if (row.isNullAt(2)) 0L else row.getLong(2) + 1L
+      val obs = org.apache.spark.sql.Observation()
+      docsIn.toDF()
+        .observe(obs, count(lit(1)).as("n"), avg(col("dl")).as("avgdl"),
+          max(col("docId")).as("mx"))
+        .write.mode(SaveMode.Overwrite).parquet(docsPath)
+      val row = obs.get
+      val n = row("n").asInstanceOf[Long]
+      val avgdl = Option(row("avgdl")).map(_.asInstanceOf[Double]).getOrElse(0.0)
+      val bound = Option(row("mx")).map(_.asInstanceOf[Long] + 1L).getOrElse(0L)
       Seq(IndexStats(n, avgdl, snapshotId)).toDS()
         .write.mode(SaveMode.Overwrite).parquet(statsPath)
       // docIdHi of the "docs" cell = exclusive docId bound for bucketing
@@ -310,17 +315,25 @@ class IndexBuilder(
     // nondeterminism cannot leak.
     phase("dict0") {
       val numShards = cfg.numShards
+      val obs = org.apache.spark.sql.Observation()
       val dict0 = dictSalted(postings0, cfg.salt)
         .as[(String, Long, Long)]
         .map { case (t, df, cf) => (t, GraftHash.shardOf(t, numShards), df, cf) }
         .toDF("term", "shard", "df", "cf")
         .withColumn("termId", monotonically_increasing_id())
         .select(col("term"), col("termId"), col("shard"), col("df"), col("cf"))
+        // vocab + total postings ride the write job (Observation) — the
+        // block phase needs Σdf for its hot-term threshold, and reading
+        // it back from the manifest costs zero jobs on resume too
+        .observe(obs, count(lit(1)).as("vocab"), coalesce(sum(col("df")), lit(0L)).as("p"))
       dict0.write.mode(SaveMode.Overwrite).parquet(dict0Path)
-      val vocab = spark.read.parquet(dict0Path).count()
-      BuildManifest("dict0", -1, 0, n, snapshotId, vocab, 0, "done", 0)
+      val totalPostings = obs.get("p").asInstanceOf[Long]
+      // dict0 cell: postingsEmitted = Σdf (the corpus posting count);
+      // vocab is recorded by the finalize cell
+      BuildManifest("dict0", -1, 0, n, snapshotId, totalPostings, 0, "done", 0)
     }
     val dict0 = spark.read.parquet(dict0Path)
+    val totalPostings = readManifest("dict0").map(_.postingsEmitted).getOrElse(0L)
 
     // Phase C — compressed blocks per bucket (contiguous docId range).
     val numShards = cfg.numShards
@@ -355,7 +368,6 @@ class IndexBuilder(
         val partsPerBucket = math.max(1, cfg.partitions / cfg.numBuckets)
         val subWidth = math.max(1L, (bucketWidth + partsPerBucket - 1) / partsPerBucket)
         val numParts = cfg.numBuckets * partsPerBucket
-        val totalPostings = dict0.agg(coalesce(sum(col("df")), lit(0L))).head().getLong(0)
         val hotDf = math.max(numParts.toLong * blockSize,
           totalPostings / (4L * math.max(1, numParts)))
         // bucket never rides the shuffled rows: the pid expression derives
@@ -384,21 +396,27 @@ class IndexBuilder(
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         blocks.write.partitionBy("bucket", "shard")
           .mode(SaveMode.Overwrite).parquet(blocksPath)
+        // per-bucket manifest metrics ride the partials write job
+        // (Observation with one pair of aggregates per bucket — bucket
+        // count is a small config constant)
+        val obs = org.apache.spark.sql.Observation()
+        val perBucketAggs = (0 until cfg.numBuckets).flatMap { b =>
+          Seq(coalesce(sum(when(col("bucket") === lit(b), col("dfb"))), lit(0L)).as(s"p$b"),
+            coalesce(sum(when(col("bucket") === lit(b), col("bytesb"))), lit(0L)).as(s"y$b"))
+        }
         blocks.groupBy(col("bucket"), col("termId"))
           .agg(max(col("maxScore")).as("maxScore"), sum(col("count")).as("dfb"),
             sum(length(col("docs")) + length(col("tfs")) + length(col("dls"))).as("bytesb"))
+          .observe(obs, perBucketAggs.head, perBucketAggs.tail: _*)
           .write.partitionBy("bucket").mode(SaveMode.Overwrite).parquet(partialsPath)
         blocks.unpersist(blocking = false)
         val wall = (System.nanoTime() - t0) / 1e9
-        val byBucket = spark.read.parquet(partialsPath)
-          .groupBy(col("bucket"))
-          .agg(coalesce(sum(col("dfb")), lit(0L)), coalesce(sum(col("bytesb")), lit(0L)))
-          .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+        val row = obs.get
         for (b <- 0 until cfg.numBuckets) {
           val lo = b.toLong * bucketWidth
           val hi = math.min(idBound, lo + bucketWidth)
-          val (p, bytes) = byBucket.getOrElse(b, (0L, 0L))
-          writeManifest(BuildManifest(s"bucket=$b", b, lo, hi, snapshotId, p, bytes,
+          writeManifest(BuildManifest(s"bucket=$b", b, lo, hi, snapshotId,
+            row(s"p$b").asInstanceOf[Long], row(s"y$b").asInstanceOf[Long],
             "done", wall / cfg.numBuckets))
           built += s"bucket=$b"
         }
@@ -411,7 +429,6 @@ class IndexBuilder(
           .join(dict0.select(col("term"), col("termId"), col("shard"), col("df")), Seq("term"))
           .select(col("termId"), col("shard"), col("docId"), col("tf"), col("dl"), col("df"))
         // same sample-free df-aware routing as the fused path
-        val totalPostings = dict0.agg(coalesce(sum(col("df")), lit(0L))).head().getLong(0)
         val hotDf = math.max(cfg.partitions.toLong * blockSize,
           totalPostings / (4L * math.max(1, cfg.partitions)))
         val subWidth = math.max(1L, (bucketWidth + cfg.partitions - 1) / cfg.partitions)
@@ -441,15 +458,17 @@ class IndexBuilder(
     // Phase D — finalize dictionary: df/cf from dict0, global max score
     // from the per-bucket block partials.
     phase("finalize") {
+      val obs = org.apache.spark.sql.Observation()
       val maxs = spark.read.parquet(partialsPath)
         .groupBy(col("termId")).agg(max(col("maxScore")).as("maxScore"))
       val dict = dict0
         .join(maxs, Seq("termId"))
         .select(col("term"), col("termId"), col("shard"), col("df"), col("cf"), col("maxScore"))
+        .observe(obs, count(lit(1)).as("vocab"))
         .as[TermStats]
       dict.write.mode(SaveMode.Overwrite).parquet(dictPath)
-      val vocab = spark.read.parquet(dictPath).count()
-      BuildManifest("finalize", -1, 0, n, snapshotId, vocab, 0, "done", 0)
+      BuildManifest("finalize", -1, 0, n, snapshotId,
+        obs.get("vocab").asInstanceOf[Long], 0, "done", 0)
     }
 
     val ms = allManifests

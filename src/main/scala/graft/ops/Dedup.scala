@@ -132,43 +132,113 @@ object Dedup {
       .select(col("ida"), col("idb"), round(col("est_jaccard"), 4).as("est_jaccard"))
   }
 
-  /** Embedding-cosine near-dup pairs: random-hyperplane LSH signatures
-    * block the corpus; only same-bucket pairs are exact-checked, so the
-    * join is linear in bucket occupancy, not quadratic in corpus size
-    * (near-identical vectors share all signature bits w.h.p.).
+  /** Embedding-cosine near-dup pairs: banded random-hyperplane LSH.
+    * The signature is `bands` independent bands of `bitsPerBand`
+    * hyperplane sign bits; a pair is a candidate if ANY band matches
+    * (explode-by-band + equi-join — same shape as MinHash banding), and
+    * candidates are verified with the EXACT cosine. Output therefore
+    * equals the all-pairs answer whenever recall holds; for a pair at
+    * angle θ, P(miss) = (1 − (1 − θ/π)^bitsPerBand)^bands — at the
+    * default (0.95 ⇒ θ/π ≈ 0.10, 8 bits × 16 bands) that is ~1e-4, and
+    * tightening bands drives it to zero geometrically. Join cost is
+    * linear in band-bucket occupancy, not quadratic in corpus size.
     */
   def embeddingPairs(
       emb: DataFrame,
       idCol: String,
       vecCol: String,
       minCosine: Double = 0.95,
-      nbits: Int = 16,
+      bitsPerBand: Int = 8,
+      bands: Int = 16,
       seed: Long = 42L
   ): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val first = emb.select(col(vecCol)).head().getSeq[Float](0)
-    val planes = Similarity.hyperplanes(first.length, nbits, seed)
+    val planes = Similarity.hyperplanes(first.length, bitsPerBand * bands, seed)
     val bc = spark.sparkContext.broadcast(planes)
+    val nb = bitsPerBand
+    val nBands = bands
     val sig = emb.select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Array[Float])]
-      .map { case (id, v) => (id, v, Similarity.signatureOf(v, bc.value)) }
-      .toDF(idCol, vecCol, "bucket")
-    val a = sig.toDF("ida", "va", "bucket")
-    val b = sig.toDF("idb", "vb", "bucket")
-    a.join(b, Seq("bucket")).filter(col("ida") < col("idb"))
+      .map { case (id, v) => (id, v, Similarity.bandSignatures(v, bc.value, nBands, nb)) }
+      .toDF(idCol, vecCol, "bands")
+      .cache()
+    val banded = sig.select(col(idCol), posexplode(col("bands"))).toDF(idCol, "band", "bh")
+    val a = banded.toDF("ida", "band", "bh")
+    val b = banded.toDF("idb", "band", "bh")
+    val cand = a.join(b, Seq("band", "bh")).filter(col("ida") < col("idb"))
+      .select("ida", "idb").distinct()
+    cand
+      .join(sig.select(col(idCol).as("ida"), col(vecCol).as("va")), Seq("ida"))
+      .join(sig.select(col(idCol).as("idb"), col(vecCol).as("vb")), Seq("idb"))
       .withColumn("cosine", Similarity.cosineCol(col("va"), col("vb")))
       .filter(col("cosine") >= lit(minCosine))
       .select(col("ida"), col("idb"), round(col("cosine"), 4).as("cosine"))
   }
 
+  /** MinHash-blocked near-dup pairs verified with the EXACT Jaccard —
+    * the scale path (candidates from sketch buckets, quadratic work only
+    * inside buckets) whose OUTPUT is the exact all-pairs answer whenever
+    * recall holds. Candidate rule: a pair is considered if any single
+    * minhash component collides (bands = numPerms, 1 row/band), so
+    * P(miss | J) = (1−J)^numPerms ≤ 1.2e-10 at J = 0.3, 64 perms — the
+    * harness checks this operator against the exact all-pairs SQL twin.
+    */
+  def minhashNearDup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      numPerms: Int = 64,
+      minJ: Double = 0.3
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sh = shingles(df, idCol, textCol, shingleK)
+    val sets = sh.groupBy(col(idCol)).agg(collect_set(col("sh")).as("shs")).cache()
+    val np = numPerms
+    val sigs = sets.as[(Long, Seq[String])]
+      .map { case (id, s) => (id, minhashSignature(s, np)) }
+      .toDF(idCol, "sig")
+    val banded = sigs.select(col(idCol), posexplode(col("sig"))).toDF(idCol, "band", "h")
+    val a = banded.toDF("ida", "band", "h")
+    val b = banded.toDF("idb", "band", "h")
+    val cand = a.join(b, Seq("band", "h")).filter(col("ida") < col("idb"))
+      .select("ida", "idb").distinct()
+    cand
+      .join(sets.select(col(idCol).as("ida"), col("shs").as("sa")), Seq("ida"))
+      .join(sets.select(col(idCol).as("idb"), col("shs").as("sb")), Seq("idb"))
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("double"))
+      .withColumn("jaccard", col("inter") / (size(col("sa")) + size(col("sb")) - col("inter")))
+      .filter(col("jaccard") >= lit(minJ))
+      .select(col("ida"), col("idb"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
   // --- SimHash ---------------------------------------------------------------
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Token hash for SimHash: high 64 bits of MD5 (big-endian). MD5 rather
+    * than an engine-private hash so the whole SimHash computation has an
+    * exact SQL twin — DuckDB: ('0x' || substr(md5(t), 1, 16))::UBIGINT
+    * has the same bits.
+    */
+  def tokenHash64(t: String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.ByteBuffer.wrap(d, 0, 8).getLong
+  }
 
   /** 64-bit SimHash over analyzed tokens weighted by tf. */
   def simhash(tokens: Iterable[String]): Long = {
     val acc = new Array[Int](64)
     tokens.foreach { t =>
-      val h = GraftHash.fnv1a64(t)
+      val h = tokenHash64(t)
       var j = 0
       while (j < 64) {
         if (((h >>> j) & 1L) == 1L) acc(j) += 1 else acc(j) -= 1
@@ -190,16 +260,24 @@ object Dedup {
       .toDF(idCol, "simhash")
   }
 
-  /** Near-dup pairs by SimHash hamming distance ≤ maxHamming, blocked on
-    * 16-bit bands (a pair within distance 3 shares at least one of 4
-    * bands exactly — pigeonhole).
+  /** Near-dup pairs by SimHash hamming distance ≤ maxHamming. Blocking is
+    * by pigeonhole: with `bands` disjoint equal-width bands, a pair within
+    * hamming distance bands-1 must agree exactly on ≥1 band — so the band
+    * count is DERIVED from maxHamming (smallest power-of-two band count >
+    * maxHamming; round-1 hardcoded 4 bands, silently losing recall for
+    * maxHamming ≥ 4). Recall is exactly 1 by construction, which is what
+    * lets the harness check this operator against an all-pairs SQL twin.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, s"maxHamming out of range: $maxHamming")
+    val bands = Seq(1, 2, 4, 8, 16, 32, 64).find(_ >= maxHamming + 1).get
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
     val sh = simhashDF(df, idCol, textCol).cache()
     val banded = sh.select(
       col(idCol),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xffffL))): _*))
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("simhash"), b * width).bitwiseAND(lit(mask))): _*))
     ).toDF(idCol, "band", "bh")
     val a = banded.toDF("ida", "band", "bh")
     val b = banded.toDF("idb", "band", "bh")

@@ -35,15 +35,31 @@ object Multimodal {
       }
   }
 
-  /** DETERMINISTIC FAKE decoder — stands in for e.g. ImageIO/ffmpeg.
-    * Real implementation would be: `??? // decode media bytes`.
+  /** DETERMINISTIC FAKE decoder — stands in for codecs the JDK lacks
+    * (video/audio). Real implementation would be: `??? // decode bytes`.
     */
   def decodeStub(d: MediaDoc): MediaMeta = {
     val n = d.media.length
     MediaMeta(d.doc_id, d.mime, n, 64 + n % 640, 64 + n % 480, 1 + n % 16)
   }
 
-  /** Batch "decode": metadata extraction over partition iterators —
+  /** Real decode for the JDK-supported raster formats (PNG/JPEG/GIF/BMP
+    * via javax.imageio — ships with the JDK, no external codec needed):
+    * true width/height from the image header. Payloads ImageIO cannot
+    * parse (fake test payloads, video/audio) fall back to the stub.
+    */
+  def decode(d: MediaDoc): MediaMeta = {
+    if (d.mime != null && d.mime.startsWith("image/")) {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(d.media))
+        catch { case _: Exception => null }
+      if (img != null)
+        return MediaMeta(d.doc_id, d.mime, d.media.length, img.getWidth, img.getHeight, 1)
+    }
+    decodeStub(d)
+  }
+
+  /** Batch decode: metadata extraction over partition iterators —
     * the batch shape a real decoder needs (amortized codec init per
     * partition, not per row).
     */
@@ -51,8 +67,8 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
-      // real decoder would init its codec context here, once per batch
-      it.map(decodeStub)
+      // decoder/codec context init happens here, once per batch
+      it.map(decode)
     }
   }
 

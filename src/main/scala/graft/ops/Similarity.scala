@@ -71,10 +71,47 @@ object Similarity {
     sig
   }
 
+  /** Banded hyperplane signatures: `bands` ints of `bitsPerBand` sign
+    * bits each (planes.length must be bands × bitsPerBand).
+    */
+  def bandSignatures(vec: Array[Float], planes: Array[Array[Double]],
+      bands: Int, bitsPerBand: Int): Array[Int] = {
+    val out = new Array[Int](bands)
+    var b = 0
+    while (b < bands) {
+      var sig = 0
+      var i = 0
+      while (i < bitsPerBand) {
+        val p = planes(b * bitsPerBand + i)
+        var d = 0.0
+        var j = 0
+        while (j < vec.length) { d += vec(j) * p(j); j += 1 }
+        if (d > 0) sig |= (1 << i)
+        i += 1
+      }
+      out(b) = sig
+      b += 1
+    }
+    out
+  }
+
+  /** LSH width sized to the corpus: bucket occupancy ~n/2^nbits stays
+    * near `targetOccupancy` as the corpus grows (round-1 review finding:
+    * a FIXED nbits under-partitions at 10^10 docs — occupancy, and so
+    * per-bucket quadratic work, grows linearly with n).
+    */
+  def autoBits(n: Long, targetOccupancy: Long = 256L): Int = {
+    var bits = 4
+    while (bits < 24 && (n >> bits) > targetOccupancy) bits += 1
+    bits
+  }
+
   /** LSH-bucketed approximate top-k: probe the query's bucket plus all
     * buckets within `probeHamming` bits, exact-rerank inside. At scale
     * the bucket column is a partition/cluster key so a query touches a
-    * small fraction of the corpus.
+    * small fraction of the corpus. `nbits = 0` derives the width from
+    * the corpus size (see [[autoBits]]); `probeHamming >= nbits` probes
+    * every bucket — recall exactly 1 (partitioned brute force).
     */
   def lshTopK(
       embeddings: DataFrame,
@@ -82,7 +119,7 @@ object Similarity {
       vecCol: String,
       queryVec: Array[Float],
       k: Int,
-      nbits: Int = 12,
+      nbits: Int = 0,
       probeHamming: Int = 2,
       seed: Long = 42L,
       excludeId: Long = -1L
@@ -90,7 +127,8 @@ object Similarity {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val dim = queryVec.length
-    val planes = hyperplanes(dim, nbits, seed)
+    val bits = if (nbits > 0) nbits else autoBits(embeddings.count())
+    val planes = hyperplanes(dim, bits, seed)
     val bc = spark.sparkContext.broadcast(planes)
     val withSig = embeddings
       .filter(col(idCol) =!= lit(excludeId))
@@ -99,7 +137,7 @@ object Similarity {
       .map { case (id, v) => (id, v, signatureOf(v, bc.value)) }
       .toDF(idCol, vecCol, "bucket")
     val qSig = signatureOf(queryVec, planes)
-    val probeBuckets = (0 until (1 << nbits))
+    val probeBuckets = (0 until (1 << bits))
       .filter(b => java.lang.Integer.bitCount(b ^ qSig) <= probeHamming)
     withSig
       .filter(col("bucket").isin(probeBuckets: _*))

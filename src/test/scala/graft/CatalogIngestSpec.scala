@@ -26,9 +26,19 @@ class CatalogIngestSpec extends SparkSpec {
     Seq("a2.jpg", "/arch/a.jpg", "(1 Bytes)", "05.03.2021", "05.03.2021", "Bild", "K1", "Vol1") // duplicate path
   ).map(_.mkString("\t")).mkString("\r")
 
-  test("catalog mode: bilingual header, normalization, dedup, counters") {
+  test("strict mode (no -A): a non-empty unparseable date makes the line invalid") {
+    // reference parity: without autocorrect, CsvReader counts 'garbage'
+    // as a parsingError -> "No data imported" (CsvReader.java:331-339)
     val path = writeFixture("catalog-de.txt", germanCatalog)
     val r = CatalogIngest.readCatalog(spark, path)
+    assert(r.dataLines == 4)
+    assert(r.invalidDataLines == 1) // b.tif's 'garbage' lastChanged
+    assert(!r.importable)
+  }
+
+  test("autocorrect: cross-repair, LAST duplicate occurrence wins, counters") {
+    val path = writeFixture("catalog-de2.txt", germanCatalog)
+    val r = CatalogIngest.readCatalog(spark, path, autocorrect = true)
     assert(r.dataLines == 4)
     assert(r.invalidDataLines == 0)
     assert(r.lostLines == 1) // duplicate path dropped
@@ -37,12 +47,57 @@ class CatalogIngestSpec extends SparkSpec {
       .select("name", "path", "sizeInBytes", "created", "lastChanged", "resourceType")
       .as[(String, String, Long, String, String, String)].collect()
     assert(rows.map(_._1).toSeq.contains("c.pdf"))
+    // duplicate path /arch/a.jpg: the LAST line (a2.jpg) survives, as the
+    // reference's upsert-by-_id=path would leave the last bulk write
     val a = rows.find(_._2 == "/arch/a.jpg").get
-    assert(a._3 == 1289748L && a._4 == "05.03.2021 10:11:12")
+    assert(a._1 == "a2.jpg" && a._3 == 1L && a._4 == "05.03.2021 00:00:00")
     val b = rows.find(_._1 == "b.tif").get
     // F7 cross-repair: lastChanged unparseable → copied from created
     assert(b._4 == "05.03.2021 00:00:00" && b._5 == "05.03.2021 00:00:00")
     assert(b._3 == 4096L)
+  }
+
+  test("autocorrect keeps a both-unparseable-dates row with cleared dates") {
+    val content = Seq(
+      Seq("Name", "Path", "Size", "Date Created", "Date Modified", "Kind", "Catalog", "Volume").mkString("\t"),
+      "x.jpg\t/p/x.jpg\t(10 Bytes)\tgarbage1\tgarbage2\tk\tc\tv"
+    ).mkString("\r")
+    val r = CatalogIngest.readCatalog(spark, writeFixture("catalog-bothbad.txt", content),
+      autocorrect = true)
+    assert(r.dataLines == 1 && r.invalidDataLines == 0 && r.importable)
+    val row = r.records.select("name", "created", "lastChanged")
+      .as[(String, String, String)].head()
+    assert(row._1 == "x.jpg" && row._2 == null && row._3 == null)
+  }
+
+  test("a data line equal to the header text survives (only line 1 is the header)") {
+    val hdr = Seq("Name", "Path", "Size", "Date Created", "Date Modified", "Kind", "Catalog", "Volume").mkString("\t")
+    val content = Seq(
+      hdr,
+      "ok.jpg\t/p/ok.jpg\t(10 Bytes)\t05.03.2021\t05.03.2021\tk\tc\tv",
+      hdr // a repeated header: a data row whose text equals the header
+    ).mkString("\r")
+    val r = CatalogIngest.readCatalog(spark, writeFixture("catalog-hdr2.txt", content))
+    // the repeated header is a DATA line (arity matches) whose dates are
+    // non-empty and unparseable -> invalid, not silently dropped
+    assert(r.dataLines == 2 && r.invalidDataLines == 1)
+  }
+
+  test("failOnDuplicates reproduces the reference's duplicate-path hard stop") {
+    val path = writeFixture("catalog-dup.txt", germanCatalog)
+    val e = intercept[IllegalStateException] {
+      CatalogIngest.readCatalog(spark, path, autocorrect = true, failOnDuplicates = true)
+    }
+    assert(e.getMessage.contains("Duplicate paths"))
+  }
+
+  test("empty non-path field counts potentiallyInvalid and blocks the import") {
+    val content = Seq(
+      Seq("Name", "Path", "Size", "Date Created", "Date Modified", "Kind", "Catalog", "Volume").mkString("\t"),
+      "\t/p/1\t(10 Bytes)\t05.03.2021\t05.03.2021\tk\tc\tv" // empty Name
+    ).mkString("\r")
+    val r = CatalogIngest.readCatalog(spark, writeFixture("catalog-emptyname.txt", content))
+    assert(r.invalidDataLines == 0 && r.potentiallyInvalidDataLines == 1 && !r.importable)
   }
 
   test("LF-stripping clean pass collapses multi-line quoted fields") {
@@ -105,5 +160,24 @@ class CatalogIngestSpec extends SparkSpec {
     assert(rows.find(_._1 == "photo.JPG").get._3 == "jpg")
     assert(rows.find(_._1 == "noext").get._3 == "unknown")
     assert(rows.forall(r => r._4 == "host1" && r._5 == "vol1"))
+  }
+
+  test("scan mode content strategy: magic-byte MIME sniff (S6 strategy 2)") {
+    val dir = Paths.get(TestSpark.tmpRoot, "sniff")
+    Files.createDirectories(dir)
+    // a real 1x1 PNG via ImageIO, a fake 'jpg' that is actually a PDF,
+    // and an unknown blob
+    val img = new java.awt.image.BufferedImage(1, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    Files.write(dir.resolve("real.png"), bos.toByteArray)
+    Files.write(dir.resolve("liar.jpg"), "%PDF-1.4 fake".getBytes(StandardCharsets.UTF_8))
+    Files.write(dir.resolve("blob.bin"), Array[Byte](1, 2, 3, 4))
+    val rows = CatalogIngest.scanDirectory(spark, dir.toString, mimeStrategy = "content")
+      .select("name", "mime", "resourceType").as[(String, String, String)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rows("real.png") == (("image/png", "png")))
+    assert(rows("liar.jpg") == (("application/pdf", "pdf"))) // content wins over extension
+    assert(rows("blob.bin") == (("application/octet-stream", "octet-stream")))
   }
 }

@@ -112,11 +112,46 @@ class OpsSpec extends SparkSpec {
     val noise = (200L until 400L).map(id => (id, Array.fill(dim)(rnd.nextGaussian().toFloat)))
     val emb = (base.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq ++ dupes.toSeq ++ noise)
       .toDF("vec_id", "embedding")
-    val pairs = graft.ops.Dedup.embeddingPairs(emb, "vec_id", "embedding", 0.95, nbits = 12)
+    val pairs = graft.ops.Dedup.embeddingPairs(emb, "vec_id", "embedding", 0.95)
       .select("ida", "idb").as[(Long, Long)].collect().toSet
     val expected = (0 until 5).map(i => (i.toLong, (i + 100).toLong)).toSet
     assert(expected.subsetOf(pairs), s"missed ${expected -- pairs}")
     assert(pairs.forall(p => expected.contains(p)), s"spurious ${pairs -- expected}")
+  }
+
+  test("minhash near-dup (exact-verified) equals the exact all-pairs jaccard") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.3)
+      .orderBy("ida", "idb").as[(Long, Long, Double)].collect().toSeq
+    val sketch = Dedup.minhashNearDup(docs, "doc_id", "text", 3, 64, 0.3)
+      .orderBy("ida", "idb").as[(Long, Long, Double)].collect().toSeq
+    assert(sketch == exact)
+  }
+
+  test("simhash banding derived from maxHamming preserves exact recall") {
+    // maxHamming = 6 needs 8 bands (pigeonhole); round-1's fixed 4 bands
+    // silently missed pairs whose 4-6 differing bits spread over all bands
+    val all = Dedup.simhashDF(docs, "doc_id", "text").as[(Long, Long)].collect()
+    val brute = (for {
+      a <- all; b <- all if a._1 < b._1
+      h = java.lang.Long.bitCount(a._2 ^ b._2) if h <= 6
+    } yield (a._1, b._1, h)).sortBy(t => (t._1, t._2)).toSeq
+    val got = Dedup.simhashPairs(docs, "doc_id", "text", 6)
+      .orderBy("ida", "idb").as[(Long, Long, Int)].collect().toSeq
+    assert(got == brute)
+  }
+
+  test("ImageIO decodes a real PNG's true dimensions; fakes fall back to stub") {
+    val img = new java.awt.image.BufferedImage(37, 21, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(5, 5, 0xff00ff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val media = Seq(
+      Multimodal.MediaDoc(1L, "image/png", bos.toByteArray),
+      Multimodal.MediaDoc(2L, "image/fake", "not an image".getBytes("UTF-8"))
+    ).toDS()
+    val meta = Multimodal.extractMeta(media).collect().map(m => m.doc_id -> m).toMap
+    assert(meta(1L).width == 37 && meta(1L).height == 21 && meta(1L).n_frames == 1)
+    assert(meta(2L).width == 64 + 12 % 640) // stub fallback
   }
 
   test("langid picks each planted language; empty → und") {

@@ -1,13 +1,13 @@
 #!/usr/bin/env bash
 # Scaling-efficiency protocol (BASELINE.md): identical build+query job at
-# local[8] (N) and local[32] (4N), each in a fresh JVM, nothing else
-# running. Usage: tools/scaling.sh [nConvs]
+# local[N] and local[4N], each in a fresh JVM, nothing else running.
+# Usage: tools/scaling.sh [nConvs] [reps] [loCores] [hiCores]
 set -euo pipefail
 cd "$(dirname "$0")/.."
 NCONVS="${1:-120000}"
 REPS="${2:-3}"
-LO="${3:-8}"
-HI="${4:-32}"
+LO="${3:-2}"
+HI="${4:-8}"
 RESULTS=()
 for rep in $(seq 1 "$REPS"); do
   for cores in "$LO" "$HI"; do
@@ -21,20 +21,25 @@ python3 - "$LO" "$HI" "${RESULTS[@]}" <<'EOF'
 import json, statistics, sys
 lo, hi = int(sys.argv[1]), int(sys.argv[2])
 pts = [json.loads(x) for x in sys.argv[3:]]
-by = {lo: [], hi: []}
-q = {lo: [], hi: []}
-for p in pts:
-    by[p["cores"]].append(p["build_turns_per_sec"])
-    q[p["cores"]].append(p["p50_query_sec"])
-mlo, mhi = statistics.median(by[lo]), statistics.median(by[hi])
+def med(cores, field):
+    return statistics.median(p[field] for p in pts if p["cores"] == cores)
+def allv(cores, field):
+    return [p[field] for p in pts if p["cores"] == cores]
+mlo, mhi = med(lo, "build_turns_per_sec"), med(hi, "build_turns_per_sec")
 print(json.dumps({
     "metric": "scaling_efficiency", "value": mhi / ((hi / lo) * mlo), "unit": "ratio",
     "cores": [lo, hi],
     f"build_turns_per_sec_local{lo}_median": mlo,
     f"build_turns_per_sec_local{hi}_median": mhi,
-    f"build_turns_per_sec_local{lo}_all": by[lo],
-    f"build_turns_per_sec_local{hi}_all": by[hi],
-    f"p50_query_sec_local{lo}_median": statistics.median(q[lo]),
-    f"p50_query_sec_local{hi}_median": statistics.median(q[hi]),
+    f"build_turns_per_sec_local{lo}_all": allv(lo, "build_turns_per_sec"),
+    f"build_turns_per_sec_local{hi}_all": allv(hi, "build_turns_per_sec"),
+    # engine-side evidence: CPU-seconds per turn should stay flat if the
+    # plan scales (growth = hardware contention, not plan serialization)
+    f"cpu_us_per_turn_local{lo}_median": med(lo, "cpu_us_per_turn"),
+    f"cpu_us_per_turn_local{hi}_median": med(hi, "cpu_us_per_turn"),
+    f"shuffle_bytes_per_turn_local{lo}_median": med(lo, "shuffle_bytes_per_turn"),
+    f"shuffle_bytes_per_turn_local{hi}_median": med(hi, "shuffle_bytes_per_turn"),
+    f"p50_query_sec_local{lo}_median": med(lo, "p50_query_sec"),
+    f"p50_query_sec_local{hi}_median": med(hi, "p50_query_sec"),
     "nConvs": pts[0]["nConvs"]}))
 EOF
