@@ -34,23 +34,23 @@ object Profile {
     t("explode.count") {
       docsP.select(col("docId"), explode(Analyzer.tokensCol(col("text"))).as("term")).count()
     }
-    val postings = docsP.select(col("docId"), col("dl"),
-      explode(Analyzer.tokensCol(col("text"))).as("term"))
-      .groupBy(col("term"), col("docId"), col("dl"))
-      .agg(count(lit(1)).cast("int").as("tf"))
-    t("postings.count")(postings.count())
+    // round-1 shape (kept for comparison): shuffle-backed tf aggregation
+    t("tfAgg(groupBy).count") {
+      docsP.select(col("docId"), col("dl"),
+        explode(Analyzer.tokensCol(col("text"))).as("term"))
+        .groupBy(col("term"), col("docId"), col("dl"))
+        .agg(count(lit(1)).cast("int").as("tf")).count()
+    }
+    // current shape: per-doc tf in the tokenize map pass (zero shuffle)
+    val b = new graft.index.IndexBuilder(spark, dir, "prof")
+    val postings = b.postingsOf(docsP)
+    t("postingsOf(mapP).count")(postings.count())
     t("postings.write")(postings.write.parquet(s"$dir/postings"))
     val p = spark.read.parquet(s"$dir/postings")
-    t("dictDirect.count") {
-      p.groupBy(col("term")).agg(count(lit(1)).as("df"), sum(col("tf")).as("cf")).count()
-    }
-    t("dictSalted.count") {
-      p.groupBy(col("term"), pmod(hash(col("docId")), lit(16)).as("s"))
-        .agg(count(lit(1)).as("dfp"), sum(col("tf")).as("cfp"))
-        .groupBy(col("term")).agg(sum(col("dfp")).as("df"), sum(col("cfp")).as("cf"))
-        .count()
-    }
+    t("dictDirect.count")(b.dictDirect(p).count())
+    t("dictSalted.count")(b.dictSalted(p, 16).count())
     t("sortRange.write") {
+      // for reference: what the sampled range shuffle used to cost
       p.repartitionByRange(32, col("term"), col("docId"))
         .sortWithinPartitions(col("term"), col("docId"))
         .write.parquet(s"$dir/sorted")

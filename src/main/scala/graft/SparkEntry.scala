@@ -43,9 +43,11 @@ object SparkEntry {
   private def documentsIndex(spark: SparkSession, dir: String): String =
     idxCache.computeIfAbsent(dir, _ => {
       val out = java.nio.file.Files.createTempDirectory("graft-docs-index").toString
-      val cfg = IndexConfig(numBuckets = 4, numShards = 8,
-        partitions = spark.sparkContext.defaultParallelism)
-      new IndexBuilder(spark, out, s"docs:$dir", cfg).build(documentsDocs(spark, dir))
+      val docs = documentsDocs(spark, dir)
+      // bucket count from the corpus-sizing rule (IndexConfig.sized)
+      val cfg = IndexConfig.sized(docs.count(), spark.sparkContext.defaultParallelism)
+        .copy(numShards = 8)
+      new IndexBuilder(spark, out, s"docs:$dir", cfg).build(docs)
       out
     })
 

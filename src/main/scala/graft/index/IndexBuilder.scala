@@ -56,6 +56,27 @@ final case class IndexConfig(
     materializePostings: Boolean = false
 )
 
+object IndexConfig {
+  /** Sizing rule (round-1 review: "name the rule"): buckets are the unit
+    * of query parallelism AND of per-query-task block memory (a WAND
+    * task materializes the query terms' blocks for ONE bucket), so they
+    * must grow with the corpus — numBuckets = ceil(docs /
+    * docsPerBucket), floored at min(4, cores) so small corpora still
+    * exercise the per-bucket merge, capped at 4096 (beyond that,
+    * per-bucket dictionary/blockstats overhead dominates; shard count
+    * handles further fan-out). At 10^12 turns with the default 16M
+    * docs/bucket this yields ~60k buckets ≈ 60k-way query parallelism,
+    * and a hot term's per-(bucket, task) block slice stays ≤ a few MB.
+    * Results are bucket-count-invariant (EngineSpec pins a 64-bucket
+    * build against the oracle).
+    */
+  def sized(nDocs: Long, cores: Int, docsPerBucket: Long = 16L << 20): IndexConfig = {
+    val bySize = (nDocs + docsPerBucket - 1) / docsPerBucket
+    val buckets = math.max(math.min(4, math.max(1, cores)), math.min(4096L, bySize).toInt)
+    IndexConfig(numBuckets = buckets, partitions = math.max(1, cores))
+  }
+}
+
 final case class BuildReport(
     n: Long,
     avgdl: Double,
@@ -365,7 +386,20 @@ class IndexBuilder(
         // Within a partition, sort on (termId, docId) restores term runs;
         // across partitions a hot term's runs are docId-disjoint slices —
         // exactly the invariant WAND needs of its block lists.
-        val partsPerBucket = math.max(1, cfg.partitions / cfg.numBuckets)
+        // Partition count is sized to per-task SORT memory, not to cores:
+        // each partition's postings are sorted in executor memory, so a
+        // partition must stay ~targetSortBytes regardless of parallelism
+        // (round-2 finding: partitions = cores made high-core runs spill
+        // — ~64 B/posting in the sorter — while low-core runs of the same
+        // corpus fit, silently skewing the N-vs-4N comparison; at 10^12
+        // turns "partitions = cores" would be off by orders of magnitude
+        // anyway). cores only set the FLOOR so all slots stay busy.
+        val sortBytesPerPosting = 64L
+        val targetSortBytes = 128L << 20
+        val neededParts = math.min(1 << 20,
+          1L + totalPostings * sortBytesPerPosting / targetSortBytes).toInt
+        val partsPerBucket = math.max(1,
+          math.max(cfg.partitions, neededParts) / cfg.numBuckets)
         val subWidth = math.max(1L, (bucketWidth + partsPerBucket - 1) / partsPerBucket)
         val numParts = cfg.numBuckets * partsPerBucket
         val hotDf = math.max(numParts.toLong * blockSize,
@@ -428,14 +462,18 @@ class IndexBuilder(
         val scored = postings0.filter(col("bucket") === lit(b))
           .join(dict0.select(col("term"), col("termId"), col("shard"), col("df")), Seq("term"))
           .select(col("termId"), col("shard"), col("docId"), col("tf"), col("dl"), col("df"))
-        // same sample-free df-aware routing as the fused path
-        val hotDf = math.max(cfg.partitions.toLong * blockSize,
-          totalPostings / (4L * math.max(1, cfg.partitions)))
-        val subWidth = math.max(1L, (bucketWidth + cfg.partitions - 1) / cfg.partitions)
+        // same sample-free df-aware routing + sort-memory partition
+        // sizing as the fused path (per-bucket share of the postings)
+        val perBucketPostings = math.max(1L, totalPostings / cfg.numBuckets)
+        val neededParts = math.min(1 << 20, 1L + perBucketPostings * 64L / (128L << 20)).toInt
+        val nParts = math.max(cfg.partitions, neededParts)
+        val hotDf = math.max(nParts.toLong * blockSize,
+          totalPostings / (4L * math.max(1, nParts)))
+        val subWidth = math.max(1L, (bucketWidth + nParts - 1) / nParts)
         val pid = when(col("df") >= lit(hotDf),
-            least(floor((col("docId") - lit(lo)) / lit(subWidth)), lit(cfg.partitions - 1L)))
-          .otherwise(pmod(hash(col("termId")), lit(cfg.partitions)))
-        val blocks = DirectPartition.byComputedPid(scored, pid, cfg.partitions)
+            least(floor((col("docId") - lit(lo)) / lit(subWidth)), lit(nParts - 1L)))
+          .otherwise(pmod(hash(col("termId")), lit(nParts)))
+        val blocks = DirectPartition.byComputedPid(scored, pid, nParts)
           .sortWithinPartitions(col("termId"), col("docId"))
           .as[(Long, Int, Long, Int, Int, Long)]
           .mapPartitions(rows => BlockEncoder.encode(rows, b, blockSize, n, avgdl))

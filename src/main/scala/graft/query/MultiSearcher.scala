@@ -1,0 +1,134 @@
+package graft.query
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.analysis.Analyzer
+import graft.model.{IndexStats, PostingBlock, Scored, TermStats}
+
+/** Cross-segment BM25 search with GLOBAL corpus statistics — the query
+  * side of streaming ingest (StreamingIngest appends each micro-batch as
+  * an independent `seg-<id>` index; reference behavior is one shared
+  * index with shared stats, NeoFinderToES.java:184-192 append runs, so
+  * queries must see the union as ONE corpus).
+  *
+  * Statistics merge associatively: N = Σ nᵢ, Σdl = Σ (nᵢ·avgdlᵢ)
+  * (dl sums are integer-valued and < 2^52, so the per-segment product
+  * rounds back to the exact integer sum), df(term) = Σ dfᵢ(term).
+  * Per-segment docId ranges are disjoint by construction (appendSegment
+  * offsets each batch past the current max docId), so per-(segment,
+  * bucket) WAND results merge with a plain top-k.
+  *
+  * Stored per-block maxScore / dictionary maxScore encode the SEGMENT's
+  * build-time stats and are not valid bounds under merged stats; block
+  * bounds are re-derived from the stored stats-independent maxTf as
+  * score(maxTf, dl = 0) (exact upper bound — BM25 is increasing in tf,
+  * decreasing in dl). Exact per-posting rescoring from the stored
+  * (tf, dl) streams with the global stats makes results rank-identical
+  * to an exhaustive oracle over the union (StreamingSpec).
+  */
+class MultiSearcher(spark: SparkSession, indexDir: String) {
+  import spark.implicits._
+
+  private val fs = new Path(indexDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** seg-* sub-index directories (sorted for determinism). */
+  val segments: Seq[String] = {
+    val p = new Path(indexDir)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath)
+      .filter(q => q.getName.startsWith("seg-"))
+      .map(_.toString).sorted
+  }
+  require(segments.nonEmpty, s"no seg-* sub-indexes under $indexDir")
+
+  private val segStats: Seq[IndexStats] =
+    segments.map(s => spark.read.parquet(s"$s/stats").as[IndexStats].head())
+
+  /** Global corpus stats over all segments. */
+  val n: Long = segStats.map(_.n).sum
+  val sumDl: Long = segStats.map(st => math.round(st.avgdl * st.n)).sum
+  val avgdl: Double = if (n == 0) 0.0 else sumDl.toDouble / n
+
+  /** Per-segment dictionary rows for the query terms + merged global df.
+    * Returns (globalDf by term, per-segment termId by (segIdx, term)).
+    */
+  private def lookup(terms: Seq[String]): (Map[String, Long], Map[(Int, String), TermStats]) = {
+    if (terms.isEmpty) return (Map.empty, Map.empty)
+    val perSeg = segments.zipWithIndex.flatMap { case (seg, i) =>
+      val found = spark.read.parquet(s"$seg/dict")
+        .filter(col("term").isin(terms: _*))
+        .as[TermStats].collect()
+      found.map(ts => (i, ts.term) -> ts)
+    }.toMap
+    val dfGlobal = perSeg.toSeq.groupBy(_._1._2)
+      .map { case (t, xs) => t -> xs.map(_._2.df).sum }
+    (dfGlobal, perSeg)
+  }
+
+  private def run(terms: Seq[String], k: Int, conjunctive: Boolean): Array[Scored] = {
+    val distinctTerms = terms.distinct.sorted
+    if (distinctTerms.isEmpty || k <= 0) return Array.empty
+    val (dfGlobal, perSeg) = lookup(distinctTerms)
+    if (dfGlobal.isEmpty) return Array.empty
+    if (conjunctive && dfGlobal.size < distinctTerms.size) return Array.empty
+    val nTerms = dfGlobal.size
+    val nG = n
+    val avgdlG = avgdl
+    // termId is segment-local: key block groups by (segIdx, termId)
+    val idToTerm: Map[(Int, Long), (String, Long)] =
+      perSeg.map { case ((i, t), ts) => (i, ts.termId) -> (t, dfGlobal(t)) }
+    val segBlocks: Seq[DataFrame] = segments.zipWithIndex.flatMap { case (seg, i) =>
+      val ids = perSeg.collect { case ((`i`, _), ts) => ts }.toSeq
+      if (ids.isEmpty) None
+      else {
+        val shards = ids.map(_.shard).distinct
+        Some(spark.read.parquet(s"$seg/blocks")
+          .filter(col("shard").isin(shards: _*) && col("termId").isin(ids.map(_.termId): _*))
+          .withColumn("seg", lit(i)))
+      }
+    }
+    if (segBlocks.isEmpty) return Array.empty
+    val all = segBlocks.reduce(_ unionByName _)
+      .select(col("seg").as("_1"), col("bucket").as("_2"),
+        struct(all_block_cols: _*).as("_3"))
+      .as[(Int, Int, PostingBlock)]
+    val perGroup = all
+      .groupByKey { case (seg, bucket, _) => (seg, bucket) }
+      .flatMapGroups { (_, it) =>
+        val rows = it.toArray
+        val segIdx = rows.head._1
+        val byTerm = rows.map(_._3).groupBy(_.termId)
+        if (conjunctive && byTerm.size < nTerms) Iterator.empty
+        else {
+          val iters = byTerm.map { case (tid, bs) =>
+            val (t, df) = idToTerm((segIdx, tid))
+            // bound from stats-independent maxTf (stored maxScore is
+            // stale under global stats)
+            val ub = bs.iterator.map(b => Bm25.score(b.maxTf, df, 0, nG, avgdlG)).max
+            new Wand.TermIterator(t, bs, ub, df, nG, avgdlG, staleBlockMax = true)
+          }.toSeq
+          val top = if (conjunctive) Wand.topKConjunctive(iters, k) else Wand.topK(iters, k)
+          top.iterator
+        }
+      }
+    perGroup.orderBy(col("score").desc, col("docId").asc).limit(k).collect()
+  }
+
+  private def all_block_cols: Seq[org.apache.spark.sql.Column] =
+    Seq("termId", "shard", "bucket", "blockId", "firstDocId", "lastDocId",
+      "count", "docs", "tfs", "dls", "maxTf", "maxScore").map(col)
+
+  /** Disjunctive (OR) BM25 top-k over the union of all segments. */
+  def search(query: String, k: Int): Array[Scored] =
+    run(Analyzer.analyzeQuery(query).toSeq, k, conjunctive = false)
+
+  /** Conjunctive (AND) BM25 top-k over the union of all segments. */
+  def searchConjunctive(query: String, k: Int): Array[Scored] =
+    run(Analyzer.analyzeQuery(query).toSeq, k, conjunctive = true)
+
+  /** All segments' doc stores as one DataFrame (docIds globally unique). */
+  def docs: DataFrame =
+    segments.map(s => spark.read.parquet(s"$s/docs")).reduce(_ unionByName _)
+}

@@ -19,6 +19,13 @@ object Wand {
     * firstDocId; docId-disjoint — guaranteed by build: range-partitioned
     * runs within docId-range buckets). Blocks are decoded lazily; block
     * skipping never decodes skipped blocks.
+    *
+    * `staleBlockMax = true` ignores the STORED per-block maxScore and
+    * re-derives a valid bound from the block's maxTf (stats-independent)
+    * as score(maxTf, dl = 0) — needed when the index is queried under
+    * DIFFERENT global stats than it was built with (cross-segment search
+    * over merged segments: stored maxScore encodes per-segment df/N/avgdl
+    * and is no longer an upper bound).
     */
   final class TermIterator(
       val term: String,
@@ -26,7 +33,8 @@ object Wand {
       val ub: Double,
       df: Long,
       n: Long,
-      avgdl: Double
+      avgdl: Double,
+      staleBlockMax: Boolean = false
   ) {
     private val blocks = blocksIn.sortBy(b => (b.firstDocId, b.lastDocId))
     private var bi = 0
@@ -45,7 +53,10 @@ object Wand {
     /** Max score of the block that contains (or is the first after) the
       * current position — used for the block-max refinement.
       */
-    def blockMax: Double = if (bi >= blocks.length) 0.0 else blocks(bi).maxScore
+    def blockMax: Double =
+      if (bi >= blocks.length) 0.0
+      else if (staleBlockMax) Bm25.score(blocks(bi).maxTf, df, 0, n, avgdl)
+      else blocks(bi).maxScore
 
     /** Last docId of the current block (skip horizon). */
     def blockLast: Long = if (bi >= blocks.length) Long.MaxValue else blocks(bi).lastDocId

@@ -172,6 +172,22 @@ class EngineSpec extends SparkSpec {
     assert(s.search("the zanzibar", 10).toSeq == want)
   }
 
+  test("results are bucket-count-invariant (64-bucket build ≡ oracle)") {
+    // the sizing rule (IndexConfig.sized) scales numBuckets with the
+    // corpus; correctness must not depend on the chosen count
+    val dirB = s"${TestSpark.tmpRoot}/index-manybuckets"
+    new IndexBuilder(spark, dirB, "snap-b64",
+      cfg.copy(numBuckets = 64)).build(docsDF.as[graft.model.Doc])
+    val s = new Searcher(spark, dirB, cfg.numShards)
+    for (q <- Seq("the zanzibar", "zanzibar quasar lattice", "t100 t2000 t30000")) {
+      val want = Oracle.topK(docsDF, q, 10).as[Scored].collect().toSeq
+      assert(s.search(q, 10).toSeq == want, s"64-bucket mismatch for '$q'")
+    }
+    val sized = IndexConfig.sized(nDocs = 1L << 34, cores = 1000)
+    assert(sized.numBuckets == 1024) // 2^34 docs / 16M = 1024 buckets
+    assert(IndexConfig.sized(100L, 8).numBuckets == 4) // small-corpus floor
+  }
+
   test("manifest carries lineage and metrics") {
     built
     val ms = new IndexBuilder(spark, indexDir, "snap-test-1", cfg).allManifests

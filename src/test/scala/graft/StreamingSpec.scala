@@ -41,6 +41,24 @@ class StreamingSpec extends SparkSpec {
     }.get
     val hits = new Searcher(spark, s"$idx/$segWithMarker", 8).search("zanzibar quasar", 10)
     assert(hits.nonEmpty)
+
+    // cross-segment search with GLOBAL stats: rank-identical (docIds AND
+    // scores) to the exhaustive oracle over the union of all segments —
+    // the reference's one-index-shared-stats append behavior
+    val multi = new graft.query.MultiSearcher(spark, idx)
+    assert(multi.segments.size == segs.length && multi.n == all.count())
+    val unionDocs = multi.docs
+    for (q <- Seq("zanzibar quasar lattice", "the", "the zanzibar",
+        "one have t999", "definitely-notavocab-word")) {
+      val want = graft.query.Oracle.topK(unionDocs, q, 10)
+        .as[graft.model.Scored].collect().toSeq
+      val got = multi.search(q, 10).toSeq
+      assert(got == want, s"multi-segment query '$q':\n got=$got\n want=$want")
+    }
+    // conjunctive across segments: both marker turns contain the phrase
+    val andWant = graft.query.Oracle.topKConjunctive(unionDocs, "the zanzibar", 10)
+      .as[graft.model.Scored].collect().toSeq
+    assert(multi.searchConjunctive("the zanzibar", 10).toSeq == andWant)
   }
 
   test("windowed streaming agg over the turn stream (memory sink)") {

@@ -6,8 +6,8 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 NCONVS="${1:-120000}"
 REPS="${2:-3}"
-LO="${3:-2}"
-HI="${4:-8}"
+LO="${3:-1}"
+HI="${4:-4}"
 RESULTS=()
 for rep in $(seq 1 "$REPS"); do
   for cores in "$LO" "$HI"; do
