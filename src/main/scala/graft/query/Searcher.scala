@@ -30,17 +30,35 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
   // driver-side dictionary (populated by warm() when the vocabulary fits;
   // otherwise lookups stay distributed — the 100 TB path)
   @volatile private var dictMap: Map[String, TermStats] = _
+  // driver-local serving index: bucket -> termId -> blocks. Populated by
+  // warm() ONLY when the compressed index fits `maxLocalBlockBytes`
+  // (bounded collect — same guard pattern as dictMap); queries then run
+  // WAND in-process with zero Spark jobs, which removes the ~100 ms
+  // per-query job-scheduling floor. Large indexes keep the distributed
+  // path (per-bucket WAND on executors) — identical results, same code.
+  @volatile private var localIdx: Map[Int, Map[Long, Array[PostingBlock]]] = _
 
   /** Pin blocks in executor memory and the dictionary on the driver (the
     * "warm index" state a serving deployment runs in; spills to disk if
     * larger than memory). `maxDriverDictTerms` guards driver memory —
-    * beyond it the dictionary stays a distributed lookup.
+    * beyond it the dictionary stays a distributed lookup;
+    * `maxLocalBlockBytes` additionally enables the in-process serving
+    * path when the whole compressed index fits (0 disables it).
     */
-  def warm(maxDriverDictTerms: Long = 5_000_000L): this.type = {
+  def warm(maxDriverDictTerms: Long = 5_000_000L,
+      maxLocalBlockBytes: Long = 256L << 20): this.type = {
     blocks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
     if (dict.count() <= maxDriverDictTerms)
       dictMap = dict.as[TermStats].collect().map(t => t.term -> t).toMap
     else dict.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
+    if (maxLocalBlockBytes > 0) {
+      val bytes = blocks
+        .agg(coalesce(sum(length(col("docs")) + length(col("tfs")) + length(col("dls"))
+          + lit(64)), lit(0L))).head().getLong(0)
+      if (bytes <= maxLocalBlockBytes)
+        localIdx = blocks.as[PostingBlock].collect()
+          .groupBy(_.bucket).view.mapValues(_.groupBy(_.termId)).toMap
+    }
     this
   }
 
@@ -65,6 +83,28 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
     blocks.filter(col("shard").isin(shards: _*) && col("termId").isin(ids: _*))
   }
 
+  /** In-process WAND over the driver-local index (no Spark job). */
+  private def runLocal(
+      found: Map[String, TermStats],
+      k: Int,
+      conjunctive: Boolean
+  ): Array[Scored] = {
+    val n = stats.n
+    val avgdl = stats.avgdl
+    val nTerms = found.size
+    val out = localIdx.iterator.flatMap { case (_, byTerm) =>
+      val iters = found.toSeq.flatMap { case (t, s) =>
+        byTerm.get(s.termId).map(bs => new Wand.TermIterator(t, bs, s.maxScore, s.df, n, avgdl))
+      }
+      if (iters.isEmpty || (conjunctive && iters.size < nTerms)) Iterator.empty
+      else {
+        val top = if (conjunctive) Wand.topKConjunctive(iters, k) else Wand.topK(iters, k)
+        top.iterator
+      }
+    }.toArray
+    out.sortBy(s => (-s.score, s.docId)).take(k)
+  }
+
   private def runPerBucket(
       terms: Seq[String],
       k: Int,
@@ -73,6 +113,7 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
     val found = lookupTerms(terms)
     if (found.isEmpty) return Array.empty
     if (conjunctive && found.size < terms.distinct.size) return Array.empty
+    if (localIdx != null) return runLocal(found, k, conjunctive)
     val n = stats.n
     val avgdl = stats.avgdl
     // termId -> (term, df, ub); the term string rides only this tiny map
@@ -117,6 +158,11 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
     val allTerms = analyzed.values.flatten.toSeq.distinct.sorted
     val found = lookupTerms(allTerms)
     if (found.isEmpty) return queries.map(_ -> Array.empty[Scored]).toMap
+    if (localIdx != null)
+      return queries.map { q =>
+        q -> runLocal(analyzed(q).flatMap(t => found.get(t).map(t -> _)).toMap, k,
+          conjunctive = false)
+      }.toMap
     val n = stats.n
     val avgdl = stats.avgdl
     val idOf: Map[String, Long] = found.map { case (t, s) => t -> s.termId }

@@ -87,6 +87,19 @@ class EngineSpec extends SparkSpec {
       assert(batched(q).toSeq == searcher.search(q, 10).toSeq, s"batched mismatch for '$q'")
   }
 
+  test("driver-local serving path (warm) ≡ distributed path for all queries") {
+    built
+    val warm = new Searcher(spark, indexDir, cfg.numShards).warm()
+    for (q <- queries) {
+      assert(warm.search(q, 10).toSeq == searcher.search(q, 10).toSeq, s"local OR '$q'")
+      assert(warm.searchConjunctive(q, 10).toSeq == searcher.searchConjunctive(q, 10).toSeq,
+        s"local AND '$q'")
+    }
+    val batched = warm.searchMany(queries, 10)
+    for (q <- queries)
+      assert(batched(q).toSeq == searcher.search(q, 10).toSeq, s"local batched '$q'")
+  }
+
   test("marker phrase hits resolve to the planted turns with text equality") {
     val res = searcher.searchResolved("zanzibar quasar lattice", 10)
       .select("conv_id", "turn_idx", "text").as[(String, Int, String)].collect()
