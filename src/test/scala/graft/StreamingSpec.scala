@@ -59,6 +59,13 @@ class StreamingSpec extends SparkSpec {
     val andWant = graft.query.Oracle.topKConjunctive(unionDocs, "the zanzibar", 10)
       .as[graft.model.Scored].collect().toSeq
     assert(multi.searchConjunctive("the zanzibar", 10).toSeq == andWant)
+
+    // edge cases: OOV → empty; analyzed-away → empty; k=0 → empty;
+    // AND with one term missing corpus-wide → empty
+    assert(multi.search("definitely-notavocab-word", 10).isEmpty)
+    assert(multi.search("!!! ...", 10).isEmpty)
+    assert(multi.search("the", 0).isEmpty)
+    assert(multi.searchConjunctive("the definitely-notavocab-word", 10).isEmpty)
   }
 
   test("windowed streaming agg over the turn stream (memory sink)") {
