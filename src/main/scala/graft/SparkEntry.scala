@@ -221,11 +221,14 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
         .orderBy(col("ida"), col("idb"))
     }),
     "q_minhash_lsh" -> ((s, dir) => {
-      // MinHash-blocked candidates + exact-Jaccard verify: the output is
-      // the exact all-pairs answer (P(miss | J>=0.3) = 0.7^64 ~ 1e-10),
-      // so the DuckDB twin is the exact all-pairs Jaccard
+      // MinHash-blocked candidates + sketch prefilter + exact-Jaccard
+      // verify at the recall-~1 oracle config (bands = numPerms ⇒
+      // P(no candidate | J>=0.3) = 0.7^64 ~ 1e-10; the 4σ estimate cut
+      // drops a true pair w.p. ≤ 3.2e-5): the output is the exact
+      // all-pairs answer, so the DuckDB twin is the exact all-pairs
+      // Jaccard. bands = 0 (derived r>1 banding) is the scale default.
       Dedup.minhashNearDup(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
-        shingleK = 3, numPerms = 64, minJ = 0.3)
+        shingleK = 3, numPerms = 64, minJ = 0.3, bands = 64)
         .orderBy(col("ida"), col("idb"))
     }),
     "q_minhash_est" -> ((s, dir) => {

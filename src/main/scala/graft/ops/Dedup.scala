@@ -177,13 +177,48 @@ object Dedup {
       .select(col("ida"), col("idb"), round(col("cosine"), 4).as("cosine"))
   }
 
-  /** MinHash-blocked near-dup pairs verified with the EXACT Jaccard —
-    * the scale path (candidates from sketch buckets, quadratic work only
-    * inside buckets) whose OUTPUT is the exact all-pairs answer whenever
-    * recall holds. Candidate rule: a pair is considered if any single
-    * minhash component collides (bands = numPerms, 1 row/band), so
-    * P(miss | J) = (1−J)^numPerms ≤ 1.2e-10 at J = 0.3, 64 perms — the
-    * harness checks this operator against the exact all-pairs SQL twin.
+  /** Largest rows-per-band r (dividing numPerms) whose banding still
+    * recalls a pair at `minJ` with miss probability ≤ `maxMiss`:
+    * P(miss | J) = (1 − J^r)^(numPerms/r), decreasing in J — so the bound
+    * at minJ covers every pair the operator must emit. Bigger r ⇒
+    * geometrically fewer random-pair candidates (P(candidate | J) ≈
+    * bands · J^r), so the derived banding is the cheapest one that keeps
+    * the stated recall.
+    */
+  def deriveBands(numPerms: Int, minJ: Double, maxMiss: Double = 0.05): Int = {
+    val rs = (1 to numPerms).filter(numPerms % _ == 0)
+    val r = rs.reverse.find { r =>
+      math.pow(1.0 - math.pow(minJ, r), numPerms.toDouble / r) <= maxMiss
+    }.getOrElse(1)
+    numPerms / r
+  }
+
+  /** MinHash-blocked near-dup pairs verified with the EXACT Jaccard.
+    * Three stages, each shrinking the pair stream before anything heavier
+    * touches it (round-2 review: the verify join must never see the raw
+    * candidate stream — at bands = numPerms that stream is near-all-pairs
+    * and joining full shingle sets into it is the quadratic path in an
+    * LSH costume):
+    *
+    *   1. banded candidates: bands of r = numPerms/bands signature rows;
+    *      a pair collides on a band with probability J^r, so
+    *      P(candidate | J) = 1 − (1 − J^r)^bands.
+    *   2. sketch prefilter: estimated Jaccard from the SIGNATURES alone.
+    *      At r = 1 the estimate is free — the band-collision count IS the
+    *      number of matching components (no join); at r > 1 candidates
+    *      are already sparse and the estimate comes from one join of the
+    *      64-long signature arrays (never the shingle sets). The cut
+    *      estCut = minJ − 4·sqrt(minJ(1−minJ)/numPerms) is 4σ below the
+    *      Binomial(numPerms, J) mean, so a true pair at J ≥ minJ is
+    *      dropped with probability ≤ Φ(−4) ≈ 3.2e-5.
+    *   3. exact verify: only the prefilter survivors join their shingle
+    *      sets; output = pairs with exact Jaccard ≥ minJ.
+    *
+    * `bands = 0` derives the banding from minJ (see [[deriveBands]] for
+    * the recall bound) — the scale default. `bands = numPerms` (r = 1) is
+    * the recall-≈1 oracle config (P(no candidate | J) = (1−J)^numPerms ≤
+    * 1.2e-10 at J = 0.3, 64 perms) the harness checks against the exact
+    * all-pairs SQL twin.
     */
   def minhashNearDup(
       df: DataFrame,
@@ -191,22 +226,58 @@ object Dedup {
       textCol: String,
       shingleK: Int = 3,
       numPerms: Int = 64,
-      minJ: Double = 0.3
+      minJ: Double = 0.3,
+      bands: Int = 0
   ): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    val nBands = if (bands > 0) bands else deriveBands(numPerms, minJ)
+    require(numPerms % nBands == 0, s"bands=$nBands must divide numPerms=$numPerms")
+    val rpb = numPerms / nBands
+    val estCut = math.max(1.0 / numPerms,
+      minJ - 4.0 * math.sqrt(minJ * (1.0 - minJ) / numPerms))
     val sh = shingles(df, idCol, textCol, shingleK)
     val sets = sh.groupBy(col(idCol)).agg(collect_set(col("sh")).as("shs")).cache()
     val np = numPerms
     val sigs = sets.as[(Long, Seq[String])]
       .map { case (id, s) => (id, minhashSignature(s, np)) }
       .toDF(idCol, "sig")
-    val banded = sigs.select(col(idCol), posexplode(col("sig"))).toDF(idCol, "band", "h")
-    val a = banded.toDF("ida", "band", "h")
-    val b = banded.toDF("idb", "band", "h")
-    val cand = a.join(b, Seq("band", "h")).filter(col("ida") < col("idb"))
-      .select("ida", "idb").distinct()
-    cand
+      .cache()
+    val survivors: DataFrame =
+      if (rpb == 1) {
+        // r = 1: band key = (component index, value); the per-pair
+        // collision count equals the number of matching components, so
+        // est_jaccard needs NO signature join — one count aggregation
+        // (map-side partials) on the collision stream.
+        val banded = sigs.select(col(idCol), posexplode(col("sig"))).toDF(idCol, "band", "h")
+        val a = banded.toDF("ida", "band", "h")
+        val b = banded.toDF("idb", "band", "h")
+        a.join(b, Seq("band", "h")).filter(col("ida") < col("idb"))
+          .groupBy(col("ida"), col("idb")).agg(count(lit(1)).as("m"))
+          .filter(col("m") >= lit(math.ceil(estCut * numPerms).toLong))
+          .select("ida", "idb")
+      } else {
+        // r > 1: candidates are sparse by construction; estimate from one
+        // signature-array join, then cut.
+        val banded = sigs.select(
+          col(idCol),
+          posexplode(transform(
+            sequence(lit(0), lit(nBands - 1)),
+            bnd => xxhash64(slice(col("sig"), bnd * lit(rpb) + lit(1), lit(rpb)), bnd)
+          ))
+        ).toDF(idCol, "band", "bh")
+        val a = banded.toDF("ida", "band", "bh")
+        val b = banded.toDF("idb", "band", "bh")
+        a.join(b, Seq("band", "bh")).filter(col("ida") < col("idb"))
+          .select("ida", "idb").distinct()
+          .join(sigs.toDF("ida", "siga"), Seq("ida"))
+          .join(sigs.toDF("idb", "sigb"), Seq("idb"))
+          .filter(
+            size(filter(zip_with(col("siga"), col("sigb"), (x, y) => x === y), x => x))
+              .cast("double") / lit(numPerms.toDouble) >= lit(estCut))
+          .select("ida", "idb")
+      }
+    survivors
       .join(sets.select(col(idCol).as("ida"), col("shs").as("sa")), Seq("ida"))
       .join(sets.select(col(idCol).as("idb"), col("shs").as("sb")), Seq("idb"))
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("double"))

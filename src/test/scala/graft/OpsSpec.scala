@@ -122,9 +122,24 @@ class OpsSpec extends SparkSpec {
   test("minhash near-dup (exact-verified) equals the exact all-pairs jaccard") {
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.3)
       .orderBy("ida", "idb").as[(Long, Long, Double)].collect().toSeq
-    val sketch = Dedup.minhashNearDup(docs, "doc_id", "text", 3, 64, 0.3)
+    // oracle config: bands = numPerms (r = 1), recall ~1 by construction
+    val sketch = Dedup.minhashNearDup(docs, "doc_id", "text", 3, 64, 0.3, bands = 64)
       .orderBy("ida", "idb").as[(Long, Long, Double)].collect().toSeq
     assert(sketch == exact)
+  }
+
+  test("minhash near-dup derived banding: r > 1 at low minJ, recall holds here") {
+    // derived banding trades bounded recall (P(miss|minJ) <= 0.05, see
+    // deriveBands) for geometrically fewer random-pair candidates
+    assert(Dedup.deriveBands(64, 0.3) == 32)  // r = 2
+    assert(Dedup.deriveBands(64, 0.8) == 16)  // r = 4
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.3)
+      .orderBy("ida", "idb").as[(Long, Long, Double)].collect().toSeq
+    val derived = Dedup.minhashNearDup(docs, "doc_id", "text", 3, 64, 0.3)
+      .orderBy("ida", "idb").as[(Long, Long, Double)].collect().toSeq
+    // every emitted pair is exact-verified (precision 1); on this fixture
+    // the planted near-dups are all recalled under the deterministic seeds
+    assert(derived == exact)
   }
 
   test("simhash banding derived from maxHamming preserves exact recall") {
