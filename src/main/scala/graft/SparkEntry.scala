@@ -518,16 +518,18 @@ FROM r ORDER BY doc_id""",
           "CAST(64 + octet_length(encode(text)) % 480 AS BIGINT) AS height, " +
           "CAST(1 + octet_length(encode(text)) % 16 AS BIGINT) AS n_frames " +
           "FROM documents ORDER BY doc_id"),
+      "q_fingerprint" ->
+        s"""WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '$SqlTokRegex'), x -> x <> '') AS arr FROM documents)
+SELECT doc_id,
+  list_reduce(
+    list_prepend(0::BIGINT, list_transform(arr, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)),
+    (acc, x) -> (acc * 1000003 + x % 2147483647) % 2147483647) AS fp
+FROM t ORDER BY doc_id""",
       // rows-only (no SQL-expressible oracle):
       //   q_minhash_est — emits the sketch ESTIMATE (engine-defined
       //     splitmix/fnv permutations); the exact-verified variant
       //     q_minhash_lsh is fully oracle-checked above, and OpsSpec pins
       //     the estimate's recall/precision.
-      //   q_fingerprint — xxhash64-based rolling fingerprint; DuckDB has
-      //     no xxhash64, and re-deriving it in SQL would mean
-      //     reimplementing the hash bit-for-bit in the oracle — the
-      //     oracle would then just mirror the engine. Rows-only + the
-      //     CodecSpec/OpsSpec determinism tests are the honest check.
       // golden-pinned oracles (deterministic fixtures → a VALUES literal
       // is the exact expected output; semantics additionally covered by
       // CatalogIngestSpec / GoldenSpec):

@@ -62,13 +62,13 @@ object IndexConfig {
     * task materializes the query terms' blocks for ONE bucket), so they
     * must grow with the corpus — numBuckets = ceil(docs /
     * docsPerBucket), floored at min(4, cores) so small corpora still
-    * exercise the per-bucket merge, capped at 4096 (beyond that,
-    * per-bucket dictionary/blockstats overhead dominates; shard count
-    * handles further fan-out). At 10^12 turns with the default 16M
-    * docs/bucket this yields ~60k buckets ≈ 60k-way query parallelism,
-    * and a hot term's per-(bucket, task) block slice stays ≤ a few MB.
-    * Results are bucket-count-invariant (EngineSpec pins a 64-bucket
-    * build against the oracle).
+    * exercise the per-bucket merge, capped at 4096. At 10^12 turns the
+    * cap binds: 4096 buckets of ~244M docs each, with the (bucket ×
+    * shard) grid — 4096 × 8 = 32k cells — and WAND's per-term docId
+    * slices providing query fan-out beyond the bucket count; raising the
+    * cap instead would push per-bucket dictionary/blockstats overhead
+    * past its value. Results are bucket-count-invariant (EngineSpec pins
+    * a 64-bucket build against the oracle).
     */
   def sized(nDocs: Long, cores: Int, docsPerBucket: Long = 16L << 20): IndexConfig = {
     val bySize = (nDocs + docsPerBucket - 1) / docsPerBucket
@@ -394,12 +394,18 @@ class IndexBuilder(
         // corpus fit, silently skewing the N-vs-4N comparison; at 10^12
         // turns "partitions = cores" would be off by orders of magnitude
         // anyway). cores only set the FLOOR so all slots stay busy.
+        // clamped to the inverse-key-table cap (DirectPartition.MaxParts);
+        // past it, partitions exceed targetSortBytes and the external
+        // sorter spills — graceful, and 64k × 128 MB already covers ~10^11
+        // postings per build (larger corpora run as several fused builds
+        // over docId sub-ranges, per the fusedBlocks doc above)
         val sortBytesPerPosting = 64L
         val targetSortBytes = 128L << 20
-        val neededParts = math.min(1 << 20,
+        val neededParts = math.min(DirectPartition.MaxParts.toLong,
           1L + totalPostings * sortBytesPerPosting / targetSortBytes).toInt
-        val partsPerBucket = math.max(1,
-          math.max(cfg.partitions, neededParts) / cfg.numBuckets)
+        val partsPerBucket = math.max(1, math.min(
+          DirectPartition.MaxParts / cfg.numBuckets,
+          math.max(cfg.partitions, neededParts) / cfg.numBuckets))
         val subWidth = math.max(1L, (bucketWidth + partsPerBucket - 1) / partsPerBucket)
         val numParts = cfg.numBuckets * partsPerBucket
         val hotDf = math.max(numParts.toLong * blockSize,
@@ -430,28 +436,27 @@ class IndexBuilder(
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         blocks.write.partitionBy("bucket", "shard")
           .mode(SaveMode.Overwrite).parquet(blocksPath)
-        // per-bucket manifest metrics ride the partials write job
-        // (Observation with one pair of aggregates per bucket — bucket
-        // count is a small config constant)
-        val obs = org.apache.spark.sql.Observation()
-        val perBucketAggs = (0 until cfg.numBuckets).flatMap { b =>
-          Seq(coalesce(sum(when(col("bucket") === lit(b), col("dfb"))), lit(0L)).as(s"p$b"),
-            coalesce(sum(when(col("bucket") === lit(b), col("bytesb"))), lit(0L)).as(s"y$b"))
-        }
         blocks.groupBy(col("bucket"), col("termId"))
           .agg(max(col("maxScore")).as("maxScore"), sum(col("count")).as("dfb"),
             sum(length(col("docs")) + length(col("tfs")) + length(col("dls"))).as("bytesb"))
-          .observe(obs, perBucketAggs.head, perBucketAggs.tail: _*)
           .write.partitionBy("bucket").mode(SaveMode.Overwrite).parquet(partialsPath)
         blocks.unpersist(blocking = false)
+        // per-bucket manifest metrics: one tiny groupBy over the just-
+        // written partials (round-2 review: an Observation with
+        // 2×numBuckets conditional sums is an 8192-expression
+        // CollectMetrics at the sized() bucket cap — evaluated per row)
+        val perBucket = spark.read.parquet(partialsPath)
+          .groupBy(col("bucket"))
+          .agg(coalesce(sum(col("dfb")), lit(0L)).as("p"),
+            coalesce(sum(col("bytesb")), lit(0L)).as("y"))
+          .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
         val wall = (System.nanoTime() - t0) / 1e9
-        val row = obs.get
         for (b <- 0 until cfg.numBuckets) {
           val lo = b.toLong * bucketWidth
           val hi = math.min(idBound, lo + bucketWidth)
+          val (p, y) = perBucket.getOrElse(b, (0L, 0L))
           writeManifest(BuildManifest(s"bucket=$b", b, lo, hi, snapshotId,
-            row(s"p$b").asInstanceOf[Long], row(s"y$b").asInstanceOf[Long],
-            "done", wall / cfg.numBuckets))
+            p, y, "done", wall / cfg.numBuckets))
           built += s"bucket=$b"
         }
       }
@@ -465,8 +470,9 @@ class IndexBuilder(
         // same sample-free df-aware routing + sort-memory partition
         // sizing as the fused path (per-bucket share of the postings)
         val perBucketPostings = math.max(1L, totalPostings / cfg.numBuckets)
-        val neededParts = math.min(1 << 20, 1L + perBucketPostings * 64L / (128L << 20)).toInt
-        val nParts = math.max(cfg.partitions, neededParts)
+        val neededParts = math.min(DirectPartition.MaxParts.toLong,
+          1L + perBucketPostings * 64L / (128L << 20)).toInt
+        val nParts = math.min(DirectPartition.MaxParts, math.max(cfg.partitions, neededParts))
         val hotDf = math.max(nParts.toLong * blockSize,
           totalPostings / (4L * math.max(1, nParts)))
         val subWidth = math.max(1L, (bucketWidth + nParts - 1) / nParts)

@@ -106,6 +106,28 @@ object Similarity {
     bits
   }
 
+  /** Probe set: every signature within Hamming distance ≤ h of `sig`,
+    * enumerated combinatorially as the C(bits,1..h) bit-flip
+    * combinations — Σⱼ C(bits,j) values, never a 0..2^bits scan
+    * (round-2 review: the scan was 16M driver iterations at the 24-bit
+    * autoBits cap).
+    */
+  def probeSignatures(sig: Int, bits: Int, h: Int): Seq[Int] = {
+    val out = scala.collection.mutable.ArrayBuffer[Int](sig)
+    def flips(start: Int, left: Int, cur: Int): Unit =
+      if (left > 0) {
+        var i = start
+        while (i < bits) {
+          val nxt = cur ^ (1 << i)
+          out += nxt
+          flips(i + 1, left - 1, nxt)
+          i += 1
+        }
+      }
+    flips(0, math.min(h, bits), sig)
+    out.toSeq
+  }
+
   /** LSH-bucketed approximate top-k: probe the query's bucket plus all
     * buckets within `probeHamming` bits, exact-rerank inside. At scale
     * the bucket column is a partition/cluster key so a query touches a
@@ -137,10 +159,16 @@ object Similarity {
       .map { case (id, v) => (id, v, signatureOf(v, bc.value)) }
       .toDF(idCol, vecCol, "bucket")
     val qSig = signatureOf(queryVec, planes)
-    val probeBuckets = (0 until (1 << bits))
-      .filter(b => java.lang.Integer.bitCount(b ^ qSig) <= probeHamming)
+    // small probe sets become an isin list (partition/row-group prunable
+    // when `bucket` is the table's cluster key); a wide radius degrades
+    // to a bit_count scan filter rather than materializing 2^bits probes
+    val probeBuckets = probeSignatures(qSig, bits, probeHamming)
+    val probeFilter =
+      if (probeHamming >= bits) lit(true)
+      else if (probeBuckets.size <= 4096) col("bucket").isin(probeBuckets: _*)
+      else bit_count(col("bucket").bitwiseXOR(lit(qSig))) <= lit(probeHamming)
     withSig
-      .filter(col("bucket").isin(probeBuckets: _*))
+      .filter(probeFilter)
       .withColumn("cosine", cosineCol(col(vecCol), typedLit(queryVec.toSeq)))
       .select(col(idCol), col("cosine"))
       .orderBy(col("cosine").desc, col(idCol).asc)

@@ -77,15 +77,24 @@ object TextOps {
       least(lit(1.0), lit(5.0) * stopRatioCol(text))
   }
 
+  /** Per-token 60-bit hash: the first 15 hex chars of MD5 as a long.
+    * MD5-derived (like SimHash's tokenHash64) rather than engine-private
+    * xxhash64 so the whole rolling fingerprint has an exact DuckDB twin:
+    * ('0x' || substr(md5(t), 1, 15))::BIGINT has the same bits.
+    * 60 bits < 63 so the conv→long cast can never overflow (ANSI-safe).
+    */
+  def tokenHash60Col(t: Column): Column =
+    conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+
   /** Order-sensitive 31-bit rolling document fingerprint over analyzed
-    * tokens: acc = (acc*1000003 + (xxhash64(token) mod p)) mod p,
-    * p = 2^31-1. Stays far from Long overflow (ANSI-safe); per-token
-    * hashing is Spark's codegen'd xxhash64.
+    * tokens: acc = (acc*1000003 + (h60(token) mod p)) mod p,
+    * p = 2^31-1. Stays far from Long overflow (ANSI-safe); all codegen'd
+    * built-ins.
     */
   def fingerprintCol(text: Column): Column =
     aggregate(
       Analyzer.tokensCol(text),
       lit(0L),
-      (acc, t) => pmod(acc * lit(1000003L) + pmod(xxhash64(t), lit(2147483647L)), lit(2147483647L))
+      (acc, t) => pmod(acc * lit(1000003L) + pmod(tokenHash60Col(t), lit(2147483647L)), lit(2147483647L))
     )
 }

@@ -38,12 +38,22 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
   // path (per-bucket WAND on executors) — identical results, same code.
   @volatile private var localIdx: Map[Int, Map[Long, Array[PostingBlock]]] = _
 
+  /** Conservative encoded-bytes → driver-heap expansion factor for the
+    * local serving index: each PostingBlock holds three byte arrays plus
+    * object/array headers, boxed map keys, and per-term array wrappers —
+    * measured small multiple of payload bytes (round-2 review).
+    */
+  private val LocalHeapExpansion = 4L
+
   /** Pin blocks in executor memory and the dictionary on the driver (the
     * "warm index" state a serving deployment runs in; spills to disk if
     * larger than memory). `maxDriverDictTerms` guards driver memory —
     * beyond it the dictionary stays a distributed lookup;
     * `maxLocalBlockBytes` additionally enables the in-process serving
-    * path when the whole compressed index fits (0 disables it).
+    * path when the whole compressed index fits (0 disables it). The
+    * budget is an estimated HEAP bound: encoded payload bytes ×
+    * [[LocalHeapExpansion]], so the default admits ~64 MB of encoded
+    * postings (~256 MB resident).
     */
   def warm(maxDriverDictTerms: Long = 5_000_000L,
       maxLocalBlockBytes: Long = 256L << 20): this.type = {
@@ -53,8 +63,8 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
     else dict.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
     if (maxLocalBlockBytes > 0) {
       val bytes = blocks
-        .agg(coalesce(sum(length(col("docs")) + length(col("tfs")) + length(col("dls"))
-          + lit(64)), lit(0L))).head().getLong(0)
+        .agg(coalesce(sum((length(col("docs")) + length(col("tfs")) + length(col("dls"))
+          + lit(64)) * lit(LocalHeapExpansion)), lit(0L))).head().getLong(0)
       if (bytes <= maxLocalBlockBytes)
         localIdx = blocks.as[PostingBlock].collect()
           .groupBy(_.bucket).view.mapValues(_.groupBy(_.termId)).toMap

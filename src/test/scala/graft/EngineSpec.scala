@@ -111,6 +111,25 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("DirectPartition fast probe hash ≡ Catalyst Murmur3Hash eval") {
+    // inverseHashKeys probes with Murmur3_x86_32.hashInt directly (the
+    // round-2 interpreted-expression probe was a driver stall at high
+    // partition counts); pin it against the expression it must invert
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash, Pmod}
+    for (n <- Seq(7, 32, 1000); k <- 0 until 50) {
+      val interp = Pmod(new Murmur3Hash(Seq(Literal(k))), Literal(n))
+        .eval(null).asInstanceOf[Int]
+      val fast = java.lang.Math.floorMod(
+        org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(k, 42), n)
+      assert(interp == fast, s"n=$n k=$k")
+    }
+    val keys = graft.index.DirectPartition.inverseHashKeys(257)
+    keys.zipWithIndex.foreach { case (k, p) =>
+      assert(java.lang.Math.floorMod(
+        org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(k, 42), 257) == p)
+    }
+  }
+
   test("salted dictionary ≡ direct dictionary") {
     val b = new IndexBuilder(spark, indexDir, "snap-test-1", cfg)
     val postings = b.postingsOf(docsDF)

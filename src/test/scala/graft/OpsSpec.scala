@@ -193,6 +193,13 @@ class OpsSpec extends SparkSpec {
     assert(fps(1L) == fps(3L))
     assert(fps(1L) != fps(2L))
     assert(fps.values.forall(v => v >= 0 && v < (1L << 31)))
+    // goldens cross-checked against the DuckDB twin (list_reduce over
+    // ('0x'||substr(md5(t),1,15))::BIGINT) — the MD5-derived token hash
+    // is what makes q_fingerprint oracle-checkable
+    assert(fps(1L) == 1767688106L && fps(2L) == 1427267971L)
+    val more = Seq(("", 1L), ("Hello, World! 42", 2L)).toDF("text", "id")
+      .select($"id", TextOps.fingerprintCol($"text")).as[(Long, Long)].collect().toMap
+    assert(more(1L) == 0L && more(2L) == 1715061573L)
   }
 
   test("multimodal plumbing: meta + frame sampling round-trips bytes") {
