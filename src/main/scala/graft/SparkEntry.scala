@@ -52,19 +52,30 @@ object SparkEntry {
     })
 
   private def wandTopK(spark: SparkSession, dir: String, q: String, k: Int,
-      conjunctive: Boolean): DataFrame = {
+      conjunctive: Boolean, phrase: Boolean = false): DataFrame = {
     import spark.implicits._
     val s = new Searcher(spark, documentsIndex(spark, dir), 8)
-    val hits = if (conjunctive) s.searchConjunctive(q, k) else s.search(q, k)
+    val hits =
+      if (phrase) s.searchPhrase(q, k)
+      else if (conjunctive) s.searchConjunctive(q, k)
+      else s.search(q, k)
     hits.toSeq.zipWithIndex
       .map { case (h, i) => ((i + 1).toLong, h.docId, BigDecimal(h.score).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) }
       .toDF("rank", "doc_id", "score")
   }
 
-  /** BM25 oracle SQL over the documents table for a fixed query. */
-  private def bm25Sql(terms: Seq[String], k: Int, conjunctive: Boolean): String = {
+  /** BM25 oracle SQL over the documents table for a fixed query.
+    * `phrase` non-null restricts to docs whose analyzed token stream
+    * contains the phrase adjacently (substring of the space-joined
+    * stream — exact, tokens cannot contain spaces).
+    */
+  private def bm25Sql(terms: Seq[String], k: Int, conjunctive: Boolean,
+      phrase: Seq[String] = null): String = {
     val score = Bm25.scoreSql("tf.tf", "df.df", "dl.dl", "st.n", "st.avgdl")
     val having = if (conjunctive) s"HAVING count(*) = ${terms.size}" else ""
+    val phraseAnd = if (phrase == null) "" else
+      s""" AND tf.doc_id IN (SELECT doc_id FROM documents
+    WHERE contains(' ' || array_to_string(list_filter(regexp_split_to_array(lower(text), '$SqlTokRegex'), x -> x <> ''), ' ') || ' ', ' ${phrase.mkString(" ")} '))"""
     s"""${toksCte("documents", "doc_id")},
 dl AS (SELECT d.doc_id, coalesce(t.n, 0) AS dl FROM documents d
        LEFT JOIN (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id) t ON d.doc_id = t.doc_id),
@@ -74,7 +85,7 @@ df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
 scored AS (
   SELECT tf.doc_id, sum($score ORDER BY tf.term ASC) AS score
   FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
-  WHERE tf.term IN ${inList(terms)}
+  WHERE tf.term IN ${inList(terms)}$phraseAnd
   GROUP BY tf.doc_id $having)
 SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
        doc_id, round(score, 4) AS score
@@ -83,6 +94,7 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
 
   private val Bm25Query = "spark query window merge"
   private val AndQuery = "spark window customer"
+  private val PhraseQuery = "merge sort" // adjacent bigram present at every sf
 
   /** Flagship: BM25 WAND top-10 over sf0.001 documents via the full
     * engine (index build + compressed blocks + block-max WAND).
@@ -200,6 +212,10 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
       wandTopK(s, dir, Bm25Query, 10, conjunctive = false)),
     "q_bm25_and" -> ((s, dir) =>
       wandTopK(s, dir, AndQuery, 10, conjunctive = true)),
+    "q_bm25_phrase" -> ((s, dir) =>
+      // positional postings + adjacency check (ES match_phrase); the
+      // DuckDB twin filters on exact substring of the analyzed stream
+      wandTopK(s, dir, PhraseQuery, 10, conjunctive = false, phrase = true)),
     "q_bm25_oracle" -> ((s, dir) => {
       import s.implicits._
       // exhaustive scorer, no index — the in-repo oracle as an operator
@@ -435,6 +451,8 @@ dl AS (SELECT d.doc_id, coalesce(t.n, 0) AS dl FROM documents d
 SELECT CAST(count(*) AS BIGINT) AS n_docs, round(avg(dl), 6) AS avgdl FROM dl""",
       "q_bm25_topk" -> bm25Sql(Analyzer.analyzeQuery(Bm25Query).toSeq, 10, conjunctive = false),
       "q_bm25_and" -> bm25Sql(Analyzer.analyzeQuery(AndQuery).toSeq, 10, conjunctive = true),
+      "q_bm25_phrase" -> bm25Sql(Analyzer.analyzeQuery(PhraseQuery).toSeq, 10,
+        conjunctive = true, phrase = Analyzer.tokenize(PhraseQuery).toSeq),
       "q_bm25_oracle" ->
         (bm25Sql(Analyzer.analyzeQuery(Bm25Query).toSeq, 10, conjunctive = false)),
       "q_dedup_exact" ->

@@ -85,7 +85,9 @@ object Codec {
   /** Encode one term's postings (already sorted by docId asc) into blocks
     * of ≤ blockSize, computing exact per-block max tf and max BM25 score.
     * `scores(i)` is the exact per-posting BM25 contribution (computed at
-    * build with the global df/N/avgdl).
+    * build with the global df/N/avgdl). `poss(i)` is posting i's
+    * already-varint-encoded position stream (empty arrays when positions
+    * are not stored) — per-block streams are a plain concatenation.
     */
   def encodeBlocks(
       termId: Long,
@@ -95,6 +97,7 @@ object Codec {
       tfs: Array[Int],
       dls: Array[Int],
       scores: Array[Double],
+      poss: Array[Array[Byte]],
       blockSize: Int
   ): Iterator[PostingBlock] = {
     val n = docIds.length
@@ -107,17 +110,27 @@ object Codec {
       val d = java.util.Arrays.copyOfRange(dls, lo, hi)
       var maxTf = 0
       var maxScore = Double.NegativeInfinity
+      var posBytes = 0
       var i = lo
       while (i < hi) {
         if (tfs(i) > maxTf) maxTf = tfs(i)
         if (scores(i) > maxScore) maxScore = scores(i)
+        posBytes += poss(i).length
+        i += 1
+      }
+      val pcat = new Array[Byte](posBytes)
+      var off = 0
+      i = lo
+      while (i < hi) {
+        System.arraycopy(poss(i), 0, pcat, off, poss(i).length)
+        off += poss(i).length
         i += 1
       }
       PostingBlock(
         termId = termId, shard = shard, bucket = bucket, blockId = b,
         firstDocId = ids(0), lastDocId = ids(ids.length - 1), count = hi - lo,
         docs = deltaEncode(ids), tfs = encodeVarInts(t), dls = encodeVarInts(d),
-        maxTf = maxTf, maxScore = maxScore
+        poss = pcat, maxTf = maxTf, maxScore = maxScore
       )
     }
   }
@@ -130,4 +143,51 @@ object Codec {
       decodeVarInts(b.tfs, b.count),
       decodeVarInts(b.dls, b.count)
     )
+
+  /** Per-posting positions of a block: posting i has tfs(i) positions,
+    * delta-encoded (first absolute, then gaps), streams concatenated in
+    * posting order. Empty poss (positions not stored) → null.
+    */
+  def decodePositions(b: PostingBlock, tfs: Array[Int]): Array[Array[Int]] = {
+    if (b.poss == null || b.poss.isEmpty) return null
+    val out = new Array[Array[Int]](b.count)
+    var pos = 0
+    var i = 0
+    while (i < b.count) {
+      val n = tfs(i)
+      val ps = new Array[Int](n)
+      var acc = 0
+      var j = 0
+      while (j < n) {
+        var shift = 0
+        var v = 0L
+        var byte0 = 0
+        do {
+          byte0 = b.poss(pos) & 0xff
+          pos += 1
+          v |= (byte0 & 0x7fL) << shift
+          shift += 7
+        } while ((byte0 & 0x80) != 0)
+        acc += v.toInt
+        ps(j) = acc
+        j += 1
+      }
+      out(i) = ps
+      i += 1
+    }
+    out
+  }
+
+  /** Varint-delta encode one ascending position list (first absolute). */
+  def encodePositions(positions: Array[Int]): Array[Byte] = {
+    val buf = new java.io.ByteArrayOutputStream(positions.length + 4)
+    var prev = 0
+    var i = 0
+    while (i < positions.length) {
+      writeVarLong(buf, (positions(i) - prev).toLong)
+      prev = positions(i)
+      i += 1
+    }
+    buf.toByteArray
+  }
 }

@@ -53,7 +53,14 @@ final case class IndexConfig(
       * pass either way, but no extra full write+read of the posting
       * stream through storage; a resumed build re-tokenizes once.
       */
-    materializePostings: Boolean = false
+    materializePostings: Boolean = false,
+    /** Store per-posting token positions (varint gap streams) in the
+      * blocks — what makes phrase queries answerable (ES analyzed fields
+      * record positions by default; reference parity). Costs ~1-2 bytes
+      * per term OCCURRENCE through the shuffle and on disk; turn off for
+      * builds that will never serve phrase/proximity queries.
+      */
+    storePositions: Boolean = true
 )
 
 object IndexConfig {
@@ -192,44 +199,53 @@ class IndexBuilder(
 
   // --- build phases --------------------------------------------------------
 
-  /** (term, docId, tf, dl) postings — one row per distinct (term, doc).
-    * `dl` rides along so no big doc-side join is ever needed (SURVEY.md
-    * A6). tf is aggregated PER DOC inside a narrow map pass: a document's
-    * tokens are by definition co-located, so term frequency needs no
-    * shuffle and no corpus-wide hash table. (Round-1 shape —
-    * explode + groupBy(term, docId) — shuffled ~1 row per posting and
-    * built a postings-cardinality hash aggregate for a ~1.35:1 reduction;
+  /** (term, docId, tf, dl, pos) postings — one row per distinct (term,
+    * doc). `dl` rides along so no big doc-side join is ever needed
+    * (SURVEY.md A6). tf — and, when cfg.storePositions, the term's token
+    * positions — are aggregated PER DOC inside a narrow map pass: a
+    * document's tokens are by definition co-located, so neither needs a
+    * shuffle or a corpus-wide hash table. Positions leave this pass
+    * already varint-gap-encoded (`pos: Array[Byte]`) so the raw ints
+    * never ride the block shuffle. (Round-1 shape — explode +
+    * groupBy(term, docId) — shuffled ~1 row per posting and built a
+    * postings-cardinality hash aggregate for a ~1.35:1 reduction;
     * measured 34 s of the 96 s build at 1 M turns. This pass is
     * per-partition imperative logic, the documented legitimate use of
     * typed mapPartitions.)
     */
-  def postingsOf(docs: DataFrame): DataFrame =
+  def postingsOf(docs: DataFrame): DataFrame = {
+    val withPos = cfg.storePositions
+    val empty = Array.empty[Byte]
     docs.select(col("docId"), col("dl"), col("text"))
       .as[(Long, Int, String)]
       .mapPartitions { it =>
-        val counts = new java.util.HashMap[String, Integer](128)
+        // per-doc term table; PosAcc is reused across docs via clear()
+        val acc = new java.util.HashMap[String, PosAcc](128)
         it.flatMap { case (id, dl, text) =>
-          counts.clear()
+          acc.clear()
           val toks = Analyzer.tokenize(text)
           var i = 0
           while (i < toks.length) {
-            val prev = counts.get(toks(i))
-            counts.put(toks(i), if (prev == null) 1 else prev + 1)
+            val prev = acc.get(toks(i))
+            val a = if (prev == null) { val p = new PosAcc; acc.put(toks(i), p); p } else prev
+            if (withPos) a.add(i) else a.n += 1
             i += 1
           }
-          // materialize eagerly: `counts` is reused for the next doc
-          val out = new Array[(String, Long, Int, Int)](counts.size)
-          val entries = counts.entrySet().iterator()
+          // materialize eagerly: `acc` is reused for the next doc
+          val out = new Array[(String, Long, Int, Int, Array[Byte])](acc.size)
+          val entries = acc.entrySet().iterator()
           var j = 0
           while (entries.hasNext) {
             val e = entries.next()
-            out(j) = (e.getKey, id, e.getValue.intValue(), dl)
+            val a = e.getValue
+            out(j) = (e.getKey, id, a.n, dl, if (withPos) a.encoded else empty)
             j += 1
           }
           out.iterator
         }
       }
-      .toDF("term", "docId", "tf", "dl")
+      .toDF("term", "docId", "tf", "dl", "pos")
+  }
 
   /** Direct per-term df/cf (single hash agg — partial+final via Catalyst). */
   def dictDirect(postings: DataFrame): DataFrame =
@@ -364,11 +380,12 @@ class IndexBuilder(
       if (resume && bucketCells.forall(isDone)) skipped ++= bucketCells
       else {
         val t0 = System.nanoTime()
-        // Shuffle schema is deliberately minimal: (bucket, termId, shard,
-        // docId, tf, dl, df). No term string (dict-encoded), no per-posting
-        // score (recomputed inside the encoder from tf/df/dl — df is
-        // run-constant per term, so it lz4-compresses to ~nothing in the
-        // sorted shuffle, unlike the high-entropy double it replaces).
+        // Shuffle schema is deliberately minimal: (termId, shard, docId,
+        // tf, dl, df) + the pre-encoded position gap bytes. No term string
+        // (dict-encoded), no per-posting score (recomputed inside the
+        // encoder from tf/df/dl — df is run-constant per term, so it
+        // lz4-compresses to ~nothing in the sorted shuffle, unlike the
+        // high-entropy double it replaces).
         //
         // Partition routing is CLOSED-FORM and df-AWARE — no
         // repartitionByRange sampling pass (which re-executed the whole
@@ -418,7 +435,8 @@ class IndexBuilder(
         // shuffle/sort.
         val scored = postings0
           .join(dict0.select(col("term"), col("termId"), col("shard"), col("df")), Seq("term"))
-          .select(col("termId"), col("shard"), col("docId"), col("tf"), col("dl"), col("df"))
+          .select(col("termId"), col("shard"), col("docId"), col("tf"), col("dl"), col("df"),
+            col("pos"))
         val bucketExpr = least(floor(col("docId") / lit(bucketWidth)), lit(cfg.numBuckets - 1L))
         val slicePid = least(
           floor((col("docId") - bucketExpr * lit(bucketWidth)) / lit(subWidth)),
@@ -430,7 +448,7 @@ class IndexBuilder(
         val bw = bucketWidth
         val blocks = DirectPartition.byComputedPid(scored, pid, numParts)
           .sortWithinPartitions(col("termId"), col("docId"))
-          .as[(Long, Int, Long, Int, Int, Long)]
+          .as[(Long, Int, Long, Int, Int, Long, Array[Byte])]
           .mapPartitions(rows => BlockEncoder.encodeFused(rows, blockSize, n, avgdl,
             bw, nBuckets))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -438,7 +456,7 @@ class IndexBuilder(
           .mode(SaveMode.Overwrite).parquet(blocksPath)
         blocks.groupBy(col("bucket"), col("termId"))
           .agg(max(col("maxScore")).as("maxScore"), sum(col("count")).as("dfb"),
-            sum(length(col("docs")) + length(col("tfs")) + length(col("dls"))).as("bytesb"))
+            sum(length(col("docs")) + length(col("tfs")) + length(col("dls")) + length(col("poss"))).as("bytesb"))
           .write.partitionBy("bucket").mode(SaveMode.Overwrite).parquet(partialsPath)
         blocks.unpersist(blocking = false)
         // per-bucket manifest metrics: one tiny groupBy over the just-
@@ -466,7 +484,8 @@ class IndexBuilder(
       phase(s"bucket=$b") {
         val scored = postings0.filter(col("bucket") === lit(b))
           .join(dict0.select(col("term"), col("termId"), col("shard"), col("df")), Seq("term"))
-          .select(col("termId"), col("shard"), col("docId"), col("tf"), col("dl"), col("df"))
+          .select(col("termId"), col("shard"), col("docId"), col("tf"), col("dl"), col("df"),
+            col("pos"))
         // same sample-free df-aware routing + sort-memory partition
         // sizing as the fused path (per-bucket share of the postings)
         val perBucketPostings = math.max(1L, totalPostings / cfg.numBuckets)
@@ -481,7 +500,7 @@ class IndexBuilder(
           .otherwise(pmod(hash(col("termId")), lit(nParts)))
         val blocks = DirectPartition.byComputedPid(scored, pid, nParts)
           .sortWithinPartitions(col("termId"), col("docId"))
-          .as[(Long, Int, Long, Int, Int, Long)]
+          .as[(Long, Int, Long, Int, Int, Long, Array[Byte])]
           .mapPartitions(rows => BlockEncoder.encode(rows, b, blockSize, n, avgdl))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         blocks.drop("bucket").write.partitionBy("shard")
@@ -490,7 +509,7 @@ class IndexBuilder(
         // second pass over the postings): exact max block score + df/bytes
         blocks.groupBy(col("termId"))
           .agg(max(col("maxScore")).as("maxScore"), sum(col("count")).as("dfb"),
-            sum(length(col("docs")) + length(col("tfs")) + length(col("dls"))).as("bytesb"))
+            sum(length(col("docs")) + length(col("tfs")) + length(col("dls")) + length(col("poss"))).as("bytesb"))
           .write.mode(SaveMode.Overwrite).parquet(s"$partialsPath/bucket=$b")
         blocks.unpersist(blocking = false)
         val mrow = spark.read.parquet(s"$partialsPath/bucket=$b")
@@ -531,6 +550,23 @@ class IndexBuilder(
   }
 }
 
+/** Reusable per-(doc, term) position accumulator for the tokenize pass:
+  * a growable int list with a direct varint-gap encoder.
+  */
+private[index] final class PosAcc {
+  var n: Int = 0
+  private var buf: Array[Int] = _
+  def add(p: Int): Unit = {
+    if (buf == null) buf = new Array[Int](4)
+    else if (n == buf.length) buf = java.util.Arrays.copyOf(buf, n * 2)
+    buf(n) = p
+    n += 1
+  }
+  def encoded: Array[Byte] =
+    Codec.encodePositions(
+      if (buf.length == n) buf else java.util.Arrays.copyOf(buf, n))
+}
+
 /** Streaming run-grouping block encoder: consumes (termId, shard, docId,
   * tf, dl, df) rows sorted by (termId, docId) and emits compressed
   * blocks, holding at most `blockSize` postings in memory at a time.
@@ -540,14 +576,17 @@ class IndexBuilder(
   */
 object BlockEncoder {
 
-  /** Fused-mode encoder: rows (termId, shard, docId, tf, dl, df) sorted
-    * by (termId, docId). The bucket is NOT carried in the rows — it is
-    * re-derived from docId (buckets are fixed docId ranges). Runs are
-    * grouped on (termId, bucket); docId-sorted order makes bucket
-    * monotonic within a termId run, so both are contiguous.
+  /** One shuffled posting row: (termId, shard, docId, tf, dl, df, pos). */
+  type Row = (Long, Int, Long, Int, Int, Long, Array[Byte])
+
+  /** Fused-mode encoder: rows sorted by (termId, docId). The bucket is
+    * NOT carried in the rows — it is re-derived from docId (buckets are
+    * fixed docId ranges). Runs are grouped on (termId, bucket);
+    * docId-sorted order makes bucket monotonic within a termId run, so
+    * both are contiguous.
     */
   def encodeFused(
-      rows: Iterator[(Long, Int, Long, Int, Int, Long)],
+      rows: Iterator[Row],
       blockSize: Int,
       n: Long,
       avgdl: Double,
@@ -562,7 +601,7 @@ object BlockEncoder {
       override def next(): Iterator[PostingBlock] = {
         val termId = it.head._1
         val bucket = bucketOf(it.head._3)
-        val run = new scala.collection.mutable.ArrayBuffer[(Long, Int, Long, Int, Int, Long)]()
+        val run = new scala.collection.mutable.ArrayBuffer[Row]()
         while (it.hasNext && it.head._1 == termId && bucketOf(it.head._3) == bucket)
           run += it.next()
         encode(run.iterator, bucket, blockSize, n, avgdl)
@@ -571,9 +610,8 @@ object BlockEncoder {
     grouped.flatten
   }
 
-  /** Fields: (termId, shard, docId, tf, dl, df), sorted by (termId, docId). */
   def encode(
-      rows: Iterator[(Long, Int, Long, Int, Int, Long)],
+      rows: Iterator[Row],
       bucket: Int,
       blockSize: Int,
       n: Long,
@@ -590,18 +628,19 @@ object BlockEncoder {
         val tfs = new scala.collection.mutable.ArrayBuffer[Int](blockSize)
         val dls = new scala.collection.mutable.ArrayBuffer[Int](blockSize)
         val scs = new scala.collection.mutable.ArrayBuffer[Double](blockSize)
+        val pss = new scala.collection.mutable.ArrayBuffer[Array[Byte]](blockSize)
         val acc = new scala.collection.mutable.ArrayBuffer[PostingBlock]()
         var blockId = 0
         def flush(): Unit = if (ids.nonEmpty) {
           acc ++= Codec.encodeBlocks(termId, shard, bucket,
-            ids.toArray, tfs.toArray, dls.toArray, scs.toArray, blockSize)
+            ids.toArray, tfs.toArray, dls.toArray, scs.toArray, pss.toArray, blockSize)
             .map(_.copy(blockId = blockId))
           blockId += 1
-          ids.clear(); tfs.clear(); dls.clear(); scs.clear()
+          ids.clear(); tfs.clear(); dls.clear(); scs.clear(); pss.clear()
         }
         while (it.hasNext && it.head._1 == termId) {
           val r = it.next()
-          ids += r._3; tfs += r._4; dls += r._5
+          ids += r._3; tfs += r._4; dls += r._5; pss += r._7
           scs += Bm25.score(r._4, r._6, r._5, n, avgdl)
           if (ids.length == blockSize) flush()
         }

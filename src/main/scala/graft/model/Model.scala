@@ -34,8 +34,12 @@ final case class Doc(
     dl: Int
 )
 
-/** Uncompressed posting (build-time intermediate). */
-final case class Posting(term: String, docId: Long, tf: Int, dl: Int)
+/** Uncompressed posting (build-time intermediate). `pos` is the
+  * varint-encoded delta stream of the term's token positions in the doc
+  * (tf entries; first absolute, then gaps) — encoded in the tokenize
+  * pass so the raw Int positions never ride a shuffle.
+  */
+final case class Posting(term: String, docId: Long, tf: Int, dl: Int, pos: Array[Byte])
 
 /** One compressed posting block (≤ blockSize postings of one term within
   * one bucket/segment). The term is dictionary-encoded: `termId` is the
@@ -46,7 +50,11 @@ final case class Posting(term: String, docId: Long, tf: Int, dl: Int)
   * are varint encoded (dl is kept per posting in STORAGE deliberately —
   * Lucene-norm style — so postings can be re-scored under different
   * global stats, e.g. cross-segment search with merged (N, avgdl)).
-  * `maxScore` is the exact BM25 block-max used by WAND pruning.
+  * `poss` is the concatenated per-posting position stream (posting i has
+  * tfs[i] positions, delta+varint — Lucene-style positional postings for
+  * phrase queries; empty when the index is built with
+  * storePositions = false). `maxScore` is the exact BM25 block-max used
+  * by WAND pruning.
   */
 final case class PostingBlock(
     termId: Long,
@@ -59,6 +67,7 @@ final case class PostingBlock(
     docs: Array[Byte],
     tfs: Array[Byte],
     dls: Array[Byte],
+    poss: Array[Byte],
     maxTf: Int,
     maxScore: Double
 )

@@ -118,7 +118,7 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
 
   private def all_block_cols: Seq[org.apache.spark.sql.Column] =
     Seq("termId", "shard", "bucket", "blockId", "firstDocId", "lastDocId",
-      "count", "docs", "tfs", "dls", "maxTf", "maxScore").map(col)
+      "count", "docs", "tfs", "dls", "poss", "maxTf", "maxScore").map(col)
 
   /** Disjunctive (OR) BM25 top-k over the union of all segments. */
   def search(query: String, k: Int): Array[Scored] =

@@ -18,6 +18,12 @@ import graft.model.{IndexStats, PostingBlock, Scored, TermStats}
   * segments ⇒ embarrassingly parallel, exactly ES's shard-then-merge
   * topology); (5) tiny driver merge of per-bucket top-k.
   */
+/** Execution mode of one query: OR (WAND), AND (intersection), or
+  * phrase (intersection + position adjacency; `slots` = analyzed
+  * phrase terms in order, possibly repeating).
+  */
+private[query] final case class SearchMode(conjunctive: Boolean, slots: Seq[String])
+
 class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
   import spark.implicits._
 
@@ -64,7 +70,7 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
     if (maxLocalBlockBytes > 0) {
       val bytes = blocks
         .agg(coalesce(sum((length(col("docs")) + length(col("tfs")) + length(col("dls"))
-          + lit(64)) * lit(LocalHeapExpansion)), lit(0L))).head().getLong(0)
+          + length(col("poss")) + lit(64)) * lit(LocalHeapExpansion)), lit(0L))).head().getLong(0)
       if (bytes <= maxLocalBlockBytes)
         localIdx = blocks.as[PostingBlock].collect()
           .groupBy(_.bucket).view.mapValues(_.groupBy(_.termId)).toMap
@@ -93,24 +99,31 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
     blocks.filter(col("shard").isin(shards: _*) && col("termId").isin(ids: _*))
   }
 
+  private type Mode = SearchMode
+  private def Mode(conjunctive: Boolean, slots: Seq[String] = null): Mode =
+    SearchMode(conjunctive, slots)
+
+  private def runWand(iters: Seq[Wand.TermIterator], k: Int, mode: Mode): Array[Scored] =
+    if (mode.slots != null) Wand.topKPhrase(iters, mode.slots, k)
+    else if (mode.conjunctive) Wand.topKConjunctive(iters, k)
+    else Wand.topK(iters, k)
+
   /** In-process WAND over the driver-local index (no Spark job). */
   private def runLocal(
       found: Map[String, TermStats],
       k: Int,
-      conjunctive: Boolean
+      mode: Mode
   ): Array[Scored] = {
     val n = stats.n
     val avgdl = stats.avgdl
     val nTerms = found.size
+    val needAll = mode.conjunctive || mode.slots != null
     val out = localIdx.iterator.flatMap { case (_, byTerm) =>
       val iters = found.toSeq.flatMap { case (t, s) =>
         byTerm.get(s.termId).map(bs => new Wand.TermIterator(t, bs, s.maxScore, s.df, n, avgdl))
       }
-      if (iters.isEmpty || (conjunctive && iters.size < nTerms)) Iterator.empty
-      else {
-        val top = if (conjunctive) Wand.topKConjunctive(iters, k) else Wand.topK(iters, k)
-        top.iterator
-      }
+      if (iters.isEmpty || (needAll && iters.size < nTerms)) Iterator.empty
+      else runWand(iters, k, mode).iterator
     }.toArray
     out.sortBy(s => (-s.score, s.docId)).take(k)
   }
@@ -118,31 +131,38 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
   private def runPerBucket(
       terms: Seq[String],
       k: Int,
-      conjunctive: Boolean
+      mode: Mode
   ): Array[Scored] = {
     val found = lookupTerms(terms)
     if (found.isEmpty) return Array.empty
-    if (conjunctive && found.size < terms.distinct.size) return Array.empty
-    if (localIdx != null) return runLocal(found, k, conjunctive)
+    val needAll = mode.conjunctive || mode.slots != null
+    if (needAll && found.size < terms.distinct.size) return Array.empty
+    if (localIdx != null) return runLocal(found, k, mode)
     val n = stats.n
     val avgdl = stats.avgdl
     // termId -> (term, df, ub); the term string rides only this tiny map
     val byId: Map[Long, (String, Long, Double)] =
       found.map { case (t, s) => s.termId -> (t, s.df, s.maxScore) }
     val nTerms = found.size
+    val md = mode
     val perBucket = selectBlocks(found.values)
       .as[PostingBlock]
       .groupByKey(_.bucket)
       .flatMapGroups { (_, it) =>
         val byTerm = it.toArray.groupBy(_.termId)
-        // AND: a bucket missing any query term cannot contain a match
-        if (conjunctive && byTerm.size < nTerms) Iterator.empty
+        // AND/phrase: a bucket missing any query term cannot match
+        if ((md.conjunctive || md.slots != null) && byTerm.size < nTerms) Iterator.empty
         else {
           val iters = byTerm.map { case (tid, bs) =>
             val (t, df, ub) = byId(tid)
             new Wand.TermIterator(t, bs, ub, df, n, avgdl)
           }.toSeq
-          val top = if (conjunctive) Wand.topKConjunctive(iters, k) else Wand.topK(iters, k)
+          // dispatch inline on `md` only — a method call here would drag
+          // the (non-serializable) Searcher into the task closure
+          val top =
+            if (md.slots != null) Wand.topKPhrase(iters, md.slots, k)
+            else if (md.conjunctive) Wand.topKConjunctive(iters, k)
+            else Wand.topK(iters, k)
           top.iterator
         }
       }
@@ -153,7 +173,18 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
 
   /** Disjunctive (OR / ES `match`) BM25 top-k. */
   def search(query: String, k: Int): Array[Scored] =
-    runPerBucket(Analyzer.analyzeQuery(query).toSeq, k, conjunctive = false)
+    runPerBucket(Analyzer.analyzeQuery(query).toSeq, k, Mode(conjunctive = false))
+
+  /** Phrase top-k (ES `match_phrase`): docs whose analyzed token stream
+    * contains the analyzed query tokens ADJACENTLY in order, ranked by
+    * the BM25 sum of the phrase's distinct terms. Needs an index built
+    * with storePositions (default).
+    */
+  def searchPhrase(query: String, k: Int): Array[Scored] = {
+    val slots = Analyzer.tokenize(query).toSeq // order + duplicates kept
+    if (slots.isEmpty) return Array.empty
+    runPerBucket(slots.distinct.sorted, k, Mode(conjunctive = false, slots = slots))
+  }
 
   /** Batched execution: N queries in ONE Spark job — the throughput
     * (QPS) shape. Blocks for the union of all query terms are scanned
@@ -171,7 +202,7 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
     if (localIdx != null)
       return queries.map { q =>
         q -> runLocal(analyzed(q).flatMap(t => found.get(t).map(t -> _)).toMap, k,
-          conjunctive = false)
+          Mode(conjunctive = false))
       }.toMap
     val n = stats.n
     val avgdl = stats.avgdl
@@ -205,13 +236,13 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
 
   /** Conjunctive (AND) BM25 top-k. */
   def searchConjunctive(query: String, k: Int): Array[Scored] =
-    runPerBucket(Analyzer.analyzeQuery(query).toSeq, k, conjunctive = true)
+    runPerBucket(Analyzer.analyzeQuery(query).toSeq, k, Mode(conjunctive = true))
 
   /** Top-k resolved back to turn metadata + text (SURVEY.md J4): the k
     * hits are broadcast against the doc store.
     */
   def searchResolved(query: String, k: Int): DataFrame = {
-    val hits = runPerBucket(Analyzer.analyzeQuery(query).toSeq, k, conjunctive = false)
+    val hits = runPerBucket(Analyzer.analyzeQuery(query).toSeq, k, Mode(conjunctive = false))
     // hits are already (score desc, docId asc)-sorted and tiny: rank here,
     // not via an unpartitioned window.
     val hitsDF = hits.toSeq.zipWithIndex
@@ -264,6 +295,32 @@ object Oracle {
     scoredPostings(docs, terms)
       .groupBy(col("docId"))
       .agg(orderedSum.as("score"))
+      .orderBy(col("score").desc, col("docId").asc)
+      .limit(k)
+  }
+
+  /** Exhaustive phrase oracle: conjunctive BM25 scoring restricted to
+    * docs whose analyzed token stream contains the analyzed query tokens
+    * adjacently in order — computed by substring search on the
+    * space-joined token stream (tokens cannot contain spaces, so the
+    * padded-substring test is exact).
+    */
+  def topKPhrase(docs: DataFrame, query: String, k: Int): DataFrame = {
+    val slots = Analyzer.tokenize(query).toSeq
+    if (slots.isEmpty)
+      return docs.sparkSession.emptyDataFrame
+        .withColumn("docId", lit(0L)).withColumn("score", lit(0.0)).limit(0)
+    val terms = slots.distinct.sorted
+    val stream = concat(lit(" "), array_join(Analyzer.tokensCol(col("text")), " "), lit(" "))
+    val hasPhrase = docs
+      .filter(instr(stream, " " + slots.mkString(" ") + " ") > lit(0))
+      .select(col("docId"))
+    scoredPostings(docs, terms)
+      .groupBy(col("docId"))
+      .agg(orderedSum.as("score"), count(lit(1)).as("nt"))
+      .filter(col("nt") === lit(terms.size))
+      .drop("nt")
+      .join(hasPhrase, Seq("docId"), "left_semi")
       .orderBy(col("score").desc, col("docId").asc)
       .limit(k)
   }

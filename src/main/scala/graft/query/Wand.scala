@@ -39,13 +39,33 @@ object Wand {
     private val blocks = blocksIn.sortBy(b => (b.firstDocId, b.lastDocId))
     private var bi = 0
     private var dec: Codec.DecodedBlock = _
+    private var posDec: Array[Array[Int]] = _
     private var pos = 0
+    /** Blocks actually decoded (pruning-effectiveness metric: block skips
+      * and block-max early exits avoid decodes entirely).
+      */
+    var decodes: Long = 0L
     var curDoc: Long = _
     decodeCurrent()
 
     private def decodeCurrent(): Unit = {
-      if (bi >= blocks.length) { curDoc = Long.MaxValue; dec = null }
-      else { dec = Codec.decodeBlock(blocks(bi)); pos = 0; curDoc = dec.docIds(0) }
+      if (bi >= blocks.length) { curDoc = Long.MaxValue; dec = null; posDec = null }
+      else {
+        dec = Codec.decodeBlock(blocks(bi)); posDec = null; pos = 0
+        decodes += 1; curDoc = dec.docIds(0)
+      }
+    }
+
+    /** Token positions of the current posting (ascending). Requires an
+      * index built with storePositions (the default).
+      */
+    def positions: Array[Int] = {
+      if (posDec == null) {
+        posDec = Codec.decodePositions(blocks(bi), dec.tfs)
+        require(posDec != null,
+          s"index stores no positions for term '$term' — build with storePositions=true")
+      }
+      posDec(pos)
     }
 
     def exhausted: Boolean = curDoc == Long.MaxValue
@@ -69,15 +89,15 @@ object Wand {
     def shallowSeek(target: Long): Unit = {
       if (bi < blocks.length && blocks(bi).lastDocId >= target) return
       while (bi < blocks.length && blocks(bi).lastDocId < target) bi += 1
-      dec = null; pos = 0
+      dec = null; posDec = null; pos = 0
       if (bi >= blocks.length) curDoc = Long.MaxValue
     }
 
     def nextGEQ(target: Long): Unit = {
       if (curDoc >= target && dec != null) return
-      while (bi < blocks.length && blocks(bi).lastDocId < target) { bi += 1; dec = null }
-      if (bi >= blocks.length) { curDoc = Long.MaxValue; dec = null; return }
-      if (dec == null) { dec = Codec.decodeBlock(blocks(bi)); pos = 0 }
+      while (bi < blocks.length && blocks(bi).lastDocId < target) { bi += 1; dec = null; posDec = null }
+      if (bi >= blocks.length) { curDoc = Long.MaxValue; dec = null; posDec = null; return }
+      if (dec == null) { dec = Codec.decodeBlock(blocks(bi)); posDec = null; pos = 0; decodes += 1 }
       // in-block scan (blocks are <=128 entries; galloping not worth it)
       while (dec.docIds(pos) < target) pos += 1
       curDoc = dec.docIds(pos)
@@ -180,30 +200,111 @@ object Wand {
   }
 
   /** Conjunctive (AND) top-k: docs containing ALL terms, BM25-scored —
-    * posting-list intersection via nextGEQ galloping (SURVEY.md J2).
+    * posting-list intersection via nextGEQ galloping (SURVEY.md J2) with
+    * block-max early exit once the heap is full (a block span whose
+    * Σ blockMax cannot beat θ is skipped without decoding any block).
     */
-  def topKConjunctive(lists: Seq[TermIterator], k: Int): Array[Scored] = {
+  def topKConjunctive(lists: Seq[TermIterator], k: Int): Array[Scored] =
+    intersectTopK(lists, k, phrase = null)
+
+  /** Phrase top-k: docs containing the terms at ADJACENT positions in
+    * `phrase` order (ES `match_phrase` over analyzed fields — SURVEY.md
+    * "What's missing #1", positional postings). Scoring: the standard
+    * BM25 sum over the phrase's distinct terms (each term scores once,
+    * ascending term order — same rule as the AND path), restricted to
+    * docs where the exact phrase occurs. `lists` must carry one iterator
+    * per DISTINCT phrase term.
+    */
+  def topKPhrase(lists: Seq[TermIterator], phrase: Seq[String], k: Int): Array[Scored] = {
+    if (phrase == null || phrase.isEmpty) return Array.empty
+    intersectTopK(lists, k, phrase)
+  }
+
+  /** Does the phrase occur at the current (aligned) doc? slots(j) is the
+    * iterator of phrase position j; all slots sit on the same doc.
+    * Survivor starts after slot j: positions p where every slot i ≤ j has
+    * an occurrence at p + i.
+    */
+  private def phraseAt(slots: Array[TermIterator]): Boolean = {
+    var starts = slots(0).positions
+    var j = 1
+    while (j < slots.length && starts.length > 0) {
+      val pj = slots(j).positions
+      val off = j
+      starts = starts.filter(s => java.util.Arrays.binarySearch(pj, s + off) >= 0)
+      j += 1
+    }
+    starts.length > 0
+  }
+
+  private def intersectTopK(
+      lists: Seq[TermIterator],
+      k: Int,
+      phrase: Seq[String]
+  ): Array[Scored] = {
     if (lists.isEmpty || k <= 0) return Array.empty
     val byTerm = lists.sortBy(_.term).toArray
+    val slots: Array[TermIterator] =
+      if (phrase == null) null
+      else {
+        val m = byTerm.map(it => it.term -> it).toMap
+        require(phrase.forall(m.contains), "phrase terms must each have an iterator")
+        phrase.map(m).toArray
+      }
     val heap = scala.collection.mutable.PriorityQueue.empty[HeapEntry](heapOrd)
+    var theta = Double.NegativeInfinity
     var candidate = byTerm.map(_.curDoc).max
     while (candidate != Long.MaxValue) {
-      var aligned = true
-      var i = 0
-      while (i < byTerm.length && aligned) {
-        byTerm(i).nextGEQ(candidate)
-        if (byTerm(i).curDoc != candidate) { candidate = byTerm(i).curDoc; aligned = false }
-        i += 1
+      var skipped = false
+      if (heap.size == k) {
+        // block-max early exit: bound the best score reachable inside the
+        // current block span WITHOUT decoding (shallowSeek moves block
+        // pointers only); if it can't beat θ, jump past the nearest block
+        // horizon.
+        var i = 0
+        var blockSum = 0.0
+        var horizon = Long.MaxValue
+        var dead = false
+        while (i < byTerm.length && !dead) {
+          byTerm(i).shallowSeek(candidate)
+          if (byTerm(i).exhausted) dead = true
+          else {
+            blockSum += byTerm(i).blockMax
+            horizon = math.min(horizon, byTerm(i).blockLast)
+            i += 1
+          }
+        }
+        if (dead) { candidate = Long.MaxValue; skipped = true }
+        else if (blockSum + Margin <= theta) {
+          candidate = math.max(candidate + 1, horizon + 1)
+          skipped = true
+        }
       }
-      if (aligned && candidate != Long.MaxValue) {
-        var s = 0.0
-        var t = 0
-        while (t < byTerm.length) { s += byTerm(t).score; t += 1 }
-        if (heap.size < k) heap.enqueue(HeapEntry(s, candidate))
-        else if (s > heap.head.score) { heap.dequeue(); heap.enqueue(HeapEntry(s, candidate)) }
-        val next = candidate + 1
-        byTerm.foreach(_.nextGEQ(next))
-        candidate = byTerm.map(_.curDoc).max
+      if (!skipped) {
+        var aligned = true
+        var i = 0
+        while (i < byTerm.length && aligned) {
+          byTerm(i).nextGEQ(candidate)
+          if (byTerm(i).curDoc != candidate) { candidate = byTerm(i).curDoc; aligned = false }
+          i += 1
+        }
+        if (aligned && candidate != Long.MaxValue) {
+          if (slots == null || phraseAt(slots)) {
+            var s = 0.0
+            var t = 0
+            while (t < byTerm.length) { s += byTerm(t).score; t += 1 }
+            if (heap.size < k) {
+              heap.enqueue(HeapEntry(s, candidate))
+              if (heap.size == k) theta = heap.head.score
+            } else if (s > heap.head.score) {
+              heap.dequeue(); heap.enqueue(HeapEntry(s, candidate))
+              theta = heap.head.score
+            }
+          }
+          val next = candidate + 1
+          byTerm.foreach(_.nextGEQ(next))
+          candidate = byTerm.map(_.curDoc).max
+        }
       }
     }
     heap.dequeueAll.map((e: HeapEntry) => Scored(e.docId, e.score)).toArray

@@ -29,12 +29,34 @@ class CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("positions round-trip through block concat streams") {
+    val rnd2 = new scala.util.Random(7)
+    val tfs = Array.tabulate(300)(i => 1 + (i % 9))
+    val poss = tfs.map { tf =>
+      Array.iterate(rnd2.nextInt(5), tf)(p => p + 1 + rnd2.nextInt(9))
+    }
+    val ids = Array.tabulate(300)(i => i.toLong * 7 + 3)
+    val dls = Array.tabulate(300)(i => 10 + (i % 50))
+    val scores = Array.tabulate(300)(i => (i % 13) * 0.37)
+    val blocks = Codec.encodeBlocks(7L, 1, 0, ids, tfs, dls, scores,
+      poss.map(Codec.encodePositions), 128).toArray
+    val decoded = blocks.flatMap { b =>
+      Codec.decodePositions(b, Codec.decodeVarInts(b.tfs, b.count)).map(_.toSeq)
+    }
+    assert(decoded.toSeq == poss.map(_.toSeq).toSeq)
+    // empty position streams (storePositions = false) decode to null
+    val bare = Codec.encodeBlocks(7L, 1, 0, ids, tfs, dls, scores,
+      Array.fill(300)(Array.empty[Byte]), 128).toArray
+    assert(Codec.decodePositions(bare(0), Codec.decodeVarInts(bare(0).tfs, bare(0).count)) == null)
+  }
+
   test("block encode/decode round-trips and computes maxes") {
     val ids = Array.tabulate(300)(i => i.toLong * 7 + 3)
     val tfs = Array.tabulate(300)(i => 1 + (i % 9))
     val dls = Array.tabulate(300)(i => 10 + (i % 50))
     val scores = Array.tabulate(300)(i => (i % 13) * 0.37)
-    val blocks = Codec.encodeBlocks(7L, 1, 0, ids, tfs, dls, scores, 128).toArray
+    val blocks = Codec.encodeBlocks(7L, 1, 0, ids, tfs, dls, scores,
+      Array.fill(300)(Array.empty[Byte]), 128).toArray
     assert(blocks.length == 3)
     assert(blocks.map(_.count).sum == 300)
     val decoded = blocks.flatMap { b =>

@@ -81,6 +81,32 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("phrase top-k rank-identical to exhaustive phrase oracle") {
+    val phrases = Seq(
+      "zanzibar quasar lattice", // planted adjacent phrase
+      "zanzibar quasar",         // planted prefix
+      "quasar zanzibar",         // reversed → adjacency decides
+      "zanzibar lattice",        // co-occurring but not adjacent
+      "the a", "of the", "a the",
+      "the the",                 // repeated term
+      "the definitely-notavocab" // OOV member → empty
+    )
+    for (q <- phrases) {
+      val want = Oracle.topKPhrase(docsDF, q, 10).as[Scored].collect().toSeq
+      val got = searcher.searchPhrase(q, 10).toSeq
+      assert(got == want, s"phrase '$q':\n got=$got\n want=$want")
+    }
+    // the planted phrase must actually produce hits (not vacuous)
+    assert(searcher.searchPhrase("zanzibar quasar lattice", 10).nonEmpty)
+    // reversed order is NOT a conjunctive match here: adjacency is real
+    assert(searcher.searchPhrase("lattice quasar", 10).isEmpty)
+    // warm/local serving path identical
+    val warm = new Searcher(spark, indexDir, cfg.numShards).warm()
+    for (q <- phrases)
+      assert(warm.searchPhrase(q, 10).toSeq == searcher.searchPhrase(q, 10).toSeq,
+        s"local phrase '$q'")
+  }
+
   test("searchMany (batched) ≡ per-query search for the whole query set") {
     val batched = searcher.searchMany(queries, 10)
     for (q <- queries)
@@ -237,11 +263,19 @@ class EngineSpec extends SparkSpec {
     }
   }
 
-  test("compression is effective (bytes/posting < 4)") {
+  test("compression is effective (< 6 B/posting with positions, < 4 without)") {
     built
     val ms = new IndexBuilder(spark, indexDir, "snap-test-1", cfg).allManifests
     val buckets = ms.filter(_.cell.startsWith("bucket="))
-    val bpp = buckets.map(_.bytesCompressed).sum.toDouble / buckets.map(_.postingsEmitted).sum
-    assert(bpp < 4.0, s"bytes per posting = $bpp")
+    def bpp(b: Seq[graft.model.BuildManifest]) =
+      b.map(_.bytesCompressed).sum.toDouble / b.map(_.postingsEmitted).sum
+    assert(bpp(buckets) < 6.0, s"bytes per posting = ${bpp(buckets)}")
+    // a positions-off build keeps the round-1 budget
+    val dirNp = s"${TestSpark.tmpRoot}/index-nopos"
+    new IndexBuilder(spark, dirNp, "snap-np", cfg.copy(storePositions = false))
+      .build(docsDF.as[graft.model.Doc])
+    val msNp = new IndexBuilder(spark, dirNp, "snap-np", cfg).allManifests
+      .filter(_.cell.startsWith("bucket="))
+    assert(bpp(msNp) < 4.0, s"bytes per posting (no positions) = ${bpp(msNp)}")
   }
 }

@@ -8,57 +8,85 @@ import graft.query.{Bm25, Wand}
 
 /** Pure-Scala property test: block-max WAND top-k ≡ exhaustive scoring,
   * on randomized (seeded) synthetic posting sets — rank AND score
-  * identity (SURVEY.md §5.2.2).
+  * identity (SURVEY.md §5.2.2). Corpora are token SEQUENCES so positional
+  * postings and phrase adjacency are exercised end-to-end.
   */
 class WandSpec extends AnyFunSuite {
   private val rnd = new scala.util.Random(42)
 
-  /** Build a tiny corpus: docId → Map(term -> tf), with doc lengths. */
-  private def randomCorpus(nDocs: Int, vocab: Int): (Array[Map[String, Int]], Array[Int]) = {
-    val docs = Array.fill(nDocs) {
-      val nTok = 1 + rnd.nextInt(30)
-      val toks = Seq.fill(nTok)("t" + rnd.nextInt(vocab))
-      toks.groupBy(identity).map { case (t, xs) => t -> xs.size }
+  /** Tiny corpus: each doc is an ordered token sequence. */
+  private def randomCorpus(nDocs: Int, vocab: Int): Array[Array[String]] =
+    Array.fill(nDocs)(Array.fill(1 + rnd.nextInt(30))("t" + rnd.nextInt(vocab)))
+
+  private def tfOf(doc: Array[String]): Map[String, Int] =
+    doc.groupBy(identity).map { case (t, xs) => t -> xs.length }
+
+  /** Engine-side iterators for the query terms over the corpus. */
+  private def buildIters(
+      corpus: Array[Array[String]],
+      terms: Seq[String],
+      blockSize: Int
+  ): (Seq[Wand.TermIterator], Map[String, Long], Long, Double) = {
+    val tfs = corpus.map(tfOf)
+    val dls = corpus.map(_.length)
+    val n = corpus.length.toLong
+    val avgdl = dls.sum.toDouble / corpus.length
+    val df: Map[String, Long] =
+      tfs.flatMap(_.keys).groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val iters = terms.filter(df.contains).zipWithIndex.map { case (t, tid) =>
+      val postings = corpus.indices.filter(d => tfs(d).contains(t))
+      val ids = postings.map(_.toLong).toArray
+      val tf = postings.map(d => tfs(d)(t)).toArray
+      val ds = postings.map(dls(_)).toArray
+      val scores = postings.indices.map(i => Bm25.score(tf(i), df(t), ds(i), n, avgdl)).toArray
+      val poss = postings.map { d =>
+        Codec.encodePositions(corpus(d).indices.filter(i => corpus(d)(i) == t).toArray)
+      }.toArray
+      val blocks: Array[PostingBlock] =
+        Codec.encodeBlocks(tid.toLong, GraftHash.shardOf(t, 8), 0, ids, tf, ds, scores,
+          poss, blockSize).toArray
+      val ub = if (scores.isEmpty) 0.0 else scores.max
+      new Wand.TermIterator(t, blocks, ub, df(t), n, avgdl)
     }
-    val dls = docs.map(_.values.sum)
-    (docs, dls)
+    (iters, df, n, avgdl)
+  }
+
+  private def bruteScore(
+      corpus: Array[Array[String]],
+      terms: Seq[String],
+      k: Int,
+      conjunctive: Boolean,
+      phrase: Seq[String] = null
+  ): Seq[Scored] = {
+    val tfs = corpus.map(tfOf)
+    val dls = corpus.map(_.length)
+    val n = corpus.length.toLong
+    val avgdl = dls.sum.toDouble / corpus.length
+    val df: Map[String, Long] =
+      tfs.flatMap(_.keys).groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val qt = terms.distinct.sorted.filter(df.contains)
+    corpus.indices.flatMap { d =>
+      val present = qt.filter(tfs(d).contains)
+      val phraseOk = phrase == null ||
+        corpus(d).sliding(phrase.length).exists(_.toSeq == phrase)
+      if (present.isEmpty || ((conjunctive || phrase != null) && present.size != qt.size) ||
+        !phraseOk) None
+      else {
+        var s = 0.0
+        present.foreach(t => s += Bm25.score(tfs(d)(t), df(t), dls(d), n, avgdl))
+        Some(Scored(d.toLong, s))
+      }
+    }.sortBy(s => (-s.score, s.docId)).take(k)
   }
 
   private def check(nDocs: Int, vocab: Int, qTerms: Seq[String], k: Int, blockSize: Int,
       conjunctive: Boolean = false): Unit = {
-    val (docs, dls) = randomCorpus(nDocs, vocab)
-    val n = nDocs.toLong
-    val avgdl = dls.sum.toDouble / nDocs
-    val df: Map[String, Long] =
-      docs.flatMap(_.keys).groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
-    val terms = qTerms.distinct.sorted.filter(df.contains)
-
-    // brute force: score in ascending term order
-    val brute = (0L until n).flatMap { d =>
-      val present = terms.filter(t => docs(d.toInt).contains(t))
-      if (present.isEmpty || (conjunctive && present.size != terms.size)) None
-      else {
-        var s = 0.0
-        present.foreach { t =>
-          s += Bm25.score(docs(d.toInt)(t), df(t), dls(d.toInt), n, avgdl)
-        }
-        Some(Scored(d, s))
-      }
-    }.sortBy(s => (-s.score, s.docId)).take(k)
-
-    // engine: blocks + WAND (termId = position in the sorted term list —
-    // any unique id works; blocks are keyed by id, ordering by term string)
-    val iters = terms.zipWithIndex.map { case (t, tid) =>
-      val postings = (0 until nDocs).filter(d => docs(d).contains(t))
-      val ids = postings.map(_.toLong).toArray
-      val tfs = postings.map(d => docs(d)(t)).toArray
-      val ds = postings.map(dls(_)).toArray
-      val scores = postings.indices.map(i => Bm25.score(tfs(i), df(t), ds(i), n, avgdl)).toArray
-      val blocks: Array[PostingBlock] =
-        Codec.encodeBlocks(tid.toLong, GraftHash.shardOf(t, 8), 0, ids, tfs, ds, scores, blockSize).toArray
-      val ub = if (scores.isEmpty) 0.0 else scores.max
-      new Wand.TermIterator(t, blocks, ub, df(t), n, avgdl)
-    }
+    // unit-level semantics: OOV terms are dropped before the executor
+    // (the engine-level AND empty-on-missing rule lives in Searcher)
+    val corpus = randomCorpus(nDocs, vocab)
+    val terms = qTerms.distinct.sorted
+    val (iters, _, _, _) = buildIters(corpus, terms, blockSize)
+    val brute = bruteScore(corpus, terms, k, conjunctive)
     val got =
       if (conjunctive) Wand.topKConjunctive(iters, k) else Wand.topK(iters, k)
     assert(got.toSeq == brute,
@@ -84,6 +112,50 @@ class WandSpec extends AnyFunSuite {
       val q = Seq.fill(1 + rnd.nextInt(3))("t" + rnd.nextInt(vocab))
       check(nDocs, vocab, q, 1 + rnd.nextInt(15), Seq(4, 16, 128)(i % 3), conjunctive = true)
     }
+  }
+
+  test("phrase top-k ≡ exhaustive on 150 random cases (incl. repeated terms)") {
+    for (i <- 1 to 150) {
+      val vocab = 2 + rnd.nextInt(8) // small vocab → real phrase collisions
+      val nDocs = 10 + rnd.nextInt(300)
+      val corpus = randomCorpus(nDocs, vocab)
+      // sample a phrase that EXISTS somewhere half the time, random otherwise
+      val len = 2 + rnd.nextInt(3)
+      val phrase: Seq[String] =
+        if (i % 2 == 0) {
+          val d = corpus(rnd.nextInt(nDocs))
+          if (d.length >= len) { val s = rnd.nextInt(d.length - len + 1); d.slice(s, s + len).toSeq }
+          else Seq.fill(len)("t" + rnd.nextInt(vocab))
+        } else Seq.fill(len)("t" + rnd.nextInt(vocab))
+      val terms = phrase.distinct.sorted
+      val (iters, df, _, _) = buildIters(corpus, terms, Seq(4, 16, 128)(i % 3))
+      val brute = bruteScore(corpus, terms, 10, conjunctive = true, phrase = phrase)
+      val got =
+        if (terms.exists(t => !df.contains(t))) Array.empty[Scored]
+        else Wand.topKPhrase(iters, phrase, 10)
+      assert(got.toSeq == brute, s"phrase mismatch: phrase=$phrase\n got=${got.toSeq}\n want=$brute")
+    }
+  }
+
+  test("conjunctive block-max pruning decodes fewer blocks, identical results") {
+    // skewed corpus: one rare high-tf term + one hot low-signal term; with
+    // k=1 the heap fills early and whole block spans of the hot term fall
+    // under θ. Pruning must not change results (checked against brute) and
+    // must demonstrably skip decodes vs total block count.
+    val vocab = 6
+    val corpus = Array.tabulate(4000) { d =>
+      val base = Array.fill(8)("t" + rnd.nextInt(vocab))
+      if (d % 2 == 0) base :+ "hot" else base // hot in every 2nd doc
+    } ++ Array(Array("hot", "rare", "rare", "rare", "rare"))
+    val terms = Seq("hot", "rare")
+    val (iters, _, _, _) = buildIters(corpus, terms, 16)
+    val got = Wand.topKConjunctive(iters, 1)
+    val brute = bruteScore(corpus, terms, 1, conjunctive = true)
+    assert(got.toSeq == brute)
+    val decoded = iters.map(_.decodes).sum
+    val totalBlocks = 2001 / 16 + 2 // hot blocks + rare's single block
+    assert(decoded < totalBlocks / 2,
+      s"pruning ineffective: decoded $decoded of ~$totalBlocks blocks")
   }
 
   test("empty and missing-term queries") {
