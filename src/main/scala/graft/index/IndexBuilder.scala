@@ -151,7 +151,7 @@ class IndexBuilder(
   // --- manifest (checkpoint) ---------------------------------------------
   private def cellFile(cell: String) = new Path(manifestDir, cell.replace('=', '-') + ".props")
 
-  private def writeManifest(m: BuildManifest): Unit = {
+  private[index] def writeManifest(m: BuildManifest): Unit = {
     fs.mkdirs(manifestDir)
     val tmp = new Path(manifestDir, cellFile(m.cell).getName + ".tmp")
     val out = fs.create(tmp, true)

@@ -53,15 +53,22 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
 
   /** Per-segment dictionary rows for the query terms + merged global df.
     * Returns (globalDf by term, per-segment termId by (segIdx, term)).
+    * ONE unioned scan + one collect for ALL segments — query latency must
+    * not grow one-Spark-job-per-segment with the micro-batch count
+    * (round-2 review); the result stays ≤ |terms| × |segments| rows.
     */
   private def lookup(terms: Seq[String]): (Map[String, Long], Map[(Int, String), TermStats]) = {
     if (terms.isEmpty) return (Map.empty, Map.empty)
-    val perSeg = segments.zipWithIndex.flatMap { case (seg, i) =>
-      val found = spark.read.parquet(s"$seg/dict")
+    val unioned = segments.zipWithIndex.map { case (seg, i) =>
+      spark.read.parquet(s"$seg/dict")
         .filter(col("term").isin(terms: _*))
-        .as[TermStats].collect()
-      found.map(ts => (i, ts.term) -> ts)
-    }.toMap
+        .select(lit(i).as("seg"), col("term"), col("termId"), col("shard"),
+          col("df"), col("cf"), col("maxScore"))
+    }.reduce(_ unionByName _)
+    val perSeg = unioned
+      .as[(Int, String, Long, Int, Long, Long, Double)].collect()
+      .map { case (i, t, tid, sh, df, cf, ms) => (i, t) -> TermStats(t, tid, sh, df, cf, ms) }
+      .toMap
     val dfGlobal = perSeg.toSeq.groupBy(_._1._2)
       .map { case (t, xs) => t -> xs.map(_._2.df).sum }
     (dfGlobal, perSeg)

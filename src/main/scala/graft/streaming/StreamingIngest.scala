@@ -63,7 +63,14 @@ object StreamingIngest {
     docs.unpersist(blocking = false)
   }
 
-  private def currentMaxDocId(spark: SparkSession, indexDir: String): Long = {
+  /** Max docId across segments — from each segment's `docs` manifest
+    * cell (docIdHi is the exclusive bound the build records), so this is
+    * pure filesystem metadata: ZERO Spark jobs per micro-batch (round-2
+    * review: the per-segment max(docId) job made ingest degrade
+    * O(segments)). Falls back to a scan only for a segment with a
+    * missing/corrupt manifest.
+    */
+  private[streaming] def currentMaxDocId(spark: SparkSession, indexDir: String): Long = {
     val fs = new org.apache.hadoop.fs.Path(indexDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(indexDir))) return -1L
@@ -71,8 +78,12 @@ object StreamingIngest {
       .filter(_.getPath.getName.startsWith("seg-")).map(_.getPath.toString)
     if (segs.isEmpty) -1L
     else segs.map { s =>
-      try spark.read.parquet(s"$s/docs").agg(max(col("docId"))).head().getLong(0)
-      catch { case _: Exception => -1L }
+      new IndexBuilder(spark, s, "", IndexConfig()).readManifest("docs") match {
+        case Some(m) => m.docIdHi - 1
+        case None =>
+          try spark.read.parquet(s"$s/docs").agg(max(col("docId"))).head().getLong(0)
+          catch { case _: Exception => -1L }
+      }
     }.max
   }
 

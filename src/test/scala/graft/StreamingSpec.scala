@@ -66,6 +66,48 @@ class StreamingSpec extends SparkSpec {
     assert(multi.search("!!! ...", 10).isEmpty)
     assert(multi.search("the", 0).isEmpty)
     assert(multi.searchConjunctive("the definitely-notavocab-word", 10).isEmpty)
+
+    // ---- compaction: segments merge into ONE plain index; a single
+    // Searcher over it ≡ MultiSearcher over the segments ≡ oracle ----
+    val compacted = s"${TestSpark.tmpRoot}/stream-idx-compacted"
+    val report = graft.index.Compaction.compact(spark, idx, compacted)
+    assert(report.segments == segs.length && report.n == all.count())
+    val single = new Searcher(spark, compacted, 8)
+    for (q <- Seq("zanzibar quasar lattice", "the", "the zanzibar",
+        "one have t999", "definitely-notavocab-word")) {
+      val want = graft.query.Oracle.topK(unionDocs, q, 10)
+        .as[graft.model.Scored].collect().toSeq
+      assert(single.search(q, 10).toSeq == want, s"compacted '$q'")
+      assert(single.search(q, 10).toSeq == multi.search(q, 10).toSeq)
+    }
+    assert(single.searchConjunctive("the zanzibar", 10).toSeq == andWant)
+    // positions survive the merge: phrase search works on the compacted
+    // index (payload streams were carried verbatim)
+    val phraseWant = graft.query.Oracle.topKPhrase(unionDocs, "zanzibar quasar", 10)
+      .as[graft.model.Scored].collect().toSeq
+    assert(phraseWant.nonEmpty)
+    assert(single.searchPhrase("zanzibar quasar", 10).toSeq == phraseWant)
+
+    // ---- in-place compaction + continued append: max docId comes from
+    // the compacted segment's manifest (zero jobs), new batch stays
+    // docId-disjoint, cross-segment search still oracle-identical ----
+    val before = all.agg(org.apache.spark.sql.functions.max($"docId")).head().getLong(0)
+    graft.index.Compaction.compactInPlace(spark, idx)
+    val extra = Transcripts.generate(spark, 70L).filter($"conv_id" >= "conv-00000060")
+    StreamingIngest.appendSegment(spark, extra, idx, batchId = 999L,
+      IndexConfig(numBuckets = 1, partitions = 4))
+    val multi2 = new graft.query.MultiSearcher(spark, idx)
+    assert(multi2.segments.size == 2) // seg-compacted + seg-999
+    val allDocs2 = multi2.docs
+    assert(allDocs2.count() == Transcripts.generate(spark, 70L).count())
+    assert(allDocs2.select("docId").distinct().count() == allDocs2.count())
+    assert(allDocs2.agg(org.apache.spark.sql.functions.min($"docId")).head().getLong(0) == 0L)
+    assert(allDocs2.filter($"docId" > before).count() == extra.count())
+    for (q <- Seq("zanzibar quasar lattice", "the zanzibar")) {
+      val want = graft.query.Oracle.topK(allDocs2, q, 10)
+        .as[graft.model.Scored].collect().toSeq
+      assert(multi2.search(q, 10).toSeq == want, s"post-compact append '$q'")
+    }
   }
 
   test("windowed streaming agg over the turn stream (memory sink)") {
