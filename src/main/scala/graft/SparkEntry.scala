@@ -51,17 +51,21 @@ object SparkEntry {
       out
     })
 
+  private def rankHits(spark: SparkSession, hits: Array[graft.model.Scored]): DataFrame = {
+    import spark.implicits._
+    hits.toSeq.zipWithIndex
+      .map { case (h, i) => ((i + 1).toLong, h.docId, BigDecimal(h.score).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      .toDF("rank", "doc_id", "score")
+  }
+
   private def wandTopK(spark: SparkSession, dir: String, q: String, k: Int,
       conjunctive: Boolean, phrase: Boolean = false): DataFrame = {
-    import spark.implicits._
     val s = new Searcher(spark, documentsIndex(spark, dir), 8)
     val hits =
       if (phrase) s.searchPhrase(q, k)
       else if (conjunctive) s.searchConjunctive(q, k)
       else s.search(q, k)
-    hits.toSeq.zipWithIndex
-      .map { case (h, i) => ((i + 1).toLong, h.docId, BigDecimal(h.score).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) }
-      .toDF("rank", "doc_id", "score")
+    rankHits(spark, hits)
   }
 
   /** BM25 oracle SQL over the documents table for a fixed query.
@@ -70,9 +74,10 @@ object SparkEntry {
     * stream — exact, tokens cannot contain spaces).
     */
   private def bm25Sql(terms: Seq[String], k: Int, conjunctive: Boolean,
-      phrase: Seq[String] = null): String = {
+      phrase: Seq[String] = null, termPred: String = null): String = {
     val score = Bm25.scoreSql("tf.tf", "df.df", "dl.dl", "st.n", "st.avgdl")
     val having = if (conjunctive) s"HAVING count(*) = ${terms.size}" else ""
+    val pred = if (termPred != null) termPred else s"tf.term IN ${inList(terms)}"
     val phraseAnd = if (phrase == null) "" else
       s""" AND tf.doc_id IN (SELECT doc_id FROM documents
     WHERE contains(' ' || array_to_string(list_filter(regexp_split_to_array(lower(text), '$SqlTokRegex'), x -> x <> ''), ' ') || ' ', ' ${phrase.mkString(" ")} '))"""
@@ -85,7 +90,7 @@ df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
 scored AS (
   SELECT tf.doc_id, sum($score ORDER BY tf.term ASC) AS score
   FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
-  WHERE tf.term IN ${inList(terms)}$phraseAnd
+  WHERE $pred$phraseAnd
   GROUP BY tf.doc_id $having)
 SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
        doc_id, round(score, 4) AS score
@@ -216,6 +221,22 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
       // positional postings + adjacency check (ES match_phrase); the
       // DuckDB twin filters on exact substring of the analyzed stream
       wandTopK(s, dir, PhraseQuery, 10, conjunctive = false, phrase = true)),
+    // term-expansion queries (ES prefix/wildcard/fuzzy): the dictionary
+    // expansion is deterministic (term-asc, capped far above the actual
+    // match counts here), so the DuckDB twin applies the same predicate
+    // to the tf table directly
+    "q_bm25_prefix" -> ((s, dir) => {
+      import s.implicits._
+      rankHits(s, new Searcher(s, documentsIndex(s, dir), 8).searchPrefix("s", 10))
+    }),
+    "q_bm25_wildcard" -> ((s, dir) => {
+      import s.implicits._
+      rankHits(s, new Searcher(s, documentsIndex(s, dir), 8).searchWildcard("s*a*", 10))
+    }),
+    "q_bm25_fuzzy" -> ((s, dir) => {
+      import s.implicits._
+      rankHits(s, new Searcher(s, documentsIndex(s, dir), 8).searchFuzzy("sprak", 10, maxDist = 2))
+    }),
     "q_bm25_oracle" -> ((s, dir) => {
       import s.implicits._
       // exhaustive scorer, no index — the in-repo oracle as an operator
@@ -453,6 +474,12 @@ SELECT CAST(count(*) AS BIGINT) AS n_docs, round(avg(dl), 6) AS avgdl FROM dl"""
       "q_bm25_and" -> bm25Sql(Analyzer.analyzeQuery(AndQuery).toSeq, 10, conjunctive = true),
       "q_bm25_phrase" -> bm25Sql(Analyzer.analyzeQuery(PhraseQuery).toSeq, 10,
         conjunctive = true, phrase = Analyzer.tokenize(PhraseQuery).toSeq),
+      "q_bm25_prefix" -> bm25Sql(Nil, 10, conjunctive = false,
+        termPred = "tf.term LIKE 's%'"),
+      "q_bm25_wildcard" -> bm25Sql(Nil, 10, conjunctive = false,
+        termPred = "tf.term LIKE 's%a%'"),
+      "q_bm25_fuzzy" -> bm25Sql(Nil, 10, conjunctive = false,
+        termPred = "levenshtein(tf.term, 'sprak') <= 2"),
       "q_bm25_oracle" ->
         (bm25Sql(Analyzer.analyzeQuery(Bm25Query).toSeq, 10, conjunctive = false)),
       "q_dedup_exact" ->

@@ -134,9 +134,17 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
       mode: Mode
   ): Array[Scored] = {
     val found = lookupTerms(terms)
-    if (found.isEmpty) return Array.empty
     val needAll = mode.conjunctive || mode.slots != null
     if (needAll && found.size < terms.distinct.size) return Array.empty
+    runFound(found, k, mode)
+  }
+
+  private def runFound(
+      found: Map[String, TermStats],
+      k: Int,
+      mode: Mode
+  ): Array[Scored] = {
+    if (found.isEmpty) return Array.empty
     if (localIdx != null) return runLocal(found, k, mode)
     val n = stats.n
     val avgdl = stats.avgdl
@@ -237,6 +245,95 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
   /** Conjunctive (AND) BM25 top-k. */
   def searchConjunctive(query: String, k: Int): Array[Scored] =
     runPerBucket(Analyzer.analyzeQuery(query).toSeq, k, Mode(conjunctive = true))
+
+  // --- term-expansion queries (ES prefix / wildcard / fuzzy) --------------
+
+  /** Unit-cost Levenshtein — MUST agree with Spark's
+    * functions.levenshtein and DuckDB's levenshtein (the oracle twins).
+    */
+  private[graft] def levenshtein(a: String, b: String): Int = {
+    val dp = Array.tabulate(b.length + 1)(identity)
+    var i = 1
+    while (i <= a.length) {
+      var prev = dp(0)
+      dp(0) = i
+      var j = 1
+      while (j <= b.length) {
+        val cur = dp(j)
+        val sub = if (a.charAt(i - 1) == b.charAt(j - 1)) prev else prev + 1
+        dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1), sub)
+        prev = cur
+        j += 1
+      }
+      i += 1
+    }
+    dp(b.length)
+  }
+
+  /** Matching dictionary terms for a predicate: ascending term order,
+    * capped at maxExpansions (the ES rewrite rule — deterministic, so the
+    * oracle twin reproduces the same set whenever the cap is not hit).
+    * Warm dictMap filters on the driver; otherwise ONE distributed dict
+    * scan (a prefix predicate cannot shard-prune — the dictionary's
+    * term-sorted parquet makes it a row-group range scan instead).
+    */
+  private def expand(
+      scalaPred: String => Boolean,
+      sqlPred: Column,
+      maxExpansions: Int
+  ): Map[String, TermStats] = {
+    val all =
+      if (dictMap != null) dictMap.valuesIterator.filter(ts => scalaPred(ts.term)).toSeq
+      else dict.filter(sqlPred).as[TermStats].collect().toSeq
+    all.sortBy(_.term).take(maxExpansions).map(ts => ts.term -> ts).toMap
+  }
+
+  /** Prefix query (ES `prefix`, rewrite = scoring boolean): BM25 OR over
+    * the ≤ maxExpansions index terms starting with the analyzed prefix.
+    */
+  def searchPrefix(prefix: String, k: Int, maxExpansions: Int = 50): Array[Scored] = {
+    val toks = Analyzer.tokenize(prefix)
+    if (toks.isEmpty) return Array.empty
+    val p = toks(0)
+    runFound(expand(_.startsWith(p), col("term").startsWith(p), maxExpansions),
+      k, Mode(conjunctive = false))
+  }
+
+  /** Wildcard query (ES `wildcard`): `*` = any run, `?` = one char,
+    * matched against whole analyzed terms; BM25 OR over the expansion.
+    */
+  def searchWildcard(pattern: String, k: Int, maxExpansions: Int = 50): Array[Scored] = {
+    val pat = pattern.toLowerCase(java.util.Locale.ROOT)
+    val rx = ("^" + pat.flatMap {
+      case '*' => ".*"
+      case '?' => "."
+      case c if "\\.[]{}()+-^$|".indexOf(c) >= 0 => "\\" + c
+      case c => c.toString
+    } + "$").r
+    val like = pat.flatMap {
+      case '*' => "%"
+      case '?' => "_"
+      case c if c == '%' || c == '_' || c == '\\' => "\\" + c
+      case c => c.toString
+    }
+    runFound(expand(t => rx.findFirstIn(t).isDefined, col("term").like(like), maxExpansions),
+      k, Mode(conjunctive = false))
+  }
+
+  /** Fuzzy query (ES `fuzziness`): BM25 OR over index terms within
+    * edit distance maxDist of the analyzed term.
+    */
+  def searchFuzzy(term: String, k: Int, maxDist: Int = 1,
+      maxExpansions: Int = 50): Array[Scored] = {
+    val toks = Analyzer.tokenize(term)
+    if (toks.isEmpty) return Array.empty
+    val t0 = toks(0)
+    runFound(
+      expand(t => levenshtein(t0, t) <= maxDist,
+        org.apache.spark.sql.functions.levenshtein(lit(t0), col("term")) <= lit(maxDist),
+        maxExpansions),
+      k, Mode(conjunctive = false))
+  }
 
   /** Top-k resolved back to turn metadata + text (SURVEY.md J4): the k
     * hits are broadcast against the doc store.

@@ -107,6 +107,27 @@ class EngineSpec extends SparkSpec {
         s"local phrase '$q'")
   }
 
+  test("prefix/wildcard/fuzzy expand to vocab terms and score as BM25 OR") {
+    // 'zanz*' expands to exactly {zanzibar} → identical to a term query
+    assert(searcher.searchPrefix("zanz", 10).toSeq == searcher.search("zanzibar", 10).toSeq)
+    assert(searcher.searchPrefix("zanz", 10).nonEmpty)
+    // '*bar' expands to {cinnabar, zanzibar} → OR-oracle over both terms
+    val want = Oracle.topK(docsDF, "zanzibar cinnabar", 10).as[Scored].collect().toSeq
+    assert(searcher.searchWildcard("*bar", 10).toSeq == want)
+    // one-typo fuzzy hits the marker term; far-away strings expand to ∅
+    assert(searcher.searchFuzzy("zanzibat", 10).toSeq == searcher.search("zanzibar", 10).toSeq)
+    assert(searcher.searchFuzzy("qqqqqqqqqqq", 10, maxDist = 1).isEmpty)
+    // warm driver-local path expands from dictMap — identical results
+    val warm = new Searcher(spark, indexDir, cfg.numShards).warm()
+    assert(warm.searchPrefix("zanz", 10).toSeq == searcher.searchPrefix("zanz", 10).toSeq)
+    assert(warm.searchWildcard("*bar", 10).toSeq == searcher.searchWildcard("*bar", 10).toSeq)
+    assert(warm.searchFuzzy("zanzibat", 10).toSeq == searcher.searchFuzzy("zanzibat", 10).toSeq)
+    // scala-side levenshtein ≡ the SQL twins' semantics (spot values)
+    assert(searcher.levenshtein("sprak", "spark") == 2)
+    assert(searcher.levenshtein("s", "spark") == 4)
+    assert(searcher.levenshtein("", "abc") == 3 && searcher.levenshtein("abc", "abc") == 0)
+  }
+
   test("searchMany (batched) ≡ per-query search for the whole query set") {
     val batched = searcher.searchMany(queries, 10)
     for (q <- queries)
