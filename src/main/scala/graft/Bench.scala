@@ -64,7 +64,12 @@ object Bench {
       f"spill=${buildMetrics.spillBytes / 1e6}%.0fMB cells=" +
       new IndexBuilder(spark, dir, s"bench-$nConvs", cfg).allManifests
         .map(m => f"${m.cell}:${m.wallSec}%.1f").sorted.mkString(","))
-    val searcher = new Searcher(spark, dir, cfg.numShards).warm()
+    // serving-deployment budget: the bench driver runs 16g, so admit up
+    // to ~4 GB estimated heap for the in-process index (the default 1 GB
+    // targets generic drivers; p50 without the local path is the ~100 ms
+    // Spark job-scheduling floor, reported in BASELINE.md either way)
+    val searcher = new Searcher(spark, dir, cfg.numShards)
+      .warm(maxLocalBlockBytes = 4L << 30)
     searcher.search("warmup the", 10)
     var lat = Seq.empty[Double]
     for (r <- 1 to rounds) {
@@ -86,7 +91,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val nConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "20000").toLong
+    // corpus sized so the timed build runs ≥60 s at the recorded
+    // throughput: the ~6 s fixed driver cost (stage scheduling + parquet
+    // commits) must be <10% of the measurement, and the host's 2-7×
+    // co-tenant noise averages out over a longer window (round-2 review:
+    // 180k turns / ~21 s under-defended the recorded number)
+    val nConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "150000").toLong
     // tmpfs for shuffle + the throwaway bench index (a real deployment
     // has NVMe/remote storage scaled with executors; this box has one
     // disk). Falls back to defaults if /dev/shm is unavailable.
@@ -134,7 +144,8 @@ object Bench {
     // share is built once here, outside any timed region (round-1 bench
     // recorded 8.3 s of cold build inside q_bm25_topk).
     SparkEntry.queries("q_bm25_topk")(spark, sfDir).count()
-    for (name <- Seq("q_bm25_topk", "q_bm25_and", "q_tf", "q_df", "q_agg_lineitem",
+    for (name <- Seq("q_bm25_topk", "q_bm25_and", "q_bm25_phrase", "q_bm25_prefix",
+        "q_bm25_fuzzy", "q_tf", "q_df", "q_agg_lineitem",
         "q_join_broadcast", "q_minhash_lsh", "q_simhash_pairs", "q_ann_cosine",
         "q_ann_lsh", "q_langid", "q_quality", "q_dedup_exact", "q_window_rank")) {
       time(name) { SparkEntry.queries(name)(spark, sfDir).count() }
@@ -147,10 +158,14 @@ object Bench {
     val p95ms = percentile(lat, 0.95) * 1000
     val medCpu = percentile(runs.map(_.build.cpuSec), 0.5)
     val medShuf = percentile(runs.map(_.build.shuffleWriteBytes.toDouble), 0.5)
+    // build_cpu_us_per_turn: the noise-robust companion to wall
+    // throughput — executor CPU is what the co-tenant host cannot steal
+    // silently (wall swings 2-7×; CPU/turn stays within ~±15%)
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
       s""","build_turns":$turns,"build_turns_per_sec":$turnsPerSec,"build_reps":$reps""" +
       s""","build_turns_per_sec_all":${runs.map(r => r.turns / r.buildSec).mkString("[", ",", "]")}""" +
-      s""","build_cpu_sec":$medCpu,"build_shuffle_write_bytes":${medShuf.toLong}""" +
+      s""","build_cpu_sec":$medCpu,"build_cpu_us_per_turn":${medCpu * 1e6 / turns}""" +
+      s""","build_shuffle_write_bytes":${medShuf.toLong}""" +
       s""","bm25_p50_ms":$p50ms,"bm25_p95_ms":$p95ms,"cores":$cpus}"""
     // Belt and braces for the harness: the JSON goes to stdout (forked,
     // unprefixed — build.sbt outputStrategy) AND to a well-known file.

@@ -178,6 +178,35 @@ object Codec {
     out
   }
 
+  /** Inverse of the tokenize pass's packed posting payload
+    * (varint(tf), varint(dl), position gap stream — see PosAcc.payload):
+    * returns (tf, dl, positionGapBytes). The gap stream is returned
+    * still encoded — block building only concatenates it
+    * ([[encodeBlocks]]); decode happens lazily at phrase-query time
+    * ([[decodePositions]], which knows the per-posting counts from tfs).
+    */
+  def unpackPayload(pay: Array[Byte]): (Int, Int, Array[Byte]) = {
+    var p = 0
+    def rd(): Long = {
+      var shift = 0
+      var v = 0L
+      var b = 0
+      do {
+        b = pay(p) & 0xff
+        p += 1
+        v |= (b & 0x7fL) << shift
+        shift += 7
+      } while ((b & 0x80) != 0)
+      v
+    }
+    val tf = rd().toInt
+    val dl = rd().toInt
+    val pos =
+      if (p == pay.length) Array.emptyByteArray
+      else java.util.Arrays.copyOfRange(pay, p, pay.length)
+    (tf, dl, pos)
+  }
+
   /** Varint-delta encode one ascending position list (first absolute). */
   def encodePositions(positions: Array[Int]): Array[Byte] = {
     val buf = new java.io.ByteArrayOutputStream(positions.length + 4)

@@ -199,23 +199,27 @@ class IndexBuilder(
 
   // --- build phases --------------------------------------------------------
 
-  /** (term, docId, tf, dl, pos) postings — one row per distinct (term,
+  /** (term, docId, tf, dl, pay) postings — one row per distinct (term,
     * doc). `dl` rides along so no big doc-side join is ever needed
     * (SURVEY.md A6). tf — and, when cfg.storePositions, the term's token
     * positions — are aggregated PER DOC inside a narrow map pass: a
     * document's tokens are by definition co-located, so neither needs a
-    * shuffle or a corpus-wide hash table. Positions leave this pass
-    * already varint-gap-encoded (`pos: Array[Byte]`) so the raw ints
-    * never ride the block shuffle. (Round-1 shape — explode +
-    * groupBy(term, docId) — shuffled ~1 row per posting and built a
-    * postings-cardinality hash aggregate for a ~1.35:1 reduction;
-    * measured 34 s of the 96 s build at 1 M turns. This pass is
-    * per-partition imperative logic, the documented legitimate use of
+    * shuffle or a corpus-wide hash table. `pay` is the PACKED per-posting
+    * payload — varint(tf), varint(dl), then the position gap stream —
+    * produced here so the block shuffle can carry ONE ~3-byte binary
+    * instead of two 8-byte longs plus a separate position column (round-3
+    * scaling finding: per-posting fixed-width fields dominated shuffle
+    * bytes once positions landed — 986 → 1386 B/turn; packing restores
+    * it). The separate tf/dl int columns exist for the dictionary
+    * aggregation and are column-pruned out of the block path. (Round-1
+    * shape — explode + groupBy(term, docId) — shuffled ~1 row per posting
+    * and built a postings-cardinality hash aggregate for a ~1.35:1
+    * reduction; measured 34 s of the 96 s build at 1 M turns. This pass
+    * is per-partition imperative logic, the documented legitimate use of
     * typed mapPartitions.)
     */
   def postingsOf(docs: DataFrame): DataFrame = {
     val withPos = cfg.storePositions
-    val empty = Array.empty[Byte]
     docs.select(col("docId"), col("dl"), col("text"))
       .as[(Long, Int, String)]
       .mapPartitions { it =>
@@ -238,13 +242,13 @@ class IndexBuilder(
           while (entries.hasNext) {
             val e = entries.next()
             val a = e.getValue
-            out(j) = (e.getKey, id, a.n, dl, if (withPos) a.encoded else empty)
+            out(j) = (e.getKey, id, a.n, dl, a.payload(dl, withPos))
             j += 1
           }
           out.iterator
         }
       }
-      .toDF("term", "docId", "tf", "dl", "pos")
+      .toDF("term", "docId", "tf", "dl", "pay")
   }
 
   /** Direct per-term df/cf (single hash agg — partial+final via Catalyst). */
@@ -381,11 +385,14 @@ class IndexBuilder(
       else {
         val t0 = System.nanoTime()
         // Shuffle schema is deliberately minimal: (termId, shard, docId,
-        // tf, dl, df) + the pre-encoded position gap bytes. No term string
+        // df) + the packed payload binary (varint tf + dl + position
+        // gaps, built in the tokenize pass). No term string
         // (dict-encoded), no per-posting score (recomputed inside the
-        // encoder from tf/df/dl — df is run-constant per term, so it
-        // lz4-compresses to ~nothing in the sorted shuffle, unlike the
-        // high-entropy double it replaces).
+        // encoder from the unpacked tf/dl and df — df is run-constant per
+        // term, so it lz4-compresses to ~nothing in the sorted shuffle,
+        // unlike the high-entropy double it replaces), no fixed-width
+        // tf/dl fields (a posting's tf and dl are each ~1 varint byte in
+        // the payload vs 8-byte UnsafeRow slots).
         //
         // Partition routing is CLOSED-FORM and df-AWARE — no
         // repartitionByRange sampling pass (which re-executed the whole
@@ -431,12 +438,11 @@ class IndexBuilder(
         // it from docId (closed form), every resulting partition is
         // single-bucket, and the encoder re-derives it from
         // docId/bucketWidth. The routing key is a bare expression too —
-        // nothing but (termId, shard, docId, tf, dl, df) enters the
+        // nothing but (termId, shard, docId, df, pay) enters the
         // shuffle/sort.
         val scored = postings0
           .join(dict0.select(col("term"), col("termId"), col("shard"), col("df")), Seq("term"))
-          .select(col("termId"), col("shard"), col("docId"), col("tf"), col("dl"), col("df"),
-            col("pos"))
+          .select(col("termId"), col("shard"), col("docId"), col("df"), col("pay"))
         val bucketExpr = least(floor(col("docId") / lit(bucketWidth)), lit(cfg.numBuckets - 1L))
         val slicePid = least(
           floor((col("docId") - bucketExpr * lit(bucketWidth)) / lit(subWidth)),
@@ -448,7 +454,7 @@ class IndexBuilder(
         val bw = bucketWidth
         val blocks = DirectPartition.byComputedPid(scored, pid, numParts)
           .sortWithinPartitions(col("termId"), col("docId"))
-          .as[(Long, Int, Long, Int, Int, Long, Array[Byte])]
+          .as[(Long, Int, Long, Long, Array[Byte])]
           .mapPartitions(rows => BlockEncoder.encodeFused(rows, blockSize, n, avgdl,
             bw, nBuckets))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -484,8 +490,7 @@ class IndexBuilder(
       phase(s"bucket=$b") {
         val scored = postings0.filter(col("bucket") === lit(b))
           .join(dict0.select(col("term"), col("termId"), col("shard"), col("df")), Seq("term"))
-          .select(col("termId"), col("shard"), col("docId"), col("tf"), col("dl"), col("df"),
-            col("pos"))
+          .select(col("termId"), col("shard"), col("docId"), col("df"), col("pay"))
         // same sample-free df-aware routing + sort-memory partition
         // sizing as the fused path (per-bucket share of the postings)
         val perBucketPostings = math.max(1L, totalPostings / cfg.numBuckets)
@@ -500,7 +505,7 @@ class IndexBuilder(
           .otherwise(pmod(hash(col("termId")), lit(nParts)))
         val blocks = DirectPartition.byComputedPid(scored, pid, nParts)
           .sortWithinPartitions(col("termId"), col("docId"))
-          .as[(Long, Int, Long, Int, Int, Long, Array[Byte])]
+          .as[(Long, Int, Long, Long, Array[Byte])]
           .mapPartitions(rows => BlockEncoder.encode(rows, b, blockSize, n, avgdl))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         blocks.drop("bucket").write.partitionBy("shard")
@@ -551,7 +556,7 @@ class IndexBuilder(
 }
 
 /** Reusable per-(doc, term) position accumulator for the tokenize pass:
-  * a growable int list with a direct varint-gap encoder.
+  * a growable int list with a direct packed-payload encoder.
   */
 private[index] final class PosAcc {
   var n: Int = 0
@@ -562,22 +567,44 @@ private[index] final class PosAcc {
     buf(n) = p
     n += 1
   }
-  def encoded: Array[Byte] =
-    Codec.encodePositions(
-      if (buf.length == n) buf else java.util.Arrays.copyOf(buf, n))
+
+  /** Packed posting payload: varint(tf), varint(dl), then the varint
+    * position GAP stream (first absolute, then deltas — tf entries, so
+    * no length prefix is needed; [[Codec.unpackPayload]] is the inverse).
+    * Encoded here, in the tokenize pass, so the block shuffle carries one
+    * ~3-byte binary per posting instead of fixed-width tf/dl columns plus
+    * a separate position array.
+    */
+  def payload(dl: Int, withPos: Boolean): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(if (withPos) n + 6 else 6)
+    Codec.writeVarLong(out, n.toLong)
+    Codec.writeVarLong(out, dl.toLong)
+    if (withPos) {
+      var prev = 0
+      var i = 0
+      while (i < n) {
+        Codec.writeVarLong(out, (buf(i) - prev).toLong)
+        prev = buf(i)
+        i += 1
+      }
+    }
+    out.toByteArray
+  }
 }
 
 /** Streaming run-grouping block encoder: consumes (termId, shard, docId,
-  * tf, dl, df) rows sorted by (termId, docId) and emits compressed
-  * blocks, holding at most `blockSize` postings in memory at a time.
-  * Per-posting BM25 scores (for the exact block-max metadata) are
-  * computed HERE, after the shuffle, from (tf, df, dl, n, avgdl) — the
-  * high-entropy score double never rides the shuffle.
+  * df, pay) rows sorted by (termId, docId) and emits compressed blocks,
+  * holding at most `blockSize` postings in memory at a time. `pay` is
+  * the tokenize pass's packed payload (varint tf + dl + position gaps,
+  * PosAcc.payload) — unpacked here, after the shuffle. Per-posting BM25
+  * scores (for the exact block-max metadata) are computed HERE too, from
+  * the unpacked (tf, dl) and (df, n, avgdl) — the high-entropy score
+  * double never rides the shuffle.
   */
 object BlockEncoder {
 
-  /** One shuffled posting row: (termId, shard, docId, tf, dl, df, pos). */
-  type Row = (Long, Int, Long, Int, Int, Long, Array[Byte])
+  /** One shuffled posting row: (termId, shard, docId, df, pay). */
+  type Row = (Long, Int, Long, Long, Array[Byte])
 
   /** Fused-mode encoder: rows sorted by (termId, docId). The bucket is
     * NOT carried in the rows — it is re-derived from docId (buckets are
@@ -640,8 +667,9 @@ object BlockEncoder {
         }
         while (it.hasNext && it.head._1 == termId) {
           val r = it.next()
-          ids += r._3; tfs += r._4; dls += r._5; pss += r._7
-          scs += Bm25.score(r._4, r._6, r._5, n, avgdl)
+          val (tf, dl, pos) = Codec.unpackPayload(r._5)
+          ids += r._3; tfs += tf; dls += dl; pss += pos
+          scs += Bm25.score(tf, r._4, dl, n, avgdl)
           if (ids.length == blockSize) flush()
         }
         flush()

@@ -74,12 +74,14 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
     (dfGlobal, perSeg)
   }
 
-  private def run(terms: Seq[String], k: Int, conjunctive: Boolean): Array[Scored] = {
+  private def run(terms: Seq[String], k: Int, conjunctive: Boolean,
+      slots: Seq[String] = null): Array[Scored] = {
     val distinctTerms = terms.distinct.sorted
     if (distinctTerms.isEmpty || k <= 0) return Array.empty
     val (dfGlobal, perSeg) = lookup(distinctTerms)
     if (dfGlobal.isEmpty) return Array.empty
-    if (conjunctive && dfGlobal.size < distinctTerms.size) return Array.empty
+    if ((conjunctive || slots != null) && dfGlobal.size < distinctTerms.size)
+      return Array.empty
     val nTerms = dfGlobal.size
     val nG = n
     val avgdlG = avgdl
@@ -101,13 +103,14 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
       .select(col("seg").as("_1"), col("bucket").as("_2"),
         struct(all_block_cols: _*).as("_3"))
       .as[(Int, Int, PostingBlock)]
+    val sl = slots
     val perGroup = all
       .groupByKey { case (seg, bucket, _) => (seg, bucket) }
       .flatMapGroups { (_, it) =>
         val rows = it.toArray
         val segIdx = rows.head._1
         val byTerm = rows.map(_._3).groupBy(_.termId)
-        if (conjunctive && byTerm.size < nTerms) Iterator.empty
+        if ((conjunctive || sl != null) && byTerm.size < nTerms) Iterator.empty
         else {
           val iters = byTerm.map { case (tid, bs) =>
             val (t, df) = idToTerm((segIdx, tid))
@@ -116,7 +119,10 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
             val ub = bs.iterator.map(b => Bm25.score(b.maxTf, df, 0, nG, avgdlG)).max
             new Wand.TermIterator(t, bs, ub, df, nG, avgdlG, staleBlockMax = true)
           }.toSeq
-          val top = if (conjunctive) Wand.topKConjunctive(iters, k) else Wand.topK(iters, k)
+          val top =
+            if (sl != null) Wand.topKPhrase(iters, sl, k)
+            else if (conjunctive) Wand.topKConjunctive(iters, k)
+            else Wand.topK(iters, k)
           top.iterator
         }
       }
@@ -134,6 +140,16 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
   /** Conjunctive (AND) BM25 top-k over the union of all segments. */
   def searchConjunctive(query: String, k: Int): Array[Scored] =
     run(Analyzer.analyzeQuery(query).toSeq, k, conjunctive = true)
+
+  /** Phrase top-k over the union of all segments (positions are stored
+    * per posting, so adjacency needs no segment-level state; scores use
+    * the merged global stats like every other path here).
+    */
+  def searchPhrase(query: String, k: Int): Array[Scored] = {
+    val slots = Analyzer.tokenize(query).toSeq
+    if (slots.isEmpty) return Array.empty
+    run(slots.distinct.sorted, k, conjunctive = false, slots = slots)
+  }
 
   /** All segments' doc stores as one DataFrame (docIds globally unique). */
   def docs: DataFrame =

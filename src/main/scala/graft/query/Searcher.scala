@@ -58,11 +58,11 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
     * `maxLocalBlockBytes` additionally enables the in-process serving
     * path when the whole compressed index fits (0 disables it). The
     * budget is an estimated HEAP bound: encoded payload bytes ×
-    * [[LocalHeapExpansion]], so the default admits ~64 MB of encoded
-    * postings (~256 MB resident).
+    * [[LocalHeapExpansion]], so the default admits ~256 MB of encoded
+    * postings (~1 GB resident — size it to the serving driver's heap).
     */
   def warm(maxDriverDictTerms: Long = 5_000_000L,
-      maxLocalBlockBytes: Long = 256L << 20): this.type = {
+      maxLocalBlockBytes: Long = 1L << 30): this.type = {
     blocks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
     if (dict.count() <= maxDriverDictTerms)
       dictMap = dict.as[TermStats].collect().map(t => t.term -> t).toMap
@@ -108,23 +108,34 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
     else if (mode.conjunctive) Wand.topKConjunctive(iters, k)
     else Wand.topK(iters, k)
 
-  /** In-process WAND over the driver-local index (no Spark job). */
+  /** In-process WAND over the driver-local index (no Spark job).
+    * Buckets run concurrently on the shared pool — the same
+    * per-bucket-then-merge topology as the distributed path (buckets are
+    * docId-disjoint), so results are identical and a hot-term query's
+    * latency is bounded by one bucket's share, not the whole index.
+    */
   private def runLocal(
       found: Map[String, TermStats],
       k: Int,
       mode: Mode
   ): Array[Scored] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
     val n = stats.n
     val avgdl = stats.avgdl
     val nTerms = found.size
     val needAll = mode.conjunctive || mode.slots != null
-    val out = localIdx.iterator.flatMap { case (_, byTerm) =>
-      val iters = found.toSeq.flatMap { case (t, s) =>
-        byTerm.get(s.termId).map(bs => new Wand.TermIterator(t, bs, s.maxScore, s.df, n, avgdl))
+    val perBucket = localIdx.toSeq.map { case (_, byTerm) =>
+      Future {
+        val iters = found.toSeq.flatMap { case (t, s) =>
+          byTerm.get(s.termId).map(bs => new Wand.TermIterator(t, bs, s.maxScore, s.df, n, avgdl))
+        }
+        if (iters.isEmpty || (needAll && iters.size < nTerms)) Array.empty[Scored]
+        else runWand(iters, k, mode)
       }
-      if (iters.isEmpty || (needAll && iters.size < nTerms)) Iterator.empty
-      else runWand(iters, k, mode).iterator
-    }.toArray
+    }
+    val out = Await.result(Future.sequence(perBucket),
+      scala.concurrent.duration.Duration.Inf).flatten.toArray
     out.sortBy(s => (-s.score, s.docId)).take(k)
   }
 

@@ -87,6 +87,10 @@ class StreamingSpec extends SparkSpec {
       .as[graft.model.Scored].collect().toSeq
     assert(phraseWant.nonEmpty)
     assert(single.searchPhrase("zanzibar quasar", 10).toSeq == phraseWant)
+    // cross-segment phrase (no compaction needed): merged-stats scoring,
+    // adjacency from the per-posting position streams
+    assert(multi.searchPhrase("zanzibar quasar", 10).toSeq == phraseWant)
+    assert(multi.searchPhrase("quasar zanzibar", 10).isEmpty)
 
     // ---- in-place compaction + continued append: max docId comes from
     // the compacted segment's manifest (zero jobs), new batch stays
