@@ -47,7 +47,11 @@ object Bench {
           "graft-bench-index").toString
       case None => java.nio.file.Files.createTempDirectory("graft-bench-index").toString
     }
-    val cfg = IndexConfig(numBuckets = 4, numShards = 8, partitions = partitions)
+    // SPARK_GRAFT_POSITIONS=false: no-positional-postings comparison
+    // point for the scaling ladder (BASELINE.md round-3 — isolates the
+    // positional payload's DRAM cost from the engine's scaling behavior)
+    val cfg = IndexConfig(numBuckets = 4, numShards = 8, partitions = partitions,
+      storePositions = sys.env.getOrElse("SPARK_GRAFT_POSITIONS", "true").toBoolean)
     val t0 = System.nanoTime()
     var tAssign = 0L
     val (report, buildMetrics) = Metrics.measure(spark.sparkContext) {
@@ -145,7 +149,7 @@ object Bench {
     // recorded 8.3 s of cold build inside q_bm25_topk).
     SparkEntry.queries("q_bm25_topk")(spark, sfDir).count()
     for (name <- Seq("q_bm25_topk", "q_bm25_and", "q_bm25_phrase", "q_bm25_prefix",
-        "q_bm25_fuzzy", "q_tf", "q_df", "q_agg_lineitem",
+        "q_bm25_fuzzy", "q_bm25_filtered", "q_tf", "q_df", "q_agg_lineitem",
         "q_join_broadcast", "q_minhash_lsh", "q_simhash_pairs", "q_ann_cosine",
         "q_ann_lsh", "q_langid", "q_quality", "q_dedup_exact", "q_window_rank")) {
       time(name) { SparkEntry.queries(name)(spark, sfDir).count() }

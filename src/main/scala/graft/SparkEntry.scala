@@ -40,14 +40,32 @@ object SparkEntry {
       }
   }
 
+  /** documentsDocs plus the table's keyword metadata columns (kept so
+    * the index can store fielded filter terms — `IndexConfig.fieldCols`).
+    */
+  private def documentsDocsDF(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .as[(Long, String, String, String)]
+      .map { case (id, t, lang, src) =>
+        (id, f"doc-$id%08d", 0, "doc", t, Option.empty[String], new Timestamp(0L),
+          Analyzer.tokenize(t).length, lang, src)
+      }
+      .toDF("docId", "conv_id", "turn_idx", "role", "text", "tool", "ts", "dl",
+        "lang", "source")
+  }
+
   private def documentsIndex(spark: SparkSession, dir: String): String =
     idxCache.computeIfAbsent(dir, _ => {
       val out = java.nio.file.Files.createTempDirectory("graft-docs-index").toString
-      val docs = documentsDocs(spark, dir)
-      // bucket count from the corpus-sizing rule (IndexConfig.sized)
+      val docs = documentsDocsDF(spark, dir)
+      // bucket count from the corpus-sizing rule (IndexConfig.sized);
+      // lang/source are indexed as fielded keyword terms (filter
+      // context) — text-term stats and all BM25 scores are unaffected
       val cfg = IndexConfig.sized(docs.count(), spark.sparkContext.defaultParallelism)
-        .copy(numShards = 8)
-      new IndexBuilder(spark, out, s"docs:$dir", cfg).build(docs)
+        .copy(numShards = 8, fieldCols = Seq("lang", "source"))
+      new IndexBuilder(spark, out, s"docs:$dir", cfg).buildFrom(docs)
       out
     })
 
@@ -74,13 +92,18 @@ object SparkEntry {
     * stream — exact, tokens cannot contain spaces).
     */
   private def bm25Sql(terms: Seq[String], k: Int, conjunctive: Boolean,
-      phrase: Seq[String] = null, termPred: String = null): String = {
+      phrase: Seq[String] = null, termPred: String = null,
+      docPred: String = null): String = {
     val score = Bm25.scoreSql("tf.tf", "df.df", "dl.dl", "st.n", "st.avgdl")
     val having = if (conjunctive) s"HAVING count(*) = ${terms.size}" else ""
     val pred = if (termPred != null) termPred else s"tf.term IN ${inList(terms)}"
-    val phraseAnd = if (phrase == null) "" else
+    // filter/must_not context: restrict doc MEMBERSHIP only — scores stay
+    // the full-corpus BM25 (exact ES bool filter semantics)
+    val docAnd = if (docPred == null) "" else
+      s" AND tf.doc_id IN (SELECT doc_id FROM documents WHERE $docPred)"
+    val phraseAnd = (if (phrase == null) "" else
       s""" AND tf.doc_id IN (SELECT doc_id FROM documents
-    WHERE contains(' ' || array_to_string(list_filter(regexp_split_to_array(lower(text), '$SqlTokRegex'), x -> x <> ''), ' ') || ' ', ' ${phrase.mkString(" ")} '))"""
+    WHERE contains(' ' || array_to_string(list_filter(regexp_split_to_array(lower(text), '$SqlTokRegex'), x -> x <> ''), ' ') || ' ', ' ${phrase.mkString(" ")} '))""") + docAnd
     s"""${toksCte("documents", "doc_id")},
 dl AS (SELECT d.doc_id, coalesce(t.n, 0) AS dl FROM documents d
        LEFT JOIN (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id) t ON d.doc_id = t.doc_id),
@@ -236,6 +259,17 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
     "q_bm25_fuzzy" -> ((s, dir) => {
       import s.implicits._
       rankHits(s, new Searcher(s, documentsIndex(s, dir), 8).searchFuzzy("sprak", 10, maxDist = 2))
+    }),
+    "q_bm25_filtered" -> ((s, dir) => {
+      // ES bool query, filter context: score = plain BM25 under FULL
+      // corpus stats, membership restricted by the fielded keyword term
+      // #lang:fr (one extra unscored posting list in the WAND)
+      rankHits(s, new Searcher(s, documentsIndex(s, dir), 8)
+        .searchBool(Bm25Query, 10, filters = Seq("lang" -> "fr")))
+    }),
+    "q_bm25_mustnot" -> ((s, dir) => {
+      rankHits(s, new Searcher(s, documentsIndex(s, dir), 8)
+        .searchBool(Bm25Query, 10, mustNot = Seq("lang" -> "en", "source" -> "src1")))
     }),
     "q_bm25_oracle" -> ((s, dir) => {
       import s.implicits._
@@ -480,6 +514,10 @@ SELECT CAST(count(*) AS BIGINT) AS n_docs, round(avg(dl), 6) AS avgdl FROM dl"""
         termPred = "tf.term LIKE 's%a%'"),
       "q_bm25_fuzzy" -> bm25Sql(Nil, 10, conjunctive = false,
         termPred = "levenshtein(tf.term, 'sprak') <= 2"),
+      "q_bm25_filtered" -> bm25Sql(Analyzer.analyzeQuery(Bm25Query).toSeq, 10,
+        conjunctive = false, docPred = "lang = 'fr'"),
+      "q_bm25_mustnot" -> bm25Sql(Analyzer.analyzeQuery(Bm25Query).toSeq, 10,
+        conjunctive = false, docPred = "NOT (lang = 'en' OR source = 'src1')"),
       "q_bm25_oracle" ->
         (bm25Sql(Analyzer.analyzeQuery(Bm25Query).toSeq, 10, conjunctive = false)),
       "q_dedup_exact" ->

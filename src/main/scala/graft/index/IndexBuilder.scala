@@ -30,6 +30,18 @@ object GraftHash {
     java.lang.Math.floorMod(fnv1a64(term), numShards.toLong).toInt
 }
 
+/** Fielded keyword terms for ES bool-query filter context (the keyword
+  * sub-field pattern: a metadata value is indexed as ONE posting per doc
+  * in the same dictionary/postings as the text terms, namespaced so the
+  * two can never collide — the analyzer emits only lowercase
+  * alphanumeric tokens, never '#' or ':'). Values are indexed and
+  * matched EXACTLY (not analyzed) — ES `keyword` / `term`-query
+  * semantics. Enabled per-index via `IndexConfig.fieldCols`.
+  */
+object FieldTerms {
+  def term(field: String, value: String): String = "#" + field + ":" + value
+}
+
 final case class IndexConfig(
     numBuckets: Int = 4,
     numShards: Int = 8,
@@ -60,7 +72,15 @@ final case class IndexConfig(
       * per term OCCURRENCE through the shuffle and on disk; turn off for
       * builds that will never serve phrase/proximity queries.
       */
-    storePositions: Boolean = true
+    storePositions: Boolean = true,
+    /** Doc columns to additionally index as fielded keyword terms
+      * (`#field:value`, one tf=1 posting per doc — [[FieldTerms]]) so
+      * `Searcher.searchBool` can apply ES filter-context / must_not
+      * clauses as posting-list intersections. Text-term statistics
+      * (df/cf/maxScore) and corpus stats (N, avgdl) are UNAFFECTED, so
+      * scores with and without fieldCols are identical. Default off.
+      */
+    fieldCols: Seq[String] = Nil
 )
 
 object IndexConfig {
@@ -251,6 +271,33 @@ class IndexBuilder(
       .toDF("term", "docId", "tf", "dl", "pay")
   }
 
+  /** One tf=1 posting per doc for a metadata column's exact value
+    * ([[FieldTerms]] — ES keyword sub-field). Null/absent values emit
+    * nothing (a filter on the field then simply never matches those
+    * docs — ES semantics). Same output schema as [[postingsOf]], so the
+    * streams union and flow through the identical dict/block phases.
+    */
+  def fieldPostingsOf(docs: DataFrame, field: String): DataFrame = {
+    val withPos = cfg.storePositions
+    docs.select(col("docId"), col("dl"), col(field).cast("string"))
+      .as[(Long, Int, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, dl, v) =>
+          if (v == null) Iterator.empty
+          else {
+            val a = new PosAcc
+            if (withPos) a.add(0) else a.n = 1
+            Iterator.single((FieldTerms.term(field, v), id, 1, dl, a.payload(dl, withPos)))
+          }
+        }
+      }
+      .toDF("term", "docId", "tf", "dl", "pay")
+  }
+
+  /** Text postings plus any configured fielded keyword postings. */
+  def allPostingsOf(docs: DataFrame): DataFrame =
+    cfg.fieldCols.foldLeft(postingsOf(docs))((acc, f) => acc.unionByName(fieldPostingsOf(docs, f)))
+
   /** Direct per-term df/cf (single hash agg — partial+final via Catalyst). */
   def dictDirect(postings: DataFrame): DataFrame =
     postings.groupBy(col("term"))
@@ -268,7 +315,15 @@ class IndexBuilder(
       .groupBy(col("term"))
       .agg(sum(col("dfp")).as("df"), sum(col("cfp")).as("cf"))
 
-  def build(docsIn: Dataset[Doc], resume: Boolean = true): BuildReport = {
+  def build(docsIn: Dataset[Doc], resume: Boolean = true): BuildReport =
+    buildFrom(docsIn.toDF(), resume)
+
+  /** Same build over an untyped frame: must carry the [[Doc]] columns
+    * (docId, dl, text + metadata); extra columns ride the doc store and
+    * become filterable when listed in `cfg.fieldCols`.
+    */
+  def buildFrom(docsFrame: DataFrame, resume: Boolean = true): BuildReport = {
+    val docsIn = docsFrame
     val built = scala.collection.mutable.ArrayBuffer[String]()
     val skipped = scala.collection.mutable.ArrayBuffer[String]()
     def phase[T](cell: String)(body: => BuildManifest): Unit =
@@ -332,7 +387,7 @@ class IndexBuilder(
     // columnar doc store. materializePostings=true instead checkpoints
     // the stream to parquet as its own resume cell — right when the
     // corpus scan itself is the dominant cost (e.g. remote storage).
-    val withBucket = postingsOf(docs)
+    val withBucket = allPostingsOf(docs)
       .withColumn("bucket", least(floor(col("docId") / lit(bucketWidth)),
         lit(cfg.numBuckets - 1)).cast("int"))
     val postings0 =

@@ -75,14 +75,21 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
   }
 
   private def run(terms: Seq[String], k: Int, conjunctive: Boolean,
-      slots: Seq[String] = null): Array[Scored] = {
+      slots: Seq[String] = null,
+      filterTerms: Seq[String] = Nil,
+      excludeTerms: Seq[String] = Nil): Array[Scored] = {
     val distinctTerms = terms.distinct.sorted
     if (distinctTerms.isEmpty || k <= 0) return Array.empty
-    val (dfGlobal, perSeg) = lookup(distinctTerms)
-    if (dfGlobal.isEmpty) return Array.empty
-    if ((conjunctive || slots != null) && dfGlobal.size < distinctTerms.size)
+    val (dfGlobal, perSeg) =
+      lookup((distinctTerms ++ filterTerms ++ excludeTerms).distinct.sorted)
+    if (!distinctTerms.exists(dfGlobal.contains)) return Array.empty
+    // a filter value absent from every segment ⇒ nothing can match
+    if (filterTerms.exists(t => !dfGlobal.contains(t))) return Array.empty
+    if ((conjunctive || slots != null) && distinctTerms.exists(t => !dfGlobal.contains(t)))
       return Array.empty
-    val nTerms = dfGlobal.size
+    val nTerms = distinctTerms.count(dfGlobal.contains)
+    val fSet = filterTerms.toSet
+    val eSet = excludeTerms.toSet
     val nG = n
     val avgdlG = avgdl
     // termId is segment-local: key block groups by (segIdx, termId)
@@ -109,20 +116,27 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
       .flatMapGroups { (_, it) =>
         val rows = it.toArray
         val segIdx = rows.head._1
-        val byTerm = rows.map(_._3).groupBy(_.termId)
-        if ((conjunctive || sl != null) && byTerm.size < nTerms) Iterator.empty
+        val grouped = rows.map(_._3).groupBy(_.termId).toSeq.map { case (tid, bs) =>
+          val (t, df) = idToTerm((segIdx, tid))
+          // bound from stats-independent maxTf (stored maxScore is
+          // stale under global stats; filters never read bounds)
+          lazy val ub = bs.iterator.map(b => Bm25.score(b.maxTf, df, 0, nG, avgdlG)).max
+          val isScored = !fSet.contains(t) && !eSet.contains(t)
+          (t, new Wand.TermIterator(t, bs, if (isScored) ub else 0.0, df, nG, avgdlG,
+            staleBlockMax = true))
+        }
+        val iters = grouped.collect { case (t, it0) if !fSet.contains(t) && !eSet.contains(t) => it0 }
+        val filters = grouped.collect { case (t, it0) if fSet.contains(t) => it0 }
+        val excludes = grouped.collect { case (t, it0) if eSet.contains(t) => it0 }
+        // AND/phrase: every scored term must be present; filter context:
+        // a (segment, bucket) missing a filter value has no matching docs
+        if (iters.isEmpty || ((conjunctive || sl != null) && iters.size < nTerms) ||
+          filters.size < fSet.size) Iterator.empty
         else {
-          val iters = byTerm.map { case (tid, bs) =>
-            val (t, df) = idToTerm((segIdx, tid))
-            // bound from stats-independent maxTf (stored maxScore is
-            // stale under global stats)
-            val ub = bs.iterator.map(b => Bm25.score(b.maxTf, df, 0, nG, avgdlG)).max
-            new Wand.TermIterator(t, bs, ub, df, nG, avgdlG, staleBlockMax = true)
-          }.toSeq
           val top =
-            if (sl != null) Wand.topKPhrase(iters, sl, k)
-            else if (conjunctive) Wand.topKConjunctive(iters, k)
-            else Wand.topK(iters, k)
+            if (sl != null) Wand.topKPhrase(iters, sl, k, filters, excludes)
+            else if (conjunctive) Wand.topKConjunctive(iters, k, filters, excludes)
+            else Wand.topK(iters, k, filters, excludes)
           top.iterator
         }
       }
@@ -149,6 +163,31 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
     val slots = Analyzer.tokenize(query).toSeq
     if (slots.isEmpty) return Array.empty
     run(slots.distinct.sorted, k, conjunctive = false, slots = slots)
+  }
+
+  /** ES bool query over the union of all segments: scoring clauses per
+    * the flags, `filters`/`mustNot` against fielded keyword terms
+    * ([[graft.index.FieldTerms]] — segments must be built with
+    * `IndexConfig.fieldCols`, e.g. via StreamingIngest's cfg). Same
+    * filter-context semantics as `Searcher.searchBool`: membership only,
+    * scores = merged-global-stats BM25 of the scoring clauses.
+    */
+  def searchBool(
+      query: String,
+      k: Int,
+      filters: Seq[(String, String)] = Nil,
+      mustNot: Seq[(String, String)] = Nil,
+      conjunctive: Boolean = false,
+      phrase: Boolean = false
+  ): Array[Scored] = {
+    val slots = if (phrase) Analyzer.tokenize(query).toSeq else null
+    val scoredTerms =
+      if (phrase) Option(slots).getOrElse(Nil).distinct.sorted
+      else Analyzer.analyzeQuery(query).toSeq
+    if (scoredTerms.isEmpty) return Array.empty
+    run(scoredTerms, k, conjunctive, slots,
+      filters.map { case (f, v) => graft.index.FieldTerms.term(f, v) }.distinct,
+      mustNot.map { case (f, v) => graft.index.FieldTerms.term(f, v) }.distinct)
   }
 
   /** All segments' doc stores as one DataFrame (docIds globally unique). */

@@ -20,9 +20,55 @@ import graft.model.{IndexStats, PostingBlock, Scored, TermStats}
   */
 /** Execution mode of one query: OR (WAND), AND (intersection), or
   * phrase (intersection + position adjacency; `slots` = analyzed
-  * phrase terms in order, possibly repeating).
+  * phrase terms in order, possibly repeating). `filterTerms` are
+  * required-but-unscored terms (ES bool `filter` context — fielded
+  * keyword terms, see [[graft.index.FieldTerms]]); `excludeTerms` veto
+  * their docs (`must_not`). Both are disjoint from the scored terms.
   */
-private[query] final case class SearchMode(conjunctive: Boolean, slots: Seq[String])
+private[query] final case class SearchMode(
+    conjunctive: Boolean,
+    slots: Seq[String],
+    filterTerms: Seq[String] = Nil,
+    excludeTerms: Seq[String] = Nil)
+
+private[query] object Searcher {
+  import graft.model.{PostingBlock => PB}
+
+  /** One bucket's WAND dispatch, shared by the distributed and the
+    * driver-local serving paths (kept in the companion so Spark task
+    * closures never capture a Searcher instance). `entries` carries the
+    * dictionary rows of ALL the query's found terms — scored, filter,
+    * and exclude; returns empty when the bucket is missing a required
+    * term (any scored term under AND/phrase, or any filter term — a
+    * bucket that lacks a filter value cannot contain matching docs).
+    */
+  def runBucket(
+      byTerm: Map[Long, Array[PB]],
+      entries: Seq[(String, TermStats)],
+      mode: SearchMode,
+      k: Int,
+      n: Long,
+      avgdl: Double
+  ): Iterator[Scored] = {
+    val fSet = mode.filterTerms.toSet
+    val eSet = mode.excludeTerms.toSet
+    def iterOf(t: String, s: TermStats): Option[Wand.TermIterator] =
+      byTerm.get(s.termId).map(bs => new Wand.TermIterator(t, bs, s.maxScore, s.df, n, avgdl))
+    val scoredEntries = entries.filter { case (t, _) => !fSet.contains(t) && !eSet.contains(t) }
+    val scored = scoredEntries.flatMap { case (t, s) => iterOf(t, s) }
+    val needAll = mode.conjunctive || mode.slots != null
+    if (scored.isEmpty || (needAll && scored.size < scoredEntries.size)) return Iterator.empty
+    val fOpts = entries.filter(e => fSet.contains(e._1)).map { case (t, s) => iterOf(t, s) }
+    if (fOpts.exists(_.isEmpty)) return Iterator.empty
+    val filters = fOpts.flatten
+    val excludes = entries.filter(e => eSet.contains(e._1)).flatMap { case (t, s) => iterOf(t, s) }
+    val top =
+      if (mode.slots != null) Wand.topKPhrase(scored, mode.slots, k, filters, excludes)
+      else if (mode.conjunctive) Wand.topKConjunctive(scored, k, filters, excludes)
+      else Wand.topK(scored, k, filters, excludes)
+    top.iterator
+  }
+}
 
 class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
   import spark.implicits._
@@ -103,11 +149,6 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
   private def Mode(conjunctive: Boolean, slots: Seq[String] = null): Mode =
     SearchMode(conjunctive, slots)
 
-  private def runWand(iters: Seq[Wand.TermIterator], k: Int, mode: Mode): Array[Scored] =
-    if (mode.slots != null) Wand.topKPhrase(iters, mode.slots, k)
-    else if (mode.conjunctive) Wand.topKConjunctive(iters, k)
-    else Wand.topK(iters, k)
-
   /** In-process WAND over the driver-local index (no Spark job).
     * Buckets run concurrently on the shared pool — the same
     * per-bucket-then-merge topology as the distributed path (buckets are
@@ -123,16 +164,9 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
     import scala.concurrent.ExecutionContext.Implicits.global
     val n = stats.n
     val avgdl = stats.avgdl
-    val nTerms = found.size
-    val needAll = mode.conjunctive || mode.slots != null
+    val foundSeq = found.toSeq
     val perBucket = localIdx.toSeq.map { case (_, byTerm) =>
-      Future {
-        val iters = found.toSeq.flatMap { case (t, s) =>
-          byTerm.get(s.termId).map(bs => new Wand.TermIterator(t, bs, s.maxScore, s.df, n, avgdl))
-        }
-        if (iters.isEmpty || (needAll && iters.size < nTerms)) Array.empty[Scored]
-        else runWand(iters, k, mode)
-      }
+      Future(Searcher.runBucket(byTerm, foundSeq, mode, k, n, avgdl).toArray)
     }
     val out = Await.result(Future.sequence(perBucket),
       scala.concurrent.duration.Duration.Inf).flatten.toArray
@@ -159,31 +193,15 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
     if (localIdx != null) return runLocal(found, k, mode)
     val n = stats.n
     val avgdl = stats.avgdl
-    // termId -> (term, df, ub); the term string rides only this tiny map
-    val byId: Map[Long, (String, Long, Double)] =
-      found.map { case (t, s) => s.termId -> (t, s.df, s.maxScore) }
-    val nTerms = found.size
+    val foundSeq = found.toSeq
     val md = mode
+    // Searcher.runBucket is a companion method — the task closure
+    // captures only (foundSeq, md, k, n, avgdl), never this Searcher
     val perBucket = selectBlocks(found.values)
       .as[PostingBlock]
       .groupByKey(_.bucket)
       .flatMapGroups { (_, it) =>
-        val byTerm = it.toArray.groupBy(_.termId)
-        // AND/phrase: a bucket missing any query term cannot match
-        if ((md.conjunctive || md.slots != null) && byTerm.size < nTerms) Iterator.empty
-        else {
-          val iters = byTerm.map { case (tid, bs) =>
-            val (t, df, ub) = byId(tid)
-            new Wand.TermIterator(t, bs, ub, df, n, avgdl)
-          }.toSeq
-          // dispatch inline on `md` only — a method call here would drag
-          // the (non-serializable) Searcher into the task closure
-          val top =
-            if (md.slots != null) Wand.topKPhrase(iters, md.slots, k)
-            else if (md.conjunctive) Wand.topKConjunctive(iters, k)
-            else Wand.topK(iters, k)
-          top.iterator
-        }
+        Searcher.runBucket(it.toArray.groupBy(_.termId), foundSeq, md, k, n, avgdl)
       }
     // per-bucket heaps (≤ k each) → global top-k merge: Catalyst plans
     // TakeOrderedAndProject (per-partition heap + driver merge).
@@ -256,6 +274,44 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
   /** Conjunctive (AND) BM25 top-k. */
   def searchConjunctive(query: String, k: Int): Array[Scored] =
     runPerBucket(Analyzer.analyzeQuery(query).toSeq, k, Mode(conjunctive = true))
+
+  /** ES `bool` query: `query` scores (as OR / AND / phrase per the
+    * flags), `filters` are filter-context clauses — docs must carry the
+    * EXACT field value, matched against the fielded keyword terms an
+    * index built with `IndexConfig.fieldCols` stores
+    * ([[graft.index.FieldTerms]]) — and `mustNot` excludes docs carrying
+    * a value. Filter/must_not clauses never contribute to the score
+    * (exact ES filter-context semantics), so scores equal the plain
+    * query's scores on the surviving docs.
+    *
+    * Scale shape: a filter clause is ONE extra posting list in the
+    * per-bucket WAND — no doc-store scan, no post-filter of an oversized
+    * top-k (which would be unsound), no broadcast of a docId set.
+    */
+  def searchBool(
+      query: String,
+      k: Int,
+      filters: Seq[(String, String)] = Nil,
+      mustNot: Seq[(String, String)] = Nil,
+      conjunctive: Boolean = false,
+      phrase: Boolean = false
+  ): Array[Scored] = {
+    val slots = if (phrase) Analyzer.tokenize(query).toSeq else null
+    val scoredTerms =
+      if (phrase) Option(slots).getOrElse(Nil).distinct.sorted
+      else Analyzer.analyzeQuery(query).toSeq
+    if (scoredTerms.isEmpty || (phrase && slots.isEmpty)) return Array.empty
+    val filterTerms = filters.map { case (f, v) => graft.index.FieldTerms.term(f, v) }.distinct
+    val excludeTerms = mustNot.map { case (f, v) => graft.index.FieldTerms.term(f, v) }.distinct
+    val found = lookupTerms(scoredTerms ++ filterTerms ++ excludeTerms)
+    // a filter value absent from the whole index ⇒ no doc can match
+    if (filterTerms.exists(t => !found.contains(t))) return Array.empty
+    val needAll = conjunctive || phrase
+    if (needAll && scoredTerms.exists(t => !found.contains(t))) return Array.empty
+    if (!scoredTerms.exists(found.contains)) return Array.empty
+    runFound(found, k,
+      SearchMode(conjunctive, slots, filterTerms, excludeTerms.filter(found.contains)))
+  }
 
   // --- term-expansion queries (ES prefix / wildcard / fuzzy) --------------
 

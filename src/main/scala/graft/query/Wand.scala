@@ -115,11 +115,50 @@ object Wand {
   private val heapOrd: Ordering[HeapEntry] =
     Ordering.by[HeapEntry, (Double, Long)](e => (-e.score, e.docId))
 
-  /** Disjunctive (OR) BM25 top-k — the ES `match` query shape (SURVEY.md
-    * J3/T1). `lists` must be keyed by distinct terms.
+  /** Align `filters` at `doc`: returns `doc` if every filter list
+    * contains it, else a docId ≥ the first position where all filters
+    * COULD align again (the max of their curDocs) — the caller skips its
+    * scored cursors there. Filters are membership-only (ES bool `filter`
+    * context): they never contribute score, so they play no part in
+    * pivot/upper-bound pruning — they only veto candidates.
     */
-  def topK(lists: Seq[TermIterator], k: Int): Array[Scored] = {
+  private def filtersAlignAt(filters: Array[TermIterator], doc: Long): Long = {
+    var next = doc
+    var i = 0
+    while (i < filters.length) {
+      filters(i).nextGEQ(doc)
+      val c = filters(i).curDoc
+      if (c > next) next = c
+      i += 1
+    }
+    next
+  }
+
+  /** Is `doc` present in any exclusion list (ES bool `must_not`)? */
+  private def excludedAt(excludes: Array[TermIterator], doc: Long): Boolean = {
+    var i = 0
+    while (i < excludes.length) {
+      excludes(i).nextGEQ(doc)
+      if (excludes(i).curDoc == doc) return true
+      i += 1
+    }
+    false
+  }
+
+  /** Disjunctive (OR) BM25 top-k — the ES `match` query shape (SURVEY.md
+    * J3/T1). `lists` must be keyed by distinct terms. `filters` are
+    * required-but-unscored lists (ES bool `filter` context — typically
+    * fielded keyword terms like `#role:user`); `excludes` veto their docs
+    * (`must_not`). Both default empty = plain WAND, and neither affects
+    * pruning soundness: filters/excludes only REMOVE candidates, and the
+    * pivot bound Σub over scored lists stays a valid upper bound.
+    */
+  def topK(lists: Seq[TermIterator], k: Int,
+      filters: Seq[TermIterator] = Nil,
+      excludes: Seq[TermIterator] = Nil): Array[Scored] = {
     if (lists.isEmpty || k <= 0) return Array.empty
+    val fArr = filters.toArray
+    val eArr = excludes.toArray
     val byTerm = lists.sortBy(_.term).toArray // fixed scoring order: term asc
     val heap = scala.collection.mutable.PriorityQueue.empty[HeapEntry](heapOrd)
     var theta = Double.NegativeInfinity
@@ -172,19 +211,31 @@ object Wand {
             j = 0
             while (j <= p) { iters(j).nextGEQ(target); j += 1 }
           } else {
-            // fully score pivotDoc: exact sum in ascending TERM order
-            var s = 0.0
-            var t = 0
-            while (t < byTerm.length) {
-              val it = byTerm(t)
-              if (it.curDoc == pivotDoc) { it.nextGEQ(pivotDoc); s += it.score }
-              t += 1
-            }
-            offer(s, pivotDoc)
-            t = 0
-            while (t < byTerm.length) {
-              if (byTerm(t).curDoc == pivotDoc) byTerm(t).advancePast(pivotDoc)
-              t += 1
+            val fNext = if (fArr.isEmpty) pivotDoc else filtersAlignAt(fArr, pivotDoc)
+            if (fNext != pivotDoc || excludedAt(eArr, pivotDoc)) {
+              // filtered out: skip every list sitting on pivotDoc forward
+              // (to the filters' next possible doc when that is known)
+              val target = math.max(pivotDoc + 1, fNext)
+              var t = 0
+              while (t < byTerm.length) {
+                if (byTerm(t).curDoc == pivotDoc) byTerm(t).nextGEQ(target)
+                t += 1
+              }
+            } else {
+              // fully score pivotDoc: exact sum in ascending TERM order
+              var s = 0.0
+              var t = 0
+              while (t < byTerm.length) {
+                val it = byTerm(t)
+                if (it.curDoc == pivotDoc) { it.nextGEQ(pivotDoc); s += it.score }
+                t += 1
+              }
+              offer(s, pivotDoc)
+              t = 0
+              while (t < byTerm.length) {
+                if (byTerm(t).curDoc == pivotDoc) byTerm(t).advancePast(pivotDoc)
+                t += 1
+              }
             }
           }
           sortIters()
@@ -204,8 +255,10 @@ object Wand {
     * block-max early exit once the heap is full (a block span whose
     * Σ blockMax cannot beat θ is skipped without decoding any block).
     */
-  def topKConjunctive(lists: Seq[TermIterator], k: Int): Array[Scored] =
-    intersectTopK(lists, k, phrase = null)
+  def topKConjunctive(lists: Seq[TermIterator], k: Int,
+      filters: Seq[TermIterator] = Nil,
+      excludes: Seq[TermIterator] = Nil): Array[Scored] =
+    intersectTopK(lists, k, phrase = null, filters, excludes)
 
   /** Phrase top-k: docs containing the terms at ADJACENT positions in
     * `phrase` order (ES `match_phrase` over analyzed fields — SURVEY.md
@@ -215,9 +268,11 @@ object Wand {
     * docs where the exact phrase occurs. `lists` must carry one iterator
     * per DISTINCT phrase term.
     */
-  def topKPhrase(lists: Seq[TermIterator], phrase: Seq[String], k: Int): Array[Scored] = {
+  def topKPhrase(lists: Seq[TermIterator], phrase: Seq[String], k: Int,
+      filters: Seq[TermIterator] = Nil,
+      excludes: Seq[TermIterator] = Nil): Array[Scored] = {
     if (phrase == null || phrase.isEmpty) return Array.empty
-    intersectTopK(lists, k, phrase)
+    intersectTopK(lists, k, phrase, filters, excludes)
   }
 
   /** Does the phrase occur at the current (aligned) doc? slots(j) is the
@@ -240,9 +295,13 @@ object Wand {
   private def intersectTopK(
       lists: Seq[TermIterator],
       k: Int,
-      phrase: Seq[String]
+      phrase: Seq[String],
+      filters: Seq[TermIterator] = Nil,
+      excludes: Seq[TermIterator] = Nil
   ): Array[Scored] = {
     if (lists.isEmpty || k <= 0) return Array.empty
+    val fArr = filters.toArray
+    val eArr = excludes.toArray
     val byTerm = lists.sortBy(_.term).toArray
     val slots: Array[TermIterator] =
       if (phrase == null) null
@@ -288,8 +347,13 @@ object Wand {
           if (byTerm(i).curDoc != candidate) { candidate = byTerm(i).curDoc; aligned = false }
           i += 1
         }
+        if (aligned && candidate != Long.MaxValue && fArr.nonEmpty) {
+          // required-but-unscored filter lists must also contain the doc
+          val fNext = filtersAlignAt(fArr, candidate)
+          if (fNext != candidate) { candidate = fNext; aligned = false }
+        }
         if (aligned && candidate != Long.MaxValue) {
-          if (slots == null || phraseAt(slots)) {
+          if (!excludedAt(eArr, candidate) && (slots == null || phraseAt(slots))) {
             var s = 0.0
             var t = 0
             while (t < byTerm.length) { s += byTerm(t).score; t += 1 }

@@ -128,6 +128,67 @@ class EngineSpec extends SparkSpec {
     assert(searcher.levenshtein("", "abc") == 3 && searcher.levenshtein("abc", "abc") == 0)
   }
 
+  test("bool query: filter context + must_not ≡ global-stats oracle with semi/anti-join") {
+    // separate index with fielded keyword terms enabled; the TEXT index
+    // content is byte-identical to the plain build (field terms live in a
+    // disjoint '#field:value' namespace and never touch text-term stats)
+    val dir = s"${TestSpark.tmpRoot}/index-fielded"
+    val docs = DocIds.assign(DocIds.dedup(Transcripts.generate(spark, nConvs)), 8)
+    new IndexBuilder(spark, dir, "snap-fielded", cfg.copy(fieldCols = Seq("role", "tool")))
+      .build(docs)
+    val s = new Searcher(spark, dir, cfg.numShards)
+    val d = spark.read.parquet(s"$dir/docs")
+    // ES filter-context semantics: scores come from the FULL corpus stats
+    // (filters don't re-weight df/N/avgdl) — so the oracle ranks ALL docs
+    // with the plain exhaustive scorer, then semi/anti-joins the filter
+    def want(q: String, preds: Seq[(String, String)], anti: Boolean, k: Int,
+        phrase: Boolean = false, conj: Boolean = false): Seq[Scored] = {
+      val ranked =
+        if (phrase) Oracle.topKPhrase(d, q, Int.MaxValue)
+        else if (conj) Oracle.topKConjunctive(d, q, Int.MaxValue)
+        else Oracle.topK(d, q, Int.MaxValue)
+      val match_ = preds.foldLeft(d)((acc, p) => acc.filter(col(p._1) === lit(p._2)))
+        .select("docId")
+      ranked.join(match_, Seq("docId"), if (anti) "left_anti" else "left_semi")
+        .orderBy(col("score").desc, col("docId").asc).limit(k)
+        .as[Scored].collect().toSeq
+    }
+    for (q <- Seq("the", "one have t999", "zanzibar", "the a of");
+        r <- Seq("user", "assistant", "tool")) {
+      val f = Seq("role" -> r)
+      assert(s.searchBool(q, 10, filters = f).toSeq == want(q, f, anti = false, 10),
+        s"filter '$q' role=$r")
+      assert(s.searchBool(q, 10, mustNot = f).toSeq == want(q, f, anti = true, 10),
+        s"must_not '$q' role=$r")
+    }
+    // multiple filter clauses AND together (role=tool ∧ tool=tool3)
+    val both = Seq("role" -> "tool", "tool" -> "tool3")
+    assert(s.searchBool("the", 10, filters = both).toSeq == want("the", both, anti = false, 10))
+    assert(s.searchBool("the", 10, filters = both).nonEmpty)
+    // conjunctive and phrase modes compose with filters
+    assert(s.searchBool("the a", 10, filters = Seq("role" -> "user"), conjunctive = true).toSeq
+      == want("the a", Seq("role" -> "user"), anti = false, 10, conj = true))
+    assert(s.searchBool("of the", 10, filters = Seq("role" -> "assistant"), phrase = true).toSeq
+      == want("of the", Seq("role" -> "assistant"), anti = false, 10, phrase = true))
+    // a filter value absent from the index matches nothing
+    assert(s.searchBool("the", 10, filters = Seq("role" -> "no-such-role")).isEmpty)
+    // unknown must_not value excludes nothing
+    assert(s.searchBool("the", 10, mustNot = Seq("role" -> "no-such-role")).toSeq
+      == s.search("the", 10).toSeq)
+    // filter terms never perturb scores: surviving docs score exactly as
+    // in the unfiltered query
+    val unfiltered = s.search("one have t999", 100).toSeq.map(x => x.docId -> x.score).toMap
+    for (hit <- s.searchBool("one have t999", 10, filters = Seq("role" -> "user")))
+      assert(unfiltered(hit.docId) == hit.score)
+    // warm driver-local path identical
+    val warm = new Searcher(spark, dir, cfg.numShards).warm()
+    for (q <- Seq("the", "one have t999"); r <- Seq("user", "tool")) {
+      val f = Seq("role" -> r)
+      assert(warm.searchBool(q, 10, filters = f).toSeq == s.searchBool(q, 10, filters = f).toSeq)
+      assert(warm.searchBool(q, 10, mustNot = f).toSeq == s.searchBool(q, 10, mustNot = f).toSeq)
+    }
+  }
+
   test("searchMany (batched) ≡ per-query search for the whole query set") {
     val batched = searcher.searchMany(queries, 10)
     for (q <- queries)

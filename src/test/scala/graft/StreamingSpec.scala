@@ -18,8 +18,11 @@ class StreamingSpec extends SparkSpec {
       .write.parquet(s"$src/part-a")
     Transcripts.generate(spark, 60L).filter($"conv_id" >= "conv-00000030")
       .write.parquet(s"$src/part-b")
+    // fieldCols: segments also store #role:<v> keyword terms (bool
+    // filter context) — text-term stats and every score are unaffected
     val q = StreamingIngest.ingestToIndex(spark, s"$src/part-*",
-      idx, IndexConfig(numBuckets = 1, partitions = 4), Trigger.AvailableNow())
+      idx, IndexConfig(numBuckets = 1, partitions = 4, fieldCols = Seq("role")),
+      Trigger.AvailableNow())
     q.awaitTermination(120000)
 
     val fs = new org.apache.hadoop.fs.Path(idx)
@@ -91,6 +94,25 @@ class StreamingSpec extends SparkSpec {
     // adjacency from the per-posting position streams
     assert(multi.searchPhrase("zanzibar quasar", 10).toSeq == phraseWant)
     assert(multi.searchPhrase("quasar zanzibar", 10).isEmpty)
+    // bool filter/must_not across segments AND through compaction: the
+    // #role terms merge like any other term; membership-only semantics
+    // (scores = merged-global-stats BM25 — oracle ranks ALL docs, then
+    // semi/anti-joins the predicate)
+    def boolWant(q: String, anti: Boolean): Seq[graft.model.Scored] =
+      graft.query.Oracle.topK(unionDocs, q, Int.MaxValue)
+        .join(unionDocs.filter($"role" === "user").select("docId"),
+          Seq("docId"), if (anti) "left_anti" else "left_semi")
+        .orderBy($"score".desc, $"docId".asc).limit(10)
+        .as[graft.model.Scored].collect().toSeq
+    for (qq <- Seq("the", "one have t999")) {
+      assert(multi.searchBool(qq, 10, filters = Seq("role" -> "user")).toSeq
+        == boolWant(qq, anti = false), s"multi bool filter '$qq'")
+      assert(multi.searchBool(qq, 10, mustNot = Seq("role" -> "user")).toSeq
+        == boolWant(qq, anti = true), s"multi bool must_not '$qq'")
+      assert(single.searchBool(qq, 10, filters = Seq("role" -> "user")).toSeq
+        == boolWant(qq, anti = false), s"compacted bool filter '$qq'")
+    }
+    assert(multi.searchBool("the", 10, filters = Seq("role" -> "no-such")).isEmpty)
 
     // ---- in-place compaction + continued append: max docId comes from
     // the compacted segment's manifest (zero jobs), new batch stays

@@ -162,4 +162,52 @@ class WandSpec extends AnyFunSuite {
     check(50, 5, Seq("zzz-not-present"), 10, 16)
     check(50, 5, Seq.empty, 10, 16)
   }
+
+  /** Unscored posting list over an explicit doc set (a fielded keyword
+    * term, tf=1/doc) — what `IndexConfig.fieldCols` stores.
+    */
+  private def fieldIter(name: String, docIds: Seq[Int], blockSize: Int,
+      n: Long, avgdl: Double): Wand.TermIterator = {
+    val ids = docIds.map(_.toLong).toArray
+    val ones = Array.fill(docIds.length)(1)
+    val blocks = Codec.encodeBlocks(9999L, 0, 0, ids, ones, ones,
+      Array.fill(docIds.length)(0.0), ids.map(_ => Array.emptyByteArray), blockSize).toArray
+    new Wand.TermIterator(name, blocks, 0.0, docIds.length.toLong, n, avgdl)
+  }
+
+  test("filtered WAND (bool filter/must_not) ≡ exhaustive on 150 random cases") {
+    for (i <- 1 to 150) {
+      val vocab = 3 + rnd.nextInt(12)
+      val nDocs = 10 + rnd.nextInt(400)
+      val corpus = randomCorpus(nDocs, vocab)
+      val terms = Seq.fill(1 + rnd.nextInt(3))("t" + rnd.nextInt(vocab)).distinct.sorted
+      val k = 1 + rnd.nextInt(15)
+      val blockSize = Seq(4, 16, 128)(i % 3)
+      val conj = i % 4 == 1
+      // synthetic keyword field: doc's value = docId mod m
+      val m = 2 + rnd.nextInt(3)
+      val fv = rnd.nextInt(m)
+      val ev = rnd.nextInt(m)
+      val inFilter = (0 until nDocs).filter(_ % m == fv)
+      val inExclude = (0 until nDocs).filter(_ % m == ev)
+      val (iters, df, n, avgdl) = buildIters(corpus, terms, blockSize)
+      val filters = Seq(fieldIter("#f:" + fv, inFilter, blockSize, n, avgdl))
+      val excludes = Seq(fieldIter("#f:" + ev, inExclude, blockSize, n, avgdl))
+      val useF = i % 3 != 0
+      val useE = i % 3 != 1
+      val brute = bruteScore(corpus, terms, nDocs, conj)
+        .filter(s => !useF || s.docId % m == fv)
+        .filter(s => !useE || s.docId % m != ev)
+        .take(k)
+      val qt = terms.filter(df.contains)
+      val got =
+        if (conj && qt.size < terms.size) Array.empty[Scored]
+        else if (conj) Wand.topKConjunctive(iters, k,
+          if (useF) filters else Nil, if (useE) excludes else Nil)
+        else Wand.topK(iters, k, if (useF) filters else Nil, if (useE) excludes else Nil)
+      assert(got.toSeq == brute,
+        s"filtered mismatch: terms=$terms m=$m fv=$fv ev=$ev useF=$useF useE=$useE conj=$conj k=$k\n" +
+          s" got=${got.toSeq}\n want=$brute")
+    }
+  }
 }
