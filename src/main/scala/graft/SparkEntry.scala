@@ -271,6 +271,17 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
       rankHits(s, new Searcher(s, documentsIndex(s, dir), 8)
         .searchBool(Bm25Query, 10, mustNot = Seq("lang" -> "en", "source" -> "src1")))
     }),
+    "q_bm25_terms" -> ((s, dir) => {
+      // ES `terms` clause: one UnionCursor over the values' posting lists
+      rankHits(s, new Searcher(s, documentsIndex(s, dir), 8)
+        .searchBool(Bm25Query, 10, anyFilters = Seq("lang" -> Seq("fr", "es"))))
+    }),
+    "q_bm25_range" -> ((s, dir) => {
+      // ES `range` clause (lexicographic, inclusive): dictionary-expanded
+      // to the stored #lang values in ['d','f'] = {de, en, es}
+      rankHits(s, new Searcher(s, documentsIndex(s, dir), 8)
+        .searchBool(Bm25Query, 10, rangeFilters = Seq(("lang", "d", "f"))))
+    }),
     "q_bm25_oracle" -> ((s, dir) => {
       import s.implicits._
       // exhaustive scorer, no index — the in-repo oracle as an operator
@@ -518,6 +529,10 @@ SELECT CAST(count(*) AS BIGINT) AS n_docs, round(avg(dl), 6) AS avgdl FROM dl"""
         conjunctive = false, docPred = "lang = 'fr'"),
       "q_bm25_mustnot" -> bm25Sql(Analyzer.analyzeQuery(Bm25Query).toSeq, 10,
         conjunctive = false, docPred = "NOT (lang = 'en' OR source = 'src1')"),
+      "q_bm25_terms" -> bm25Sql(Analyzer.analyzeQuery(Bm25Query).toSeq, 10,
+        conjunctive = false, docPred = "lang IN ('fr','es')"),
+      "q_bm25_range" -> bm25Sql(Analyzer.analyzeQuery(Bm25Query).toSeq, 10,
+        conjunctive = false, docPred = "lang >= 'd' AND lang <= 'f'"),
       "q_bm25_oracle" ->
         (bm25Sql(Analyzer.analyzeQuery(Bm25Query).toSeq, 10, conjunctive = false)),
       "q_dedup_exact" ->

@@ -76,19 +76,20 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
 
   private def run(terms: Seq[String], k: Int, conjunctive: Boolean,
       slots: Seq[String] = null,
-      filterTerms: Seq[String] = Nil,
+      filterClauses: Seq[Seq[String]] = Nil,
       excludeTerms: Seq[String] = Nil): Array[Scored] = {
     val distinctTerms = terms.distinct.sorted
     if (distinctTerms.isEmpty || k <= 0) return Array.empty
     val (dfGlobal, perSeg) =
-      lookup((distinctTerms ++ filterTerms ++ excludeTerms).distinct.sorted)
+      lookup((distinctTerms ++ filterClauses.flatten ++ excludeTerms).distinct.sorted)
     if (!distinctTerms.exists(dfGlobal.contains)) return Array.empty
-    // a filter value absent from every segment ⇒ nothing can match
-    if (filterTerms.exists(t => !dfGlobal.contains(t))) return Array.empty
+    // a clause with no value present in any segment ⇒ nothing can match
+    val clauses = filterClauses.map(_.filter(dfGlobal.contains))
+    if (clauses.exists(_.isEmpty)) return Array.empty
     if ((conjunctive || slots != null) && distinctTerms.exists(t => !dfGlobal.contains(t)))
       return Array.empty
     val nTerms = distinctTerms.count(dfGlobal.contains)
-    val fSet = filterTerms.toSet
+    val fSet = clauses.flatten.toSet
     val eSet = excludeTerms.toSet
     val nG = n
     val avgdlG = avgdl
@@ -111,6 +112,7 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
         struct(all_block_cols: _*).as("_3"))
       .as[(Int, Int, PostingBlock)]
     val sl = slots
+    val cl = clauses
     val perGroup = all
       .groupByKey { case (seg, bucket, _) => (seg, bucket) }
       .flatMapGroups { (_, it) =>
@@ -126,12 +128,20 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
             staleBlockMax = true))
         }
         val iters = grouped.collect { case (t, it0) if !fSet.contains(t) && !eSet.contains(t) => it0 }
-        val filters = grouped.collect { case (t, it0) if fSet.contains(t) => it0 }
+        val byName = grouped.toMap
+        val clauseCursors: Seq[Option[Wand.DocCursor]] = cl.map { clause =>
+          val members = clause.flatMap(byName.get)
+          if (members.isEmpty) None
+          else if (members.size == 1) Some(members.head)
+          else Some(new Wand.UnionCursor(members))
+        }
+        val filters = clauseCursors.flatten
         val excludes = grouped.collect { case (t, it0) if eSet.contains(t) => it0 }
         // AND/phrase: every scored term must be present; filter context:
-        // a (segment, bucket) missing a filter value has no matching docs
+        // a (segment, bucket) where a clause has NO member value has no
+        // matching docs
         if (iters.isEmpty || ((conjunctive || sl != null) && iters.size < nTerms) ||
-          filters.size < fSet.size) Iterator.empty
+          clauseCursors.exists(_.isEmpty)) Iterator.empty
         else {
           val top =
             if (sl != null) Wand.topKPhrase(iters, sl, k, filters, excludes)
@@ -178,7 +188,12 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
       filters: Seq[(String, String)] = Nil,
       mustNot: Seq[(String, String)] = Nil,
       conjunctive: Boolean = false,
-      phrase: Boolean = false
+      phrase: Boolean = false,
+      /** ES `terms` clauses: doc must carry ANY of the listed values
+        * (range filters need a dictionary expansion — use a single
+        * `Searcher` over a compacted index for those).
+        */
+      anyFilters: Seq[(String, Seq[String])] = Nil
   ): Array[Scored] = {
     val slots = if (phrase) Analyzer.tokenize(query).toSeq else null
     val scoredTerms =
@@ -186,7 +201,10 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
       else Analyzer.analyzeQuery(query).toSeq
     if (scoredTerms.isEmpty) return Array.empty
     run(scoredTerms, k, conjunctive, slots,
-      filters.map { case (f, v) => graft.index.FieldTerms.term(f, v) }.distinct,
+      filters.map { case (f, v) => Seq(graft.index.FieldTerms.term(f, v)) } ++
+        anyFilters.map { case (f, vs) =>
+          vs.distinct.map(v => graft.index.FieldTerms.term(f, v))
+        },
       mustNot.map { case (f, v) => graft.index.FieldTerms.term(f, v) }.distinct)
   }
 

@@ -20,15 +20,19 @@ import graft.model.{IndexStats, PostingBlock, Scored, TermStats}
   */
 /** Execution mode of one query: OR (WAND), AND (intersection), or
   * phrase (intersection + position adjacency; `slots` = analyzed
-  * phrase terms in order, possibly repeating). `filterTerms` are
-  * required-but-unscored terms (ES bool `filter` context — fielded
-  * keyword terms, see [[graft.index.FieldTerms]]); `excludeTerms` veto
-  * their docs (`must_not`). Both are disjoint from the scored terms.
+  * phrase terms in order, possibly repeating). `filterClauses` are
+  * required-but-unscored clauses (ES bool `filter` context): each
+  * clause is a disjunction of fielded keyword terms
+  * ([[graft.index.FieldTerms]]) — a single-value `term` filter is a
+  * 1-element clause, a `terms`/`range` filter a multi-element one; a
+  * doc must satisfy EVERY clause. `excludeTerms` veto their docs
+  * (`must_not` — flat, since matching ANY exclude term vetoes). Both
+  * are disjoint from the scored terms.
   */
 private[query] final case class SearchMode(
     conjunctive: Boolean,
     slots: Seq[String],
-    filterTerms: Seq[String] = Nil,
+    filterClauses: Seq[Seq[String]] = Nil,
     excludeTerms: Seq[String] = Nil)
 
 private[query] object Searcher {
@@ -50,17 +54,25 @@ private[query] object Searcher {
       n: Long,
       avgdl: Double
   ): Iterator[Scored] = {
-    val fSet = mode.filterTerms.toSet
+    val fSet = mode.filterClauses.flatten.toSet
     val eSet = mode.excludeTerms.toSet
+    val byName = entries.toMap
     def iterOf(t: String, s: TermStats): Option[Wand.TermIterator] =
       byTerm.get(s.termId).map(bs => new Wand.TermIterator(t, bs, s.maxScore, s.df, n, avgdl))
     val scoredEntries = entries.filter { case (t, _) => !fSet.contains(t) && !eSet.contains(t) }
     val scored = scoredEntries.flatMap { case (t, s) => iterOf(t, s) }
     val needAll = mode.conjunctive || mode.slots != null
     if (scored.isEmpty || (needAll && scored.size < scoredEntries.size)) return Iterator.empty
-    val fOpts = entries.filter(e => fSet.contains(e._1)).map { case (t, s) => iterOf(t, s) }
-    if (fOpts.exists(_.isEmpty)) return Iterator.empty
-    val filters = fOpts.flatten
+    // each clause → one cursor (union of its values' lists); a clause
+    // with NO member in this bucket is unsatisfiable here
+    val clauseCursors: Seq[Option[Wand.DocCursor]] = mode.filterClauses.map { clause =>
+      val members = clause.flatMap(t => byName.get(t).flatMap(s => iterOf(t, s)))
+      if (members.isEmpty) None
+      else if (members.size == 1) Some(members.head)
+      else Some(new Wand.UnionCursor(members))
+    }
+    if (clauseCursors.exists(_.isEmpty)) return Iterator.empty
+    val filters = clauseCursors.flatten
     val excludes = entries.filter(e => eSet.contains(e._1)).flatMap { case (t, s) => iterOf(t, s) }
     val top =
       if (mode.slots != null) Wand.topKPhrase(scored, mode.slots, k, filters, excludes)
@@ -294,23 +306,62 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
       filters: Seq[(String, String)] = Nil,
       mustNot: Seq[(String, String)] = Nil,
       conjunctive: Boolean = false,
-      phrase: Boolean = false
+      phrase: Boolean = false,
+      /** ES `terms` filter clauses: doc must carry ANY of the values
+        * (one union cursor per clause).
+        */
+      anyFilters: Seq[(String, Seq[String])] = Nil,
+      /** ES `range` filter clauses on keyword fields: (field, lo, hi),
+        * INCLUSIVE, LEXICOGRAPHIC value order (exact for fixed-width
+        * encodings — zero-pad numerics at index time, ISO-8601 dates
+        * sort naturally). Expanded against the dictionary (uncapped —
+        * a silent expansion cap would drop matching docs).
+        */
+      rangeFilters: Seq[(String, String, String)] = Nil
   ): Array[Scored] = {
     val slots = if (phrase) Analyzer.tokenize(query).toSeq else null
     val scoredTerms =
       if (phrase) Option(slots).getOrElse(Nil).distinct.sorted
       else Analyzer.analyzeQuery(query).toSeq
     if (scoredTerms.isEmpty || (phrase && slots.isEmpty)) return Array.empty
-    val filterTerms = filters.map { case (f, v) => graft.index.FieldTerms.term(f, v) }.distinct
+    val clauses: Seq[Seq[String]] =
+      filters.map { case (f, v) => Seq(graft.index.FieldTerms.term(f, v)) } ++
+        anyFilters.map { case (f, vs) =>
+          vs.distinct.map(v => graft.index.FieldTerms.term(f, v))
+        } ++
+        rangeFilters.map { case (f, lo, hi) => expandFieldRange(f, lo, hi) }
     val excludeTerms = mustNot.map { case (f, v) => graft.index.FieldTerms.term(f, v) }.distinct
-    val found = lookupTerms(scoredTerms ++ filterTerms ++ excludeTerms)
-    // a filter value absent from the whole index ⇒ no doc can match
-    if (filterTerms.exists(t => !found.contains(t))) return Array.empty
+    val found = lookupTerms(scoredTerms ++ clauses.flatten.distinct ++ excludeTerms)
+    // a clause with no value present anywhere in the index ⇒ no match
+    val foundClauses = clauses.map(_.filter(found.contains))
+    if (foundClauses.exists(_.isEmpty)) return Array.empty
     val needAll = conjunctive || phrase
     if (needAll && scoredTerms.exists(t => !found.contains(t))) return Array.empty
     if (!scoredTerms.exists(found.contains)) return Array.empty
     runFound(found, k,
-      SearchMode(conjunctive, slots, filterTerms, excludeTerms.filter(found.contains)))
+      SearchMode(conjunctive, slots, foundClauses, excludeTerms.filter(found.contains)))
+  }
+
+  /** Dictionary expansion of a lexicographic value range on a keyword
+    * field: every stored `#field:value` term with lo ≤ value ≤ hi.
+    * Warm dictMap filters on the driver (zero jobs); cold, ONE dict
+    * scan (the term-sorted parquet makes the prefix a row-group range
+    * scan, like searchPrefix). NOT capped: a range filter must see
+    * every matching value or it silently drops docs.
+    */
+  private def expandFieldRange(field: String, lo: String, hi: String): Seq[String] = {
+    val prefix = graft.index.FieldTerms.term(field, "")
+    def inRange(v: String): Boolean = lo <= v && v <= hi
+    if (dictMap != null)
+      dictMap.keysIterator
+        .filter(t => t.startsWith(prefix) && inRange(t.substring(prefix.length)))
+        .toSeq.sorted
+    else {
+      val valueCol = col("term").substr(lit(prefix.length + 1), lit(Int.MaxValue))
+      dict.filter(col("term").startsWith(prefix) &&
+          valueCol >= lit(lo) && valueCol <= lit(hi))
+        .select(col("term")).as[String].collect().toSeq.sorted
+    }
   }
 
   // --- term-expansion queries (ES prefix / wildcard / fuzzy) --------------

@@ -35,7 +35,7 @@ object Wand {
       n: Long,
       avgdl: Double,
       staleBlockMax: Boolean = false
-  ) {
+  ) extends DocCursor {
     private val blocks = blocksIn.sortBy(b => (b.firstDocId, b.lastDocId))
     private var bi = 0
     private var dec: Codec.DecodedBlock = _
@@ -109,6 +109,41 @@ object Wand {
     def score: Double = Bm25.score(dec.tfs(pos), df, dec.dls(pos), n, avgdl)
   }
 
+  /** Membership-only cursor over a sorted docId stream — what filter /
+    * must_not clauses need (curDoc/nextGEQ, never scores). TermIterator
+    * is the single-posting-list instance; [[UnionCursor]] the
+    * disjunction.
+    */
+  trait DocCursor {
+    def curDoc: Long
+    def nextGEQ(target: Long): Unit
+  }
+
+  /** Disjunction of posting lists as one cursor (ES `terms` / `range`
+    * filter clauses: doc matches if it carries ANY of the clause's
+    * values). curDoc = min over members; members are advanced lazily on
+    * nextGEQ. Linear min-scan per advance — filter clauses expand to a
+    * handful of field values (and each advance is amortized against the
+    * galloping block skips inside the members), so a heap buys nothing
+    * at this fan-in.
+    */
+  final class UnionCursor(members: Seq[TermIterator]) extends DocCursor {
+    private val ms = members.toArray
+    private var cur = if (ms.isEmpty) Long.MaxValue else ms.map(_.curDoc).min
+    def curDoc: Long = cur
+    def nextGEQ(target: Long): Unit = {
+      if (cur >= target) return
+      var min = Long.MaxValue
+      var i = 0
+      while (i < ms.length) {
+        if (ms(i).curDoc < target) ms(i).nextGEQ(target)
+        if (ms(i).curDoc < min) min = ms(i).curDoc
+        i += 1
+      }
+      cur = min
+    }
+  }
+
   private final case class HeapEntry(score: Double, docId: Long)
   // min-heap: worst entry on top = lowest score, then LARGEST docId
   // (ties rank by docId asc, so the largest docId is the weakest).
@@ -122,7 +157,7 @@ object Wand {
     * context): they never contribute score, so they play no part in
     * pivot/upper-bound pruning — they only veto candidates.
     */
-  private def filtersAlignAt(filters: Array[TermIterator], doc: Long): Long = {
+  private def filtersAlignAt(filters: Array[DocCursor], doc: Long): Long = {
     var next = doc
     var i = 0
     while (i < filters.length) {
@@ -135,7 +170,7 @@ object Wand {
   }
 
   /** Is `doc` present in any exclusion list (ES bool `must_not`)? */
-  private def excludedAt(excludes: Array[TermIterator], doc: Long): Boolean = {
+  private def excludedAt(excludes: Array[DocCursor], doc: Long): Boolean = {
     var i = 0
     while (i < excludes.length) {
       excludes(i).nextGEQ(doc)
@@ -154,8 +189,8 @@ object Wand {
     * pivot bound Σub over scored lists stays a valid upper bound.
     */
   def topK(lists: Seq[TermIterator], k: Int,
-      filters: Seq[TermIterator] = Nil,
-      excludes: Seq[TermIterator] = Nil): Array[Scored] = {
+      filters: Seq[DocCursor] = Nil,
+      excludes: Seq[DocCursor] = Nil): Array[Scored] = {
     if (lists.isEmpty || k <= 0) return Array.empty
     val fArr = filters.toArray
     val eArr = excludes.toArray
@@ -256,8 +291,8 @@ object Wand {
     * Σ blockMax cannot beat θ is skipped without decoding any block).
     */
   def topKConjunctive(lists: Seq[TermIterator], k: Int,
-      filters: Seq[TermIterator] = Nil,
-      excludes: Seq[TermIterator] = Nil): Array[Scored] =
+      filters: Seq[DocCursor] = Nil,
+      excludes: Seq[DocCursor] = Nil): Array[Scored] =
     intersectTopK(lists, k, phrase = null, filters, excludes)
 
   /** Phrase top-k: docs containing the terms at ADJACENT positions in
@@ -269,8 +304,8 @@ object Wand {
     * per DISTINCT phrase term.
     */
   def topKPhrase(lists: Seq[TermIterator], phrase: Seq[String], k: Int,
-      filters: Seq[TermIterator] = Nil,
-      excludes: Seq[TermIterator] = Nil): Array[Scored] = {
+      filters: Seq[DocCursor] = Nil,
+      excludes: Seq[DocCursor] = Nil): Array[Scored] = {
     if (phrase == null || phrase.isEmpty) return Array.empty
     intersectTopK(lists, k, phrase, filters, excludes)
   }
@@ -296,8 +331,8 @@ object Wand {
       lists: Seq[TermIterator],
       k: Int,
       phrase: Seq[String],
-      filters: Seq[TermIterator] = Nil,
-      excludes: Seq[TermIterator] = Nil
+      filters: Seq[DocCursor] = Nil,
+      excludes: Seq[DocCursor] = Nil
   ): Array[Scored] = {
     if (lists.isEmpty || k <= 0) return Array.empty
     val fArr = filters.toArray

@@ -180,13 +180,41 @@ class EngineSpec extends SparkSpec {
     val unfiltered = s.search("one have t999", 100).toSeq.map(x => x.docId -> x.score).toMap
     for (hit <- s.searchBool("one have t999", 10, filters = Seq("role" -> "user")))
       assert(unfiltered(hit.docId) == hit.score)
-    // warm driver-local path identical
+    // ES `terms` clause (doc carries ANY of the values) and `range`
+    // clause (lexicographic, inclusive, dictionary-expanded) — oracle is
+    // the same global-stats rank + arbitrary-predicate semi-join
+    def wantWhere(q: String, cond: org.apache.spark.sql.Column, k: Int): Seq[Scored] =
+      Oracle.topK(d, q, Int.MaxValue)
+        .join(d.filter(cond).select("docId"), Seq("docId"), "left_semi")
+        .orderBy(col("score").desc, col("docId").asc).limit(k)
+        .as[Scored].collect().toSeq
+    val anyGot = s.searchBool("the", 10, anyFilters = Seq("role" -> Seq("user", "tool")))
+    assert(anyGot.toSeq == wantWhere("the", col("role").isin("user", "tool"), 10))
+    assert(anyGot.nonEmpty)
+    val rangeGot = s.searchBool("the", 10, rangeFilters = Seq(("tool", "tool2", "tool5")))
+    assert(rangeGot.toSeq ==
+      wantWhere("the", col("tool") >= lit("tool2") && col("tool") <= lit("tool5"), 10))
+    assert(rangeGot.nonEmpty)
+    // clauses AND together: equality + terms clause
+    assert(s.searchBool("the", 10, filters = Seq("role" -> "tool"),
+        anyFilters = Seq("tool" -> Seq("tool1", "tool3"))).toSeq ==
+      wantWhere("the", col("role") === lit("tool") && col("tool").isin("tool1", "tool3"), 10))
+    // a terms clause with only unknown values matches nothing; with a
+    // mix, the unknown member is simply inert
+    assert(s.searchBool("the", 10, anyFilters = Seq("role" -> Seq("nope", "also-nope"))).isEmpty)
+    assert(s.searchBool("the", 10, anyFilters = Seq("role" -> Seq("nope", "user"))).toSeq ==
+      s.searchBool("the", 10, filters = Seq("role" -> "user")).toSeq)
+    // warm driver-local path identical (incl. dictMap-side range expansion)
     val warm = new Searcher(spark, dir, cfg.numShards).warm()
     for (q <- Seq("the", "one have t999"); r <- Seq("user", "tool")) {
       val f = Seq("role" -> r)
       assert(warm.searchBool(q, 10, filters = f).toSeq == s.searchBool(q, 10, filters = f).toSeq)
       assert(warm.searchBool(q, 10, mustNot = f).toSeq == s.searchBool(q, 10, mustNot = f).toSeq)
     }
+    assert(warm.searchBool("the", 10, anyFilters = Seq("role" -> Seq("user", "tool"))).toSeq
+      == anyGot.toSeq)
+    assert(warm.searchBool("the", 10, rangeFilters = Seq(("tool", "tool2", "tool5"))).toSeq
+      == rangeGot.toSeq)
   }
 
   test("searchMany (batched) ≡ per-query search for the whole query set") {

@@ -113,6 +113,10 @@ class StreamingSpec extends SparkSpec {
         == boolWant(qq, anti = false), s"compacted bool filter '$qq'")
     }
     assert(multi.searchBool("the", 10, filters = Seq("role" -> "no-such")).isEmpty)
+    // terms clause across segments: anyOf(assistant, tool) ≡ the
+    // oracle-pinned must_not(user) on this 3-valued field
+    assert(multi.searchBool("the", 10, anyFilters = Seq("role" -> Seq("assistant", "tool"))).toSeq
+      == multi.searchBool("the", 10, mustNot = Seq("role" -> "user")).toSeq)
 
     // ---- in-place compaction + continued append: max docId comes from
     // the compacted segment's manifest (zero jobs), new batch stays
