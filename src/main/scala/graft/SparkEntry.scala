@@ -282,6 +282,11 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
       rankHits(s, new Searcher(s, documentsIndex(s, dir), 8)
         .searchBool(Bm25Query, 10, rangeFilters = Seq(("lang", "d", "f"))))
     }),
+    "q_facet_lang" -> ((s, dir) =>
+      // ES terms aggregation (facets) over the FULL match set: doc
+      // counts per lang among docs containing >=1 query term — runs
+      // index-side (block scan -> docId decode -> join -> hash agg)
+      new Searcher(s, documentsIndex(s, dir), 8).facetCounts(Bm25Query, "lang")),
     "q_bm25_oracle" -> ((s, dir) => {
       import s.implicits._
       // exhaustive scorer, no index — the in-repo oracle as an operator
@@ -531,6 +536,13 @@ SELECT CAST(count(*) AS BIGINT) AS n_docs, round(avg(dl), 6) AS avgdl FROM dl"""
         conjunctive = false, docPred = "NOT (lang = 'en' OR source = 'src1')"),
       "q_bm25_terms" -> bm25Sql(Analyzer.analyzeQuery(Bm25Query).toSeq, 10,
         conjunctive = false, docPred = "lang IN ('fr','es')"),
+      "q_facet_lang" ->
+        s"""${toksCte("documents", "doc_id")}
+SELECT d.lang AS value, CAST(count(*) AS BIGINT) AS n_docs
+FROM documents d
+WHERE d.doc_id IN (SELECT DISTINCT doc_id FROM tok
+                   WHERE term IN ${inList(Analyzer.analyzeQuery(Bm25Query).toSeq)})
+GROUP BY 1 ORDER BY 1""",
       "q_bm25_range" -> bm25Sql(Analyzer.analyzeQuery(Bm25Query).toSeq, 10,
         conjunctive = false, docPred = "lang >= 'd' AND lang <= 'f'"),
       "q_bm25_oracle" ->

@@ -46,6 +46,28 @@ object Analyzer {
     */
   def analyzeQuery(q: String): Array[String] = tokenize(q).distinct.sorted
 
+  private val wordPattern = java.util.regex.Pattern.compile("[\\p{L}\\p{N}]+")
+
+  /** Tokens with their [start, end) char offsets — the highlighter's
+    * view. Token VALUES are identical to [[tokenize]] (same alphabet,
+    * same truncation); offsets index the ORIGINAL string when
+    * lowercasing preserves length (the overwhelmingly common case —
+    * guaranteed for ASCII), else the lowercased twin, which keeps
+    * slicing safe either way.
+    */
+  def tokenizeWithOffsets(text: String): Array[(String, Int, Int)] = {
+    if (text == null || text.isEmpty) return Array.empty
+    val lowered = text.toLowerCase(Locale.ROOT)
+    val m = wordPattern.matcher(lowered)
+    val out = new scala.collection.mutable.ArrayBuffer[(String, Int, Int)]()
+    while (m.find()) {
+      val tok = m.group()
+      out += ((if (tok.length > MaxTokenLen) tok.substring(0, MaxTokenLen) else tok,
+        m.start(), m.end()))
+    }
+    out.toArray
+  }
+
   /** Column tokenizer: ArrayType(StringType) of analyzed tokens — the
     * native byte-level expression (see [[Tokenize]]); equivalent to
     * [[tokensColRegex]] and [[tokenize]] (property-tested).

@@ -453,6 +453,46 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
       k, Mode(conjunctive = false))
   }
 
+  /** Top-k resolved hits with ES-style highlighted fragments
+    * ([[Highlight]]): ±`window` analyzed tokens around the first query
+    * term, matches wrapped in `<em></em>`. Fragment building runs on
+    * the k RESOLVED rows only (the lone UDF in the query path — k-row
+    * post-processing of already-collected hits, not a corpus operator).
+    */
+  def searchHighlighted(query: String, k: Int, window: Int = 5): DataFrame = {
+    val terms = Analyzer.analyzeQuery(query).toSet
+    val frag = udf((text: String) => Highlight.fragment(text, terms, window))
+    searchResolved(query, k).withColumn("fragment", frag(col("text")))
+  }
+
+  /** ES `terms` aggregation over the FULL match set (facet counts —
+    * what the reference's ES delegation gives its users for free): doc
+    * counts per value of `field` among ALL docs containing ≥1 query
+    * term — top-k plays no part. Index-side plan: posting blocks of the
+    * query terms (shard-pruned scan) → distributed docId decode →
+    * distinct → join the doc store on docId (column-pruned to (docId,
+    * field)) → hash-agg count. No driver materialization of the match
+    * set; the blocks:docs join shuffles only matching docIds. At 10^12
+    * docs this is the plan you'd run — the match set is a fraction of
+    * the corpus and both sides hash-partition on docId.
+    */
+  def facetCounts(query: String, field: String): DataFrame = {
+    val terms = Analyzer.analyzeQuery(query).toSeq
+    val found = lookupTerms(terms)
+    if (found.isEmpty)
+      return docs.select(col(field).as("value")).limit(0)
+        .withColumn("n_docs", lit(0L))
+    val matching = selectBlocks(found.values)
+      .as[PostingBlock]
+      .flatMap(b => graft.index.Codec.decodeBlock(b).docIds)
+      .toDF("docId")
+      .distinct()
+    docs.select(col("docId"), col(field).as("value"))
+      .join(matching, Seq("docId"))
+      .groupBy(col("value")).agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("value"))
+  }
+
   /** Top-k resolved back to turn metadata + text (SURVEY.md J4): the k
     * hits are broadcast against the doc store.
     */

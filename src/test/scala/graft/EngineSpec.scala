@@ -217,6 +217,42 @@ class EngineSpec extends SparkSpec {
       == rangeGot.toSeq)
   }
 
+  test("facet counts (terms aggregation) over the full match set ≡ DataFrame oracle") {
+    for (q <- Seq("zanzibar quasar", "the", "one have t999")) {
+      val terms = graft.analysis.Analyzer.analyzeQuery(q).toSeq
+      val want = docsDF
+        .select(col("docId"), col("role"),
+          graft.analysis.Analyzer.tokensCol(col("text")).as("toks"))
+        .filter(arrays_overlap(col("toks"), lit(terms.toArray)))
+        .groupBy(col("role")).agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("role"))
+        .as[(String, Long)].collect().toSeq
+      val got = searcher.facetCounts(q, "role").as[(String, Long)].collect().toSeq
+      assert(got == want, s"facets '$q':\n got=$got\n want=$want")
+      assert(got.nonEmpty)
+    }
+    assert(searcher.facetCounts("definitely-notavocab-word", "role").count() == 0)
+  }
+
+  test("highlighting wraps matched analyzed tokens in the resolved fragment") {
+    val rows = searcher.searchHighlighted("zanzibar quasar lattice", 10)
+      .select("docId", "fragment").as[(Long, String)].collect()
+    assert(rows.nonEmpty)
+    for ((_, frag) <- rows) {
+      assert(frag != null && frag.contains("<em>zanzibar</em>"),
+        s"fragment missing highlighted marker: $frag")
+    }
+    // pure-function checks: window clipping, ellipses, no-match → null
+    import graft.query.Highlight
+    assert(Highlight.fragment("a b c MARKER d e f", Set("marker"), 1) == "…c <em>MARKER</em> d…")
+    assert(Highlight.fragment("MARKER tail", Set("marker"), 5) == "<em>MARKER</em> tail")
+    assert(Highlight.fragment("Punct, marker! done.", Set("marker"), 5)
+      == "Punct, <em>marker</em>! done")
+    assert(Highlight.fragment("no hits here", Set("marker"), 5) == null)
+    assert(Highlight.fragment("x marker y marker z", Set("marker"), 2)
+      == "x <em>marker</em> y <em>marker</em>…")
+  }
+
   test("searchMany (batched) ≡ per-query search for the whole query set") {
     val batched = searcher.searchMany(queries, 10)
     for (q <- queries)
