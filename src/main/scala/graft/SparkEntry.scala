@@ -532,8 +532,13 @@ SELECT CAST(count(*) AS BIGINT) AS n_docs, round(avg(dl), 6) AS avgdl FROM dl"""
         termPred = "levenshtein(tf.term, 'sprak') <= 2"),
       "q_bm25_filtered" -> bm25Sql(Analyzer.analyzeQuery(Bm25Query).toSeq, 10,
         conjunctive = false, docPred = "lang = 'fr'"),
+      // IS DISTINCT FROM, not <>: the engine's must_not semantics (ES
+      // parity) never vetoes a doc whose field is NULL (no #field
+      // posting is emitted for nulls), and SQL NOT(x = v) would drop
+      // NULL rows under three-valued logic
       "q_bm25_mustnot" -> bm25Sql(Analyzer.analyzeQuery(Bm25Query).toSeq, 10,
-        conjunctive = false, docPred = "NOT (lang = 'en' OR source = 'src1')"),
+        conjunctive = false,
+        docPred = "lang IS DISTINCT FROM 'en' AND source IS DISTINCT FROM 'src1'"),
       "q_bm25_terms" -> bm25Sql(Analyzer.analyzeQuery(Bm25Query).toSeq, 10,
         conjunctive = false, docPred = "lang IN ('fr','es')"),
       "q_facet_lang" ->

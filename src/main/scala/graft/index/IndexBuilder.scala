@@ -39,7 +39,12 @@ object GraftHash {
   * semantics. Enabled per-index via `IndexConfig.fieldCols`.
   */
 object FieldTerms {
-  def term(field: String, value: String): String = "#" + field + ":" + value
+  /** Namespace marker — no analyzer token can start with it, so the
+    * text and keyword namespaces are provably disjoint (and text-side
+    * term expansion can exclude field terms with one prefix test).
+    */
+  val Prefix = "#"
+  def term(field: String, value: String): String = Prefix + field + ":" + value
 }
 
 final case class IndexConfig(

@@ -277,13 +277,21 @@ object Dedup {
               .cast("double") / lit(numPerms.toDouble) >= lit(estCut))
           .select("ida", "idb")
       }
-    survivors
+    val out = survivors
       .join(sets.select(col(idCol).as("ida"), col("shs").as("sa")), Seq("ida"))
       .join(sets.select(col(idCol).as("idb"), col("shs").as("sb")), Seq("idb"))
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("double"))
       .withColumn("jaccard", col("inter") / (size(col("sa")) + size(col("sb")) - col("inter")))
       .filter(col("jaccard") >= lit(minJ))
       .select(col("ida"), col("idb"), round(col("jaccard"), 4).as("jaccard"))
+      // materialize the (small, verified) pair set so the big cached
+      // intermediates — full shingle sets + signatures — can be released
+      // NOW instead of pinning executor memory for the app lifetime
+      // (round-3 review)
+      .localCheckpoint(true)
+    sets.unpersist(blocking = false)
+    sigs.unpersist(blocking = false)
+    out
   }
 
   // --- SimHash ---------------------------------------------------------------

@@ -128,6 +128,22 @@ object Similarity {
     out.toSeq
   }
 
+  /** Σⱼ₌₀..h C(bits, j), saturating — the probe-set size WITHOUT
+    * enumerating it (so callers can decide isin-list vs scan-filter
+    * before allocating anything).
+    */
+  def probeCount(bits: Int, h: Int): Long = {
+    var total = 1L
+    var c = 1L
+    var j = 1
+    while (j <= math.min(h, bits) && total <= Int.MaxValue) {
+      c = c * (bits - j + 1) / j
+      total += c
+      j += 1
+    }
+    total
+  }
+
   /** LSH-bucketed approximate top-k: probe the query's bucket plus all
     * buckets within `probeHamming` bits, exact-rerank inside. At scale
     * the bucket column is a partition/cluster key so a query touches a
@@ -161,11 +177,13 @@ object Similarity {
     val qSig = signatureOf(queryVec, planes)
     // small probe sets become an isin list (partition/row-group prunable
     // when `bucket` is the table's cluster key); a wide radius degrades
-    // to a bit_count scan filter rather than materializing 2^bits probes
-    val probeBuckets = probeSignatures(qSig, bits, probeHamming)
+    // to a bit_count scan filter — decided from the CLOSED-FORM count,
+    // so the wide case never allocates the probe set at all (round-3
+    // review: C(24, ≤6) ≈ 190k boxed ints built then thrown away)
     val probeFilter =
       if (probeHamming >= bits) lit(true)
-      else if (probeBuckets.size <= 4096) col("bucket").isin(probeBuckets: _*)
+      else if (probeCount(bits, probeHamming) <= 4096L)
+        col("bucket").isin(probeSignatures(qSig, bits, probeHamming): _*)
       else bit_count(col("bucket").bitwiseXOR(lit(qSig))) <= lit(probeHamming)
     withSig
       .filter(probeFilter)

@@ -328,12 +328,17 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
       filters.map { case (f, v) => Seq(graft.index.FieldTerms.term(f, v)) } ++
         anyFilters.map { case (f, vs) =>
           vs.distinct.map(v => graft.index.FieldTerms.term(f, v))
-        } ++
-        rangeFilters.map { case (f, lo, hi) => expandFieldRange(f, lo, hi) }
+        }
+    // range expansion already returns the TermStats rows (one dict scan,
+    // no second lookup job over the expanded term list)
+    val rangeExp: Seq[Map[String, TermStats]] =
+      rangeFilters.map { case (f, lo, hi) => expandFieldRange(f, lo, hi) }
     val excludeTerms = mustNot.map { case (f, v) => graft.index.FieldTerms.term(f, v) }.distinct
-    val found = lookupTerms(scoredTerms ++ clauses.flatten.distinct ++ excludeTerms)
+    val found = lookupTerms(scoredTerms ++ clauses.flatten.distinct ++ excludeTerms) ++
+      rangeExp.flatten
     // a clause with no value present anywhere in the index ⇒ no match
-    val foundClauses = clauses.map(_.filter(found.contains))
+    val foundClauses = clauses.map(_.filter(found.contains)) ++
+      rangeExp.map(_.keys.toSeq.sorted)
     if (foundClauses.exists(_.isEmpty)) return Array.empty
     val needAll = conjunctive || phrase
     if (needAll && scoredTerms.exists(t => !found.contains(t))) return Array.empty
@@ -349,18 +354,18 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
     * scan, like searchPrefix). NOT capped: a range filter must see
     * every matching value or it silently drops docs.
     */
-  private def expandFieldRange(field: String, lo: String, hi: String): Seq[String] = {
+  private def expandFieldRange(field: String, lo: String, hi: String): Map[String, TermStats] = {
     val prefix = graft.index.FieldTerms.term(field, "")
     def inRange(v: String): Boolean = lo <= v && v <= hi
     if (dictMap != null)
-      dictMap.keysIterator
-        .filter(t => t.startsWith(prefix) && inRange(t.substring(prefix.length)))
-        .toSeq.sorted
+      dictMap.view
+        .filterKeys(t => t.startsWith(prefix) && inRange(t.substring(prefix.length)))
+        .toMap
     else {
       val valueCol = col("term").substr(lit(prefix.length + 1), lit(Int.MaxValue))
       dict.filter(col("term").startsWith(prefix) &&
           valueCol >= lit(lo) && valueCol <= lit(hi))
-        .select(col("term")).as[String].collect().toSeq.sorted
+        .as[TermStats].collect().map(ts => ts.term -> ts).toMap
     }
   }
 
@@ -400,9 +405,18 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
       sqlPred: Column,
       maxExpansions: Int
   ): Map[String, TermStats] = {
+    // text-term namespace only: the fielded keyword terms ('#field:v',
+    // IndexConfig.fieldCols) share the dictionary but must never match a
+    // TEXT wildcard/fuzzy pattern — ES keeps keyword sub-fields out of
+    // analyzed-field queries; the '#' prefix cannot appear in analyzer
+    // output, so the guard is exact
+    val notField = !col("term").startsWith(graft.index.FieldTerms.Prefix)
     val all =
-      if (dictMap != null) dictMap.valuesIterator.filter(ts => scalaPred(ts.term)).toSeq
-      else dict.filter(sqlPred).as[TermStats].collect().toSeq
+      if (dictMap != null)
+        dictMap.valuesIterator
+          .filter(ts => !ts.term.startsWith(graft.index.FieldTerms.Prefix) && scalaPred(ts.term))
+          .toSeq
+      else dict.filter(notField && sqlPred).as[TermStats].collect().toSeq
     all.sortBy(_.term).take(maxExpansions).map(ts => ts.term -> ts).toMap
   }
 
@@ -482,9 +496,13 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
     if (found.isEmpty)
       return docs.select(col(field).as("value")).limit(0)
         .withColumn("n_docs", lit(0L))
+    // docIds-only decode: the scan reads three columns (column-pruned at
+    // the parquet level) and skips the tf/dl varint streams entirely —
+    // facets touch the FULL match set, so decode waste scales with it
     val matching = selectBlocks(found.values)
-      .as[PostingBlock]
-      .flatMap(b => graft.index.Codec.decodeBlock(b).docIds)
+      .select(col("docs"), col("count"), col("firstDocId"))
+      .as[(Array[Byte], Int, Long)]
+      .flatMap { case (docs, n0, first) => graft.index.Codec.deltaDecode(docs, n0, first) }
       .toDF("docId")
       .distinct()
     docs.select(col("docId"), col(field).as("value"))

@@ -215,6 +215,13 @@ class EngineSpec extends SparkSpec {
       == anyGot.toSeq)
     assert(warm.searchBool("the", 10, rangeFilters = Seq(("tool", "tool2", "tool5"))).toSeq
       == rangeGot.toSeq)
+    // TEXT-side expansion must never cross into the keyword namespace:
+    // patterns that only '#field:value' terms could match expand to ∅
+    // (ES never matches analyzed-field wildcards against keyword fields)
+    assert(s.searchWildcard("#role:*", 10).isEmpty)
+    assert(s.searchWildcard("*:user", 10).isEmpty)
+    assert(warm.searchWildcard("#role:*", 10).isEmpty)
+    assert(warm.searchWildcard("*:user", 10).isEmpty)
   }
 
   test("facet counts (terms aggregation) over the full match set ≡ DataFrame oracle") {
