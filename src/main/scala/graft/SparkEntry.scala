@@ -287,6 +287,18 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
       // counts per lang among docs containing >=1 query term — runs
       // index-side (block scan -> docId decode -> join -> hash agg)
       new Searcher(s, documentsIndex(s, dir), 8).facetCounts(Bm25Query, "lang")),
+    "q_sort_by_field" -> ((s, dir) =>
+      // ES `sort`: match set ordered by a stored field, not by score
+      // (membership scan -> docId join -> TakeOrderedAndProject)
+      new Searcher(s, documentsIndex(s, dir), 8)
+        .searchSortedBy(Bm25Query, "dl", 10)
+        .select(col("docId").as("doc_id"), col("dl"))),
+    "q_match_count" -> ((s, dir) => {
+      import s.implicits._
+      // ES hits.total / _count: one distributed count of the match set
+      Seq(new Searcher(s, documentsIndex(s, dir), 8).matchCount(Bm25Query))
+        .toDF("n_hits")
+    }),
     "q_bm25_oracle" -> ((s, dir) => {
       import s.implicits._
       // exhaustive scorer, no index — the in-repo oracle as an operator
@@ -541,6 +553,18 @@ SELECT CAST(count(*) AS BIGINT) AS n_docs, round(avg(dl), 6) AS avgdl FROM dl"""
         docPred = "lang IS DISTINCT FROM 'en' AND source IS DISTINCT FROM 'src1'"),
       "q_bm25_terms" -> bm25Sql(Analyzer.analyzeQuery(Bm25Query).toSeq, 10,
         conjunctive = false, docPred = "lang IN ('fr','es')"),
+      "q_sort_by_field" ->
+        s"""${toksCte("documents", "doc_id")},
+dl AS (SELECT d.doc_id, CAST(coalesce(t.n, 0) AS INTEGER) AS dl FROM documents d
+       LEFT JOIN (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id) t ON d.doc_id = t.doc_id)
+SELECT doc_id, dl FROM dl
+WHERE doc_id IN (SELECT DISTINCT doc_id FROM tok
+                 WHERE term IN ${inList(Analyzer.analyzeQuery(Bm25Query).toSeq)})
+ORDER BY dl DESC, doc_id ASC LIMIT 10""",
+      "q_match_count" ->
+        s"""${toksCte("documents", "doc_id")}
+SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_hits FROM tok
+WHERE term IN ${inList(Analyzer.analyzeQuery(Bm25Query).toSeq)}""",
       "q_facet_lang" ->
         s"""${toksCte("documents", "doc_id")}
 SELECT d.lang AS value, CAST(count(*) AS BIGINT) AS n_docs

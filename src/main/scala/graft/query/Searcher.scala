@@ -490,25 +490,64 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
     * docs this is the plan you'd run — the match set is a fraction of
     * the corpus and both sides hash-partition on docId.
     */
-  def facetCounts(query: String, field: String): DataFrame = {
+  /** Distinct docIds containing ≥1 of the query's terms (the OR match
+    * set) as a distributed frame — the shared membership scan under
+    * facets / field-sort / hit-count. docIds-only decode: the block scan
+    * reads three columns (column-pruned at the parquet level) and skips
+    * the tf/dl varint streams entirely — these operators touch the FULL
+    * match set, so decode waste scales with it. Returns None when no
+    * query term exists in the index.
+    */
+  private def matchSet(query: String): Option[DataFrame] = {
     val terms = Analyzer.analyzeQuery(query).toSeq
     val found = lookupTerms(terms)
-    if (found.isEmpty)
-      return docs.select(col(field).as("value")).limit(0)
-        .withColumn("n_docs", lit(0L))
-    // docIds-only decode: the scan reads three columns (column-pruned at
-    // the parquet level) and skips the tf/dl varint streams entirely —
-    // facets touch the FULL match set, so decode waste scales with it
-    val matching = selectBlocks(found.values)
+    if (found.isEmpty) return None
+    Some(selectBlocks(found.values)
       .select(col("docs"), col("count"), col("firstDocId"))
       .as[(Array[Byte], Int, Long)]
       .flatMap { case (docs, n0, first) => graft.index.Codec.deltaDecode(docs, n0, first) }
       .toDF("docId")
-      .distinct()
-    docs.select(col("docId"), col(field).as("value"))
-      .join(matching, Seq("docId"))
-      .groupBy(col("value")).agg(count(lit(1)).as("n_docs"))
-      .orderBy(col("value"))
+      .distinct())
+  }
+
+  def facetCounts(query: String, field: String): DataFrame =
+    matchSet(query) match {
+      case None =>
+        docs.select(col(field).as("value")).limit(0).withColumn("n_docs", lit(0L))
+      case Some(matching) =>
+        docs.select(col("docId"), col(field).as("value"))
+          .join(matching, Seq("docId"))
+          .groupBy(col("value")).agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("value"))
+    }
+
+  /** Total hit count of the OR match set (ES `hits.total` /
+    * `_count`) — no top-k involved; one distributed count over the
+    * decoded docId stream.
+    */
+  def matchCount(query: String): Long =
+    matchSet(query).map(_.count()).getOrElse(0L)
+
+  /** Match set sorted by a FIELD instead of by score (ES `sort`): docs
+    * containing ≥1 query term, ordered by `field` (desc/asc) with docId
+    * as the deterministic tiebreak, top `k`. Plan: membership scan →
+    * docId join against the column-pruned doc store →
+    * TakeOrderedAndProject (per-partition heaps, driver merge of ≤k) —
+    * never a global sort.
+    */
+  def searchSortedBy(query: String, field: String, k: Int,
+      descending: Boolean = true): DataFrame = {
+    val ord =
+      if (descending) Seq(col(field).desc, col("docId").asc)
+      else Seq(col(field).asc, col("docId").asc)
+    matchSet(query) match {
+      case None => docs.select(col("docId"), col(field)).limit(0)
+      case Some(matching) =>
+        docs.select(col("docId"), col(field))
+          .join(matching, Seq("docId"))
+          .orderBy(ord: _*)
+          .limit(k)
+    }
   }
 
   /** Top-k resolved back to turn metadata + text (SURVEY.md J4): the k

@@ -227,18 +227,29 @@ class EngineSpec extends SparkSpec {
   test("facet counts (terms aggregation) over the full match set ≡ DataFrame oracle") {
     for (q <- Seq("zanzibar quasar", "the", "one have t999")) {
       val terms = graft.analysis.Analyzer.analyzeQuery(q).toSeq
-      val want = docsDF
-        .select(col("docId"), col("role"),
+      val matchingOracle = docsDF
+        .select(col("docId"), col("role"), col("dl"),
           graft.analysis.Analyzer.tokensCol(col("text")).as("toks"))
         .filter(arrays_overlap(col("toks"), lit(terms.toArray)))
+      val want = matchingOracle
         .groupBy(col("role")).agg(count(lit(1)).as("n_docs"))
         .orderBy(col("role"))
         .as[(String, Long)].collect().toSeq
       val got = searcher.facetCounts(q, "role").as[(String, Long)].collect().toSeq
       assert(got == want, s"facets '$q':\n got=$got\n want=$want")
       assert(got.nonEmpty)
+      // hit count + field sort run over the same match set
+      assert(searcher.matchCount(q) == matchingOracle.count(), s"matchCount '$q'")
+      val wantSorted = matchingOracle
+        .orderBy(col("dl").desc, col("docId").asc).limit(10)
+        .select("docId", "dl").as[(Long, Int)].collect().toSeq
+      val gotSorted = searcher.searchSortedBy(q, "dl", 10)
+        .as[(Long, Int)].collect().toSeq
+      assert(gotSorted == wantSorted, s"sortBy '$q':\n got=$gotSorted\n want=$wantSorted")
     }
     assert(searcher.facetCounts("definitely-notavocab-word", "role").count() == 0)
+    assert(searcher.matchCount("definitely-notavocab-word") == 0L)
+    assert(searcher.searchSortedBy("definitely-notavocab-word", "dl", 10).count() == 0)
   }
 
   test("highlighting wraps matched analyzed tokens in the resolved fragment") {
