@@ -149,7 +149,8 @@ object Bench {
     // recorded 8.3 s of cold build inside q_bm25_topk).
     SparkEntry.queries("q_bm25_topk")(spark, sfDir).count()
     for (name <- Seq("q_bm25_topk", "q_bm25_and", "q_bm25_phrase", "q_bm25_prefix",
-        "q_bm25_fuzzy", "q_bm25_filtered", "q_tf", "q_df", "q_agg_lineitem",
+        "q_bm25_fuzzy", "q_bm25_filtered", "q_bm25_terms", "q_facet_lang",
+        "q_sort_by_field", "q_tf", "q_df", "q_agg_lineitem",
         "q_join_broadcast", "q_minhash_lsh", "q_simhash_pairs", "q_ann_cosine",
         "q_ann_lsh", "q_langid", "q_quality", "q_dedup_exact", "q_window_rank")) {
       time(name) { SparkEntry.queries(name)(spark, sfDir).count() }
