@@ -210,4 +210,35 @@ class WandSpec extends AnyFunSuite {
           s" got=${got.toSeq}\n want=$brute")
     }
   }
+
+  test("union-cursor clauses (terms filter) ≡ exhaustive on 100 random cases") {
+    for (i <- 1 to 100) {
+      val vocab = 3 + rnd.nextInt(10)
+      val nDocs = 10 + rnd.nextInt(300)
+      val corpus = randomCorpus(nDocs, vocab)
+      val terms = Seq.fill(1 + rnd.nextInt(3))("t" + rnd.nextInt(vocab)).distinct.sorted
+      val k = 1 + rnd.nextInt(12)
+      val blockSize = Seq(4, 16, 128)(i % 3)
+      val conj = i % 3 == 1
+      // clause: docId % m ∈ {v1, v2} — one UnionCursor over two lists
+      val m = 3 + rnd.nextInt(3)
+      val v1 = rnd.nextInt(m)
+      val v2 = rnd.nextInt(m)
+      val (iters, df, n, avgdl) = buildIters(corpus, terms, blockSize)
+      val clause = new Wand.UnionCursor(Seq(
+        fieldIter(s"#f:$v1", (0 until nDocs).filter(_ % m == v1), blockSize, n, avgdl),
+        fieldIter(s"#f:$v2", (0 until nDocs).filter(_ % m == v2), blockSize, n, avgdl)))
+      val brute = bruteScore(corpus, terms, nDocs, conj)
+        .filter(s => s.docId % m == v1 || s.docId % m == v2)
+        .take(k)
+      val qt = terms.filter(df.contains)
+      val got =
+        if (conj && qt.size < terms.size) Array.empty[Scored]
+        else if (conj) Wand.topKConjunctive(iters, k, Seq(clause))
+        else Wand.topK(iters, k, Seq(clause))
+      assert(got.toSeq == brute,
+        s"union-clause mismatch: terms=$terms m=$m v1=$v1 v2=$v2 conj=$conj k=$k\n" +
+          s" got=${got.toSeq}\n want=$brute")
+    }
+  }
 }
