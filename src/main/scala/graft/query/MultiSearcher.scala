@@ -189,11 +189,13 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
       mustNot: Seq[(String, String)] = Nil,
       conjunctive: Boolean = false,
       phrase: Boolean = false,
-      /** ES `terms` clauses: doc must carry ANY of the listed values
-        * (range filters need a dictionary expansion — use a single
-        * `Searcher` over a compacted index for those).
+      /** ES `terms` clauses: doc must carry ANY of the listed values. */
+      anyFilters: Seq[(String, Seq[String])] = Nil,
+      /** ES `range` clauses (lexicographic, inclusive): expanded with ONE
+        * unioned dictionary scan across all segments — uncapped, like
+        * `Searcher`'s (a capped expansion would silently drop docs).
         */
-      anyFilters: Seq[(String, Seq[String])] = Nil
+      rangeFilters: Seq[(String, String, String)] = Nil
   ): Array[Scored] = {
     val slots = if (phrase) Analyzer.tokenize(query).toSeq else null
     val scoredTerms =
@@ -204,8 +206,25 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
       filters.map { case (f, v) => Seq(graft.index.FieldTerms.term(f, v)) } ++
         anyFilters.map { case (f, vs) =>
           vs.distinct.map(v => graft.index.FieldTerms.term(f, v))
-        },
+        } ++
+        rangeFilters.map { case (f, lo, hi) => expandFieldRange(f, lo, hi) },
       mustNot.map { case (f, v) => graft.index.FieldTerms.term(f, v) }.distinct)
+  }
+
+  /** Stored `#field:value` terms with lo ≤ value ≤ hi across ALL
+    * segments — one unioned, prefix-pruned dictionary scan (the same
+    * one-job-per-lookup rule as [[lookup]]); an empty expansion makes
+    * the clause unsatisfiable (run returns no hits).
+    */
+  private def expandFieldRange(field: String, lo: String, hi: String): Seq[String] = {
+    val prefix = graft.index.FieldTerms.term(field, "")
+    val valueCol = col("term").substr(lit(prefix.length + 1), lit(Int.MaxValue))
+    segments.map { s =>
+      spark.read.parquet(s"$s/dict")
+        .filter(col("term").startsWith(prefix) &&
+          valueCol >= lit(lo) && valueCol <= lit(hi))
+        .select(col("term"))
+    }.reduce(_ unionByName _).distinct().as[String].collect().toSeq.sorted
   }
 
   /** All segments' doc stores as one DataFrame (docIds globally unique). */

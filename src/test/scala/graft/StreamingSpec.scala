@@ -117,6 +117,11 @@ class StreamingSpec extends SparkSpec {
     // oracle-pinned must_not(user) on this 3-valued field
     assert(multi.searchBool("the", 10, anyFilters = Seq("role" -> Seq("assistant", "tool"))).toSeq
       == multi.searchBool("the", 10, mustNot = Seq("role" -> "user")).toSeq)
+    // range clause across segments (one unioned dict expansion):
+    // [a, u] lexicographically = {assistant, tool} on this field
+    assert(multi.searchBool("the", 10, rangeFilters = Seq(("role", "a", "u"))).toSeq
+      == multi.searchBool("the", 10, mustNot = Seq("role" -> "user")).toSeq)
+    assert(multi.searchBool("the", 10, rangeFilters = Seq(("role", "zz", "zzz"))).isEmpty)
 
     // ---- in-place compaction + continued append: max docId comes from
     // the compacted segment's manifest (zero jobs), new batch stays
