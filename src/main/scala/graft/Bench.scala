@@ -33,7 +33,7 @@ object Bench {
   }
 
   final case class WorkloadRun(turns: Long, buildSec: Double, lat: Seq[Double],
-      build: Metrics.Snapshot)
+      build: Metrics.Snapshot, batchQps: Double = 0.0, distributedQps: Double = 0.0)
 
   /** Build + query workload; the build region (gen+dedup+assign+index) is
     * metered for shuffle bytes + executor CPU seconds.
@@ -89,7 +89,21 @@ object Bench {
     val batchSec = (System.nanoTime() - tb) / 1e9
     System.err.println(f"[bench] batched ${transcriptQueries.size} queries in $batchSec%.2f s " +
       f"(${transcriptQueries.size / batchSec}%.1f qps)")
-    WorkloadRun(report.n, buildSec, lat, buildMetrics)
+    // the LARGE-index serving path: a Searcher whose index does NOT fit
+    // the driver budget keeps everything distributed (executor-cached
+    // blocks, one job per batch) — measured with the in-process path
+    // disabled so per-round numbers cover both serving modes
+    // (result-identity of the two paths is test-pinned in EngineSpec)
+    val distributed = new Searcher(spark, dir, cfg.numShards).warm(maxLocalBlockBytes = 0)
+    distributed.searchMany(transcriptQueries, 10) // warm the block cache
+    val td = System.nanoTime()
+    distributed.searchMany(transcriptQueries, 10)
+    val distSec = (System.nanoTime() - td) / 1e9
+    System.err.println(f"[bench] distributed batched ${transcriptQueries.size} queries in " +
+      f"$distSec%.2f s (${transcriptQueries.size / distSec}%.1f qps)")
+    WorkloadRun(report.n, buildSec, lat, buildMetrics,
+      batchQps = transcriptQueries.size / batchSec,
+      distributedQps = transcriptQueries.size / distSec)
   }
 
   def main(args: Array[String]): Unit = {
@@ -171,7 +185,10 @@ object Bench {
       s""","build_turns_per_sec_all":${runs.map(r => r.turns / r.buildSec).mkString("[", ",", "]")}""" +
       s""","build_cpu_sec":$medCpu,"build_cpu_us_per_turn":${medCpu * 1e6 / turns}""" +
       s""","build_shuffle_write_bytes":${medShuf.toLong}""" +
-      s""","bm25_p50_ms":$p50ms,"bm25_p95_ms":$p95ms,"cores":$cpus}"""
+      s""","bm25_p50_ms":$p50ms,"bm25_p95_ms":$p95ms""" +
+      s""","bm25_batch_qps":${percentile(runs.map(_.batchQps), 0.5)}""" +
+      s""","bm25_distributed_qps":${percentile(runs.map(_.distributedQps), 0.5)}""" +
+      s""","cores":$cpus}"""
     // Belt and braces for the harness: the JSON goes to stdout (forked,
     // unprefixed — build.sbt outputStrategy) AND to a well-known file.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft-bench.json")

@@ -45,6 +45,20 @@ object FieldTerms {
     */
   val Prefix = "#"
   def term(field: String, value: String): String = Prefix + field + ":" + value
+
+  /** Zero-padded encoding for NUMERIC keyword values: range filters
+    * compare values lexicographically, which is exact only for
+    * fixed-width encodings — encode non-negative numerics with this at
+    * BOTH index time (a derived column listed in `fieldCols`) and
+    * query time (`rangeFilters` bounds) and lexicographic order equals
+    * numeric order. 19 digits covers the full non-negative Long range.
+    */
+  def numericValue(v: Long, width: Int = 19): String = {
+    require(v >= 0, s"numericValue encodes non-negative values, got $v")
+    val s = v.toString
+    require(s.length <= width, s"$v does not fit width $width")
+    "0" * (width - s.length) + s
+  }
 }
 
 final case class IndexConfig(

@@ -70,4 +70,30 @@ class CodecSpec extends AnyFunSuite {
     // compression sanity: small deltas ≈ 1 byte each
     assert(blocks(0).docs.length < 2 * 128)
   }
+
+  test("packed payload round-trips and numeric field values sort numerically") {
+    import graft.index.FieldTerms
+    // zero-padded numeric encoding: lexicographic order == numeric order
+    val vs = Seq(0L, 1L, 9L, 10L, 99L, 100L, 12345L, Long.MaxValue)
+    val enc = vs.map(FieldTerms.numericValue(_))
+    assert(enc.sorted == enc, "lexicographic order must equal numeric order")
+    assert(enc.forall(_.length == 19))
+    assert(FieldTerms.numericValue(42, width = 5) == "00042")
+    assertThrows[IllegalArgumentException](FieldTerms.numericValue(-1))
+    assertThrows[IllegalArgumentException](FieldTerms.numericValue(123456, width = 5))
+    // payload pack/unpack inverse (PosAcc.payload ↔ Codec.unpackPayload)
+    val buf = new java.io.ByteArrayOutputStream()
+    Codec.writeVarLong(buf, 3L) // tf
+    Codec.writeVarLong(buf, 17L) // dl
+    val gaps = Codec.encodePositions(Array(4, 9, 300))
+    buf.write(gaps)
+    val (tf, dl, pos) = Codec.unpackPayload(buf.toByteArray)
+    assert(tf == 3 && dl == 17)
+    assert(pos.toSeq == gaps.toSeq)
+    val (tf2, dl2, pos2) = Codec.unpackPayload({
+      val b2 = new java.io.ByteArrayOutputStream()
+      Codec.writeVarLong(b2, 1L); Codec.writeVarLong(b2, 300L); b2.toByteArray
+    })
+    assert(tf2 == 1 && dl2 == 300 && pos2.isEmpty)
+  }
 }
