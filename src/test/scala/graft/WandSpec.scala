@@ -175,12 +175,24 @@ class WandSpec extends AnyFunSuite {
     new Wand.TermIterator(name, blocks, 0.0, docIds.length.toLong, n, avgdl)
   }
 
-  test("filtered WAND (bool filter/must_not) ≡ exhaustive on 150 random cases") {
+  test("filtered WAND (bool filter/must_not) ≡ exhaustive on 150 random cases incl. phrase") {
     for (i <- 1 to 150) {
       val vocab = 3 + rnd.nextInt(12)
       val nDocs = 10 + rnd.nextInt(400)
       val corpus = randomCorpus(nDocs, vocab)
-      val terms = Seq.fill(1 + rnd.nextInt(3))("t" + rnd.nextInt(vocab)).distinct.sorted
+      // i % 4 == 2: phrase mode — sample a 2-token phrase that exists
+      // somewhere half the time (like the phrase suite)
+      val usePhrase = i % 4 == 2
+      val phrase: Seq[String] =
+        if (!usePhrase) null
+        else if (i % 2 == 0) {
+          val d = corpus(rnd.nextInt(nDocs))
+          if (d.length >= 2) { val s0 = rnd.nextInt(d.length - 1); d.slice(s0, s0 + 2).toSeq }
+          else Seq.fill(2)("t" + rnd.nextInt(vocab))
+        } else Seq.fill(2)("t" + rnd.nextInt(vocab))
+      val terms =
+        if (usePhrase) phrase.distinct.sorted
+        else Seq.fill(1 + rnd.nextInt(3))("t" + rnd.nextInt(vocab)).distinct.sorted
       val k = 1 + rnd.nextInt(15)
       val blockSize = Seq(4, 16, 128)(i % 3)
       val conj = i % 4 == 1
@@ -195,19 +207,21 @@ class WandSpec extends AnyFunSuite {
       val excludes = Seq(fieldIter("#f:" + ev, inExclude, blockSize, n, avgdl))
       val useF = i % 3 != 0
       val useE = i % 3 != 1
-      val brute = bruteScore(corpus, terms, nDocs, conj)
+      val brute = bruteScore(corpus, terms, nDocs, conj || usePhrase, phrase = phrase)
         .filter(s => !useF || s.docId % m == fv)
         .filter(s => !useE || s.docId % m != ev)
         .take(k)
       val qt = terms.filter(df.contains)
+      val fs: Seq[Wand.DocCursor] = if (useF) filters else Nil
+      val es: Seq[Wand.DocCursor] = if (useE) excludes else Nil
       val got =
-        if (conj && qt.size < terms.size) Array.empty[Scored]
-        else if (conj) Wand.topKConjunctive(iters, k,
-          if (useF) filters else Nil, if (useE) excludes else Nil)
-        else Wand.topK(iters, k, if (useF) filters else Nil, if (useE) excludes else Nil)
+        if ((conj || usePhrase) && qt.size < terms.size) Array.empty[Scored]
+        else if (usePhrase) Wand.topKPhrase(iters, phrase, k, fs, es)
+        else if (conj) Wand.topKConjunctive(iters, k, fs, es)
+        else Wand.topK(iters, k, fs, es)
       assert(got.toSeq == brute,
-        s"filtered mismatch: terms=$terms m=$m fv=$fv ev=$ev useF=$useF useE=$useE conj=$conj k=$k\n" +
-          s" got=${got.toSeq}\n want=$brute")
+        s"filtered mismatch: terms=$terms phrase=$phrase m=$m fv=$fv ev=$ev useF=$useF " +
+          s"useE=$useE conj=$conj k=$k\n got=${got.toSeq}\n want=$brute")
     }
   }
 
