@@ -145,6 +145,48 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("many-segment ingest: query and compaction stay oracle-identical at 6 segments") {
+    val idx = s"${TestSpark.tmpRoot}/stream-idx-many"
+    val all = Transcripts.generate(spark, 90L).cache()
+    val cfg = IndexConfig(numBuckets = 1, partitions = 4, fieldCols = Seq("role"))
+    // 6 appends of 15 convs each — every batch becomes a segment
+    for (b <- 0 until 6) {
+      val lo = f"conv-${b * 15}%08d"
+      val hi = f"conv-${(b + 1) * 15}%08d"
+      val batch = all.filter($"conv_id" >= lo && $"conv_id" < hi).as[graft.model.Turn]
+      StreamingIngest.appendSegment(spark, batch, idx, batchId = b.toLong, cfg)
+    }
+    val multi = new graft.query.MultiSearcher(spark, idx)
+    assert(multi.segments.size == 6)
+    val unionDocs = multi.docs.cache()
+    assert(unionDocs.count() == all.count())
+    for (q <- Seq("the", "zanzibar quasar lattice", "one have t999")) {
+      val want = graft.query.Oracle.topK(unionDocs, q, 10)
+        .as[graft.model.Scored].collect().toSeq
+      assert(multi.search(q, 10).toSeq == want, s"6-seg '$q'")
+    }
+    // bool + phrase still hold across 6 segments
+    val mnWant = graft.query.Oracle.topK(unionDocs, "the", Int.MaxValue)
+      .join(unionDocs.filter($"role" === "user").select("docId"), Seq("docId"), "left_semi")
+      .orderBy($"score".desc, $"docId".asc).limit(10)
+      .as[graft.model.Scored].collect().toSeq
+    assert(multi.searchBool("the", 10, filters = Seq("role" -> "user")).toSeq == mnWant)
+    val phWant = graft.query.Oracle.topKPhrase(unionDocs, "zanzibar quasar", 10)
+      .as[graft.model.Scored].collect().toSeq
+    assert(multi.searchPhrase("zanzibar quasar", 10).toSeq == phWant)
+    // one compaction collapses all six; a plain Searcher agrees
+    val compacted = s"${TestSpark.tmpRoot}/stream-idx-many-compacted"
+    val report = graft.index.Compaction.compact(spark, idx, compacted)
+    assert(report.segments == 6 && report.n == all.count())
+    val single = new Searcher(spark, compacted, 8)
+    for (q <- Seq("the", "zanzibar quasar lattice", "one have t999"))
+      assert(single.search(q, 10).toSeq == multi.search(q, 10).toSeq, s"compacted 6-seg '$q'")
+    assert(single.searchBool("the", 10, filters = Seq("role" -> "user")).toSeq == mnWant)
+    assert(single.searchPhrase("zanzibar quasar", 10).toSeq == phWant)
+    unionDocs.unpersist(blocking = false)
+    all.unpersist(blocking = false)
+  }
+
   test("windowed streaming agg over the turn stream (memory sink)") {
     val src = s"${TestSpark.tmpRoot}/stream-agg-src"
     Transcripts.generate(spark, 40L).write.parquet(src)
