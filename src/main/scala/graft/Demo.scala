@@ -26,7 +26,8 @@ object Demo {
     spark.sparkContext.setLogLevel("WARN")
 
     val indexDir = java.nio.file.Files.createTempDirectory("graft-demo-index").toString
-    val cfg = IndexConfig(numBuckets = 4, numShards = 8, partitions = 8)
+    val cfg = IndexConfig(numBuckets = 4, numShards = 8, partitions = 8,
+      fieldCols = Seq("role"))
 
     println(s"== building index over $nConvs conversations -> $indexDir")
     val t0 = System.nanoTime()
@@ -49,6 +50,20 @@ object Demo {
 
     println(s"== resolved hits for '$query':")
     searcher.searchResolved(query, 5).show(false)
+
+    // the ES-response surface: phrase, bool filter, facets, field sort,
+    // hit count, highlighting — all over the same index
+    val twoTerm = query.split(' ').take(2).mkString(" ")
+    println(s"== phrase '$twoTerm' -> ${searcher.searchPhrase(twoTerm, 10).length} hits; " +
+      s"reversed -> ${searcher.searchPhrase(twoTerm.split(' ').reverse.mkString(" "), 10).length}")
+    val filtered = searcher.searchBool(query, 10, filters = Seq("role" -> "assistant"))
+    println(s"== bool filter role=assistant -> ${filtered.length} hits " +
+      s"(scores = unfiltered BM25 of survivors)")
+    println("== facets by role over the full match set:")
+    searcher.facetCounts(query, "role").show(false)
+    println(s"== total hits (ES hits.total): ${searcher.matchCount(query)}")
+    println("== top hit highlighted:")
+    searcher.searchHighlighted(query, 1).select("docId", "fragment").show(false)
 
     println("== oracle cross-check (exhaustive scorer, no index):")
     val oracle = Oracle.topK(spark.read.parquet(s"$indexDir/docs"), query, 10)
