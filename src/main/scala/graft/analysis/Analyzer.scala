@@ -53,7 +53,9 @@ object Analyzer {
     * same truncation); offsets index the ORIGINAL string when
     * lowercasing preserves length (the overwhelmingly common case —
     * guaranteed for ASCII), else the lowercased twin, which keeps
-    * slicing safe either way.
+    * slicing safe either way. A truncated token's end offset is capped
+    * at start + MaxTokenLen so a highlight tag wraps exactly the token
+    * VALUE, not the whole >255-char run (round-3 review).
     */
   def tokenizeWithOffsets(text: String): Array[(String, Int, Int)] = {
     if (text == null || text.isEmpty) return Array.empty
@@ -63,7 +65,7 @@ object Analyzer {
     while (m.find()) {
       val tok = m.group()
       out += ((if (tok.length > MaxTokenLen) tok.substring(0, MaxTokenLen) else tok,
-        m.start(), m.end()))
+        m.start(), math.min(m.end(), m.start() + MaxTokenLen)))
     }
     out.toArray
   }

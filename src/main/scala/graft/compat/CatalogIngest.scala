@@ -102,9 +102,11 @@ object CatalogIngest {
     // Drop exactly the FIRST line (reference skip(1)): a data row that
     // happens to equal the header text, or repeated headers from
     // concatenated exports, must remain data lines and face validation
-    // (round-1 filtered every header-equal line out silently).
-    val noHeader = spark.createDataset(
-      cleaned.rdd.zipWithIndex().filter(_._2 > 0L).map(_._1))
+    // (round-1 filtered every header-equal line out silently). offset(1)
+    // skips exactly one row in partition order — the file's line order
+    // for a lineSep text read (input_hint's no-RDD rule: the round-3
+    // zipWithIndex dropped out of Dataset land for this one operation).
+    val noHeader = cleaned.offset(1)
     val rawLines = if (autocorrect) reassembleLines(noHeader, headerTabs) else noHeader
     val optional: Set[String] =
       if (minimalPathVolume)

@@ -59,6 +59,96 @@ object FieldTerms {
     require(s.length <= width, s"$v does not fit width $width")
     "0" * (width - s.length) + s
   }
+
+  // --- tiered numeric terms (scale-safe range filters) ---------------------
+  // The classic numeric-trie / precision-step technique (Schindler &
+  // Diepenbroek, Computers & Geosciences 2008; Lucene's pre-BKD
+  // NumericRangeQuery): a non-negative long value is indexed once per
+  // tier — tier l holds the value's high bits (v >>> TierStep·l) — so
+  // ANY [lo, hi] range decomposes into ≤ 2·2^TierStep·(levels+1)
+  // dictionary terms regardless of the field's value cardinality. This
+  // replaces the uncapped per-distinct-value dictionary expansion for
+  // high-cardinality numeric fields (timestamps, byte sizes — the
+  // reference's `sizeInBytes`/`created` mapping.json:4-11,26-28 at
+  // 10^12-doc scale): the driver never holds one TermStats per value,
+  // and the filter clause's UnionCursor has a BOUNDED member count.
+
+  /** Bits per tier (fanout 16). 4 balances postings written per value
+    * (15 tier postings) against worst-case query expansion (≤ 512).
+    */
+  val TierStep = 4
+
+  /** Highest tier level: v >>> 60 still distinguishes values; level 16
+    * would be the constant 0 for every value (useless).
+    */
+  val MaxTierLevel = 15
+
+  /** The tier term of `prefix` (= value >>> TierStep·level) at `level`.
+    * '@' cannot appear in analyzer output, and the level digit makes
+    * tiers of the same field mutually disjoint namespaces.
+    */
+  def tierTerm(field: String, level: Int, prefix: Long): String =
+    Prefix + field + "@" + level + ":" + java.lang.Long.toHexString(prefix)
+
+  /** Every term a numeric value is indexed under: the exact zero-padded
+    * level-0 term (shared with the lexicographic `rangeFilters` path and
+    * exact `term` filters) + one tier term per level.
+    */
+  def numericValueTerms(field: String, v: Long): Array[String] = {
+    val out = new Array[String](MaxTierLevel + 1)
+    out(0) = term(field, numericValue(v))
+    var l = 1
+    while (l <= MaxTierLevel) {
+      out(l) = tierTerm(field, l, v >>> (TierStep * l))
+      l += 1
+    }
+    out
+  }
+
+  /** Canonical trie decomposition of [lo, hi] (inclusive, non-negative):
+    * the minimal boundary cells at each level — level-0 cells as exact
+    * value terms, higher cells as tier terms. Any doc whose value lies
+    * in the range carries EXACTLY ONE of the returned terms (cells are
+    * disjoint and cover the range), so a UnionCursor over them is the
+    * exact range predicate. |result| ≤ 2·(2^TierStep)·(MaxTierLevel+1).
+    */
+  def trieRangeTerms(field: String, lo0: Long, hi0: Long): Seq[String] = {
+    require(lo0 >= 0 && hi0 >= 0, "tiered numeric terms encode non-negative values")
+    if (lo0 > hi0) return Nil
+    val out = Seq.newBuilder[String]
+    def emit(level: Int, a: Long, b: Long): Unit = {
+      var v = a
+      while (v <= b) {
+        out += (if (level == 0) term(field, numericValue(v)) else tierTerm(field, level, v))
+        v += 1
+      }
+    }
+    val fan = 1L << TierStep
+    val mask = fan - 1
+    var lo = lo0
+    var hi = hi0
+    var level = 0
+    var done = false
+    while (!done) {
+      val hasLower = (lo & mask) != 0
+      val hasUpper = (hi & mask) != mask
+      val nextLo = if (hasLower) (lo >>> TierStep) + 1 else lo >>> TierStep
+      val nextHi = if (hasUpper) (hi >>> TierStep) - 1 else hi >>> TierStep
+      if (nextLo > nextHi || level >= MaxTierLevel) {
+        // the remaining span fits within two parent cells (or the top
+        // tier): emit it at this level and stop
+        emit(level, lo, hi)
+        done = true
+      } else {
+        if (hasLower) emit(level, lo, lo | mask)
+        if (hasUpper) emit(level, hi & ~mask, hi)
+        lo = nextLo
+        hi = nextHi
+        level += 1
+      }
+    }
+    out.result()
+  }
 }
 
 final case class IndexConfig(
@@ -99,7 +189,20 @@ final case class IndexConfig(
       * (df/cf/maxScore) and corpus stats (N, avgdl) are UNAFFECTED, so
       * scores with and without fieldCols are identical. Default off.
       */
-    fieldCols: Seq[String] = Nil
+    fieldCols: Seq[String] = Nil,
+    /** NUMERIC doc columns (non-negative longs) to index with tiered
+      * trie terms ([[FieldTerms.numericValueTerms]]): the exact
+      * zero-padded `#field:value` term PLUS one `#field@l:prefix` term
+      * per tier, so `searchBool(numericRangeFilters = …)` answers any
+      * [lo, hi] range with a BOUNDED clause (≤ 2·16·16 terms) instead
+      * of one dictionary term per distinct in-range value — the
+      * scale-safe path for timestamps / byte sizes (round-3 review
+      * "What's wrong #1"). Costs MaxTierLevel extra tf=1 postings per
+      * doc per field; corpus/text stats remain untouched. Null or
+      * negative values emit nothing (such docs never match a range
+      * filter — ES missing-value semantics).
+      */
+    numericFieldCols: Seq[String] = Nil
 )
 
 object IndexConfig {
@@ -313,9 +416,34 @@ class IndexBuilder(
       .toDF("term", "docId", "tf", "dl", "pay")
   }
 
+  /** One tf=1 posting per (doc, tier) for a numeric column: the exact
+    * zero-padded term plus every tier term
+    * ([[FieldTerms.numericValueTerms]]). Same schema as [[postingsOf]].
+    */
+  def numericFieldPostingsOf(docs: DataFrame, field: String): DataFrame = {
+    val withPos = cfg.storePositions
+    docs.select(col("docId"), col("dl"), col(field).cast("long"))
+      .as[(Long, Int, Option[Long])]
+      .mapPartitions { it =>
+        it.flatMap {
+          case (id, dl, Some(v)) if v >= 0 =>
+            val a = new PosAcc
+            if (withPos) a.add(0) else a.n = 1
+            val pay = a.payload(dl, withPos)
+            FieldTerms.numericValueTerms(field, v).iterator.map(t => (t, id, 1, dl, pay))
+          case _ => Iterator.empty
+        }
+      }
+      .toDF("term", "docId", "tf", "dl", "pay")
+  }
+
   /** Text postings plus any configured fielded keyword postings. */
-  def allPostingsOf(docs: DataFrame): DataFrame =
-    cfg.fieldCols.foldLeft(postingsOf(docs))((acc, f) => acc.unionByName(fieldPostingsOf(docs, f)))
+  def allPostingsOf(docs: DataFrame): DataFrame = {
+    val withFields = cfg.fieldCols.foldLeft(postingsOf(docs))(
+      (acc, f) => acc.unionByName(fieldPostingsOf(docs, f)))
+    cfg.numericFieldCols.foldLeft(withFields)(
+      (acc, f) => acc.unionByName(numericFieldPostingsOf(docs, f)))
+  }
 
   /** Direct per-term df/cf (single hash agg — partial+final via Catalyst). */
   def dictDirect(postings: DataFrame): DataFrame =

@@ -27,13 +27,20 @@ import graft.model.{IndexStats, PostingBlock, Scored, TermStats}
   * 1-element clause, a `terms`/`range` filter a multi-element one; a
   * doc must satisfy EVERY clause. `excludeTerms` veto their docs
   * (`must_not` — flat, since matching ANY exclude term vetoes). Both
-  * are disjoint from the scored terms.
+  * are disjoint from the scored terms. `shouldTerms` are OPTIONAL
+  * scoring terms (ES bool `should`): matched ones add score, and a doc
+  * must match ≥ `minShould` of them (`minimum_should_match`). `after`
+  * is the ES `search_after` cursor on the (score desc, docId asc) sort
+  * key — only docs ranked strictly after it are returned.
   */
 private[query] final case class SearchMode(
     conjunctive: Boolean,
     slots: Seq[String],
     filterClauses: Seq[Seq[String]] = Nil,
-    excludeTerms: Seq[String] = Nil)
+    excludeTerms: Seq[String] = Nil,
+    shouldTerms: Seq[String] = Nil,
+    minShould: Int = 0,
+    after: Scored = null)
 
 private[query] object Searcher {
   import graft.model.{PostingBlock => PB}
@@ -56,15 +63,25 @@ private[query] object Searcher {
   ): Iterator[Scored] = {
     val fSet = mode.filterClauses.flatten.toSet
     val eSet = mode.excludeTerms.toSet
+    val sSet = mode.shouldTerms.toSet
     val byName = entries.toMap
     def iterOf(t: String, s: TermStats): Option[Wand.TermIterator] =
       byTerm.get(s.termId).map(bs => new Wand.TermIterator(t, bs, s.maxScore, s.df, n, avgdl))
-    val scoredEntries = entries.filter { case (t, _) => !fSet.contains(t) && !eSet.contains(t) }
+    val scoredEntries = entries.filter { case (t, _) =>
+      !fSet.contains(t) && !eSet.contains(t) && !sSet.contains(t) }
     val scored = scoredEntries.flatMap { case (t, s) => iterOf(t, s) }
+    val shoulds = entries.filter(e => sSet.contains(e._1)).flatMap { case (t, s) => iterOf(t, s) }
     val needAll = mode.conjunctive || mode.slots != null
-    if (scored.isEmpty || (needAll && scored.size < scoredEntries.size)) return Iterator.empty
+    // required group present globally but absent here ⇒ no hits in this
+    // bucket; a bucket with fewer should lists than minShould likewise
+    if ((scoredEntries.nonEmpty && scored.isEmpty) ||
+      (scored.isEmpty && shoulds.isEmpty) ||
+      (needAll && scored.size < scoredEntries.size) ||
+      shoulds.size < mode.minShould) return Iterator.empty
     // each clause → one cursor (union of its values' lists); a clause
-    // with NO member in this bucket is unsatisfiable here
+    // with NO member in this bucket is unsatisfiable here. Every clause
+    // membership gets a FRESH iterator (never shared with another clause
+    // or the exclude list — cursors are mutable).
     val clauseCursors: Seq[Option[Wand.DocCursor]] = mode.filterClauses.map { clause =>
       val members = clause.flatMap(t => byName.get(t).flatMap(s => iterOf(t, s)))
       if (members.isEmpty) None
@@ -75,9 +92,11 @@ private[query] object Searcher {
     val filters = clauseCursors.flatten
     val excludes = entries.filter(e => eSet.contains(e._1)).flatMap { case (t, s) => iterOf(t, s) }
     val top =
-      if (mode.slots != null) Wand.topKPhrase(scored, mode.slots, k, filters, excludes)
-      else if (mode.conjunctive) Wand.topKConjunctive(scored, k, filters, excludes)
-      else Wand.topK(scored, k, filters, excludes)
+      if (mode.slots != null)
+        Wand.topKPhrase(scored, mode.slots, k, filters, excludes, shoulds, mode.minShould, mode.after)
+      else if (mode.conjunctive)
+        Wand.topKConjunctive(scored, k, filters, excludes, shoulds, mode.minShould, mode.after)
+      else Wand.topK(scored, k, filters, excludes, shoulds, mode.minShould, mode.after)
     top.iterator
   }
 }
@@ -220,19 +239,26 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
     perBucket.orderBy(col("score").desc, col("docId").asc).limit(k).collect()
   }
 
-  /** Disjunctive (OR / ES `match`) BM25 top-k. */
-  def search(query: String, k: Int): Array[Scored] =
-    runPerBucket(Analyzer.analyzeQuery(query).toSeq, k, Mode(conjunctive = false))
+  /** Disjunctive (OR / ES `match`) BM25 top-k. `from` = pagination
+    * offset (skip the first `from` ranked hits; per-bucket heaps grow to
+    * from + k — the documented ES deep-paging cost).
+    */
+  def search(query: String, k: Int, from: Int = 0): Array[Scored] = {
+    val hits = runPerBucket(Analyzer.analyzeQuery(query).toSeq, from + k, Mode(conjunctive = false))
+    if (from == 0) hits else hits.slice(from, from + k)
+  }
 
   /** Phrase top-k (ES `match_phrase`): docs whose analyzed token stream
     * contains the analyzed query tokens ADJACENTLY in order, ranked by
     * the BM25 sum of the phrase's distinct terms. Needs an index built
     * with storePositions (default).
     */
-  def searchPhrase(query: String, k: Int): Array[Scored] = {
+  def searchPhrase(query: String, k: Int, from: Int = 0): Array[Scored] = {
     val slots = Analyzer.tokenize(query).toSeq // order + duplicates kept
     if (slots.isEmpty) return Array.empty
-    runPerBucket(slots.distinct.sorted, k, Mode(conjunctive = false, slots = slots))
+    val hits = runPerBucket(slots.distinct.sorted, from + k,
+      Mode(conjunctive = false, slots = slots))
+    if (from == 0) hits else hits.slice(from, from + k)
   }
 
   /** Batched execution: N queries in ONE Spark job — the throughput
@@ -284,8 +310,10 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
   }
 
   /** Conjunctive (AND) BM25 top-k. */
-  def searchConjunctive(query: String, k: Int): Array[Scored] =
-    runPerBucket(Analyzer.analyzeQuery(query).toSeq, k, Mode(conjunctive = true))
+  def searchConjunctive(query: String, k: Int, from: Int = 0): Array[Scored] = {
+    val hits = runPerBucket(Analyzer.analyzeQuery(query).toSeq, from + k, Mode(conjunctive = true))
+    if (from == 0) hits else hits.slice(from, from + k)
+  }
 
   /** ES `bool` query: `query` scores (as OR / AND / phrase per the
     * flags), `filters` are filter-context clauses — docs must carry the
@@ -315,37 +343,88 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
         * INCLUSIVE, LEXICOGRAPHIC value order (exact for fixed-width
         * encodings — zero-pad numerics at index time, ISO-8601 dates
         * sort naturally). Expanded against the dictionary (uncapped —
-        * a silent expansion cap would drop matching docs).
+        * a silent expansion cap would drop matching docs), so use
+        * [[numericRangeFilters]] for high-cardinality numeric fields.
         */
-      rangeFilters: Seq[(String, String, String)] = Nil
+      rangeFilters: Seq[(String, String, String)] = Nil,
+      /** ES `range` clauses on NUMERIC fields indexed via
+        * `IndexConfig.numericFieldCols`: (field, lo, hi) inclusive,
+        * answered by the tiered trie decomposition
+        * ([[graft.index.FieldTerms.trieRangeTerms]]) — a BOUNDED term
+        * clause (≤ 512) at ANY value cardinality; no dictionary range
+        * scan, no driver-side per-value expansion.
+        */
+      numericRangeFilters: Seq[(String, Long, Long)] = Nil,
+      /** ES bool `should`: an analyzed query whose terms optionally add
+        * score (terms already in the must query are dropped — groups
+        * must be disjoint).
+        */
+      should: String = "",
+      /** ES `minimum_should_match`: a doc must match ≥ this many
+        * distinct should terms. With an empty `query`, shoulds alone
+        * drive the search (pure m-of-n).
+        */
+      minShouldMatch: Int = 0,
+      /** Pagination offset (ES `from`): skip the first `from` hits of
+        * the (score desc, docId asc) ranking. Deep paging costs
+        * from + k per bucket — the documented ES tradeoff; prefer
+        * [[searchAfter]]-style cursors for deep pages.
+        */
+      from: Int = 0,
+      /** ES `search_after` cursor: only hits ranked strictly after this
+        * (score, docId) are returned. Composes with `from` (applied
+        * after the cursor).
+        */
+      after: Scored = null
   ): Array[Scored] = {
     val slots = if (phrase) Analyzer.tokenize(query).toSeq else null
     val scoredTerms =
       if (phrase) Option(slots).getOrElse(Nil).distinct.sorted
       else Analyzer.analyzeQuery(query).toSeq
-    if (scoredTerms.isEmpty || (phrase && slots.isEmpty)) return Array.empty
+    val shouldTerms =
+      Analyzer.analyzeQuery(should).filterNot(scoredTerms.contains).toSeq
+    if ((scoredTerms.isEmpty && shouldTerms.isEmpty) || (phrase && slots.isEmpty))
+      return Array.empty
     val clauses: Seq[Seq[String]] =
       filters.map { case (f, v) => Seq(graft.index.FieldTerms.term(f, v)) } ++
         anyFilters.map { case (f, vs) =>
           vs.distinct.map(v => graft.index.FieldTerms.term(f, v))
+        } ++
+        numericRangeFilters.map { case (f, lo, hi) =>
+          graft.index.FieldTerms.trieRangeTerms(f, lo, hi)
         }
     // range expansion already returns the TermStats rows (one dict scan,
     // no second lookup job over the expanded term list)
     val rangeExp: Seq[Map[String, TermStats]] =
       rangeFilters.map { case (f, lo, hi) => expandFieldRange(f, lo, hi) }
     val excludeTerms = mustNot.map { case (f, v) => graft.index.FieldTerms.term(f, v) }.distinct
-    val found = lookupTerms(scoredTerms ++ clauses.flatten.distinct ++ excludeTerms) ++
+    val found = lookupTerms(
+      scoredTerms ++ shouldTerms ++ clauses.flatten.distinct ++ excludeTerms) ++
       rangeExp.flatten
-    // a clause with no value present anywhere in the index ⇒ no match
+    // a clause with no value present anywhere in the index ⇒ no match.
+    // (A trie range clause keeps only the cells some doc actually
+    // carries — an all-absent decomposition means nothing is in range.)
     val foundClauses = clauses.map(_.filter(found.contains)) ++
       rangeExp.map(_.keys.toSeq.sorted)
     if (foundClauses.exists(_.isEmpty)) return Array.empty
     val needAll = conjunctive || phrase
     if (needAll && scoredTerms.exists(t => !found.contains(t))) return Array.empty
-    if (!scoredTerms.exists(found.contains)) return Array.empty
-    runFound(found, k,
-      SearchMode(conjunctive, slots, foundClauses, excludeTerms.filter(found.contains)))
+    if (scoredTerms.nonEmpty && !scoredTerms.exists(found.contains)) return Array.empty
+    val shouldFound = shouldTerms.filter(found.contains)
+    if (shouldFound.size < minShouldMatch) return Array.empty
+    val hits = runFound(found, from + k,
+      SearchMode(conjunctive, slots, foundClauses, excludeTerms.filter(found.contains),
+        shouldFound, minShouldMatch, after))
+    if (from == 0) hits else hits.slice(from, from + k)
   }
+
+  /** ES `search_after` page continuation: the next k hits strictly after
+    * the (score, docId) cursor — sound with WAND because the cursor only
+    * filters offers; pruning still uses the page's own θ.
+    */
+  def searchAfter(query: String, k: Int, after: Scored): Array[Scored] =
+    runPerBucket(Analyzer.analyzeQuery(query).toSeq, k,
+      SearchMode(conjunctive = false, slots = null, after = after))
 
   /** Dictionary expansion of a lexicographic value range on a keyword
     * field: every stored `#field:value` term with lo ≤ value ≤ hi.
@@ -527,6 +606,51 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
     */
   def matchCount(query: String): Long =
     matchSet(query).map(_.count()).getOrElse(0L)
+
+  /** The match set, or an empty docId frame when no query term exists —
+    * so every aggregation below shares one plan shape with a correct
+    * empty-result schema.
+    */
+  private def matchingOrEmpty(query: String): DataFrame =
+    matchSet(query).getOrElse(Seq.empty[Long].toDF("docId"))
+
+  /** ES `histogram` aggregation over the FULL match set: doc counts per
+    * fixed-width bucket of a numeric field (bucket = floor(v/width)·
+    * width; empty buckets omitted — ES min_doc_count=1 shape). Same
+    * index-side plan as [[facetCounts]]: membership scan → docId join
+    * against the column-pruned doc store → hash agg; the match set
+    * never touches the driver.
+    */
+  def numericHistogram(query: String, field: String, width: Long): DataFrame = {
+    require(width > 0, "histogram width must be positive")
+    docs.select(col("docId"), col(field))
+      .join(matchingOrEmpty(query), Seq("docId"))
+      .groupBy((floor(col(field) / lit(width)) * lit(width)).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("bucket"))
+  }
+
+  /** ES `date_histogram` (calendar_interval) over the match set:
+    * `interval` is a `date_trunc` unit — "day", "hour", "week",
+    * "month", … Empty buckets omitted.
+    */
+  def dateHistogram(query: String, field: String, interval: String): DataFrame =
+    docs.select(col("docId"), col(field))
+      .join(matchingOrEmpty(query), Seq("docId"))
+      .groupBy(date_trunc(interval, col(field)).as("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("bucket"))
+
+  /** ES `stats` aggregation over the match set: count / min / max /
+    * avg / sum of a numeric field among all docs matching ≥ 1 query
+    * term. One distributed agg — no top-k, no driver materialization.
+    */
+  def fieldStats(query: String, field: String): DataFrame =
+    docs.select(col("docId"), col(field))
+      .join(matchingOrEmpty(query), Seq("docId"))
+      .agg(count(lit(1)).as("n_docs"), min(col(field)).as("min"),
+        max(col(field)).as("max"), avg(col(field)).as("avg"),
+        sum(col(field)).as("sum"))
 
   /** Match set sorted by a FIELD instead of by score (ES `sort`): docs
     * containing ≥1 query term, ordered by `field` (desc/asc) with docId

@@ -119,6 +119,30 @@ object Wand {
     def nextGEQ(target: Long): Unit
   }
 
+  /** Membership cursor over a SORTED, distinct docId array — what
+    * tombstone exclusion needs (cross-segment last-write-wins upsert:
+    * superseded docs are skipped like `must_not` lists, but the list
+    * lives in the tombstone store, not in postings). Galloping + binary
+    * search advance: O(log gap) per nextGEQ.
+    */
+  final class SortedArrayCursor(ids: Array[Long]) extends DocCursor {
+    private var i = 0
+    def curDoc: Long = if (i < ids.length) ids(i) else Long.MaxValue
+    def nextGEQ(target: Long): Unit = {
+      if (curDoc >= target) return
+      var lo = i
+      var step = 1
+      while (lo + step < ids.length && ids(lo + step) < target) { lo += step; step <<= 1 }
+      var a = lo
+      var b = math.min(ids.length, lo + step + 1)
+      while (a < b) {
+        val m = (a + b) >>> 1
+        if (ids(m) < target) a = m + 1 else b = m
+      }
+      i = a
+    }
+  }
+
   /** Disjunction of posting lists as one cursor (ES `terms` / `range`
     * filter clauses: doc matches if it carries ANY of the clause's
     * values). curDoc = min over members; members are advanced lazily on
@@ -187,17 +211,44 @@ object Wand {
     * (`must_not`). Both default empty = plain WAND, and neither affects
     * pruning soundness: filters/excludes only REMOVE candidates, and the
     * pivot bound Σub over scored lists stays a valid upper bound.
+    *
+    * `shoulds` are OPTIONAL scoring lists (ES bool `should` context,
+    * term-disjoint from `lists`): a matched should term adds its BM25
+    * contribution but is never required — except that a qualifying doc
+    * must match ≥ `minShould` of them (`minimum_should_match`). `lists`
+    * is the required group: when non-empty a doc must match ≥ 1 of it
+    * (the ES `match`-in-`must` shape); when empty, shoulds alone drive
+    * the query (pure m-of-n). Scores stay deterministic: ONE sum over
+    * all matched terms in ascending term order, exactly the no-should
+    * rule. Pruning stays sound: both groups' upper bounds enter the
+    * pivot sum, and the group-count requirements only REMOVE candidates.
+    *
+    * `after` implements ES `search_after` on the (score desc, docId asc)
+    * sort key: only docs ranked strictly after it are offered. It cannot
+    * seed θ (qualifying docs score ≤ after.score by definition), so it
+    * prunes nothing — it guarantees exact page continuation.
     */
   def topK(lists: Seq[TermIterator], k: Int,
       filters: Seq[DocCursor] = Nil,
-      excludes: Seq[DocCursor] = Nil): Array[Scored] = {
-    if (lists.isEmpty || k <= 0) return Array.empty
+      excludes: Seq[DocCursor] = Nil,
+      shoulds: Seq[TermIterator] = Nil,
+      minShould: Int = 0,
+      after: Scored = null): Array[Scored] = {
+    if ((lists.isEmpty && shoulds.isEmpty) || k <= 0) return Array.empty
     val fArr = filters.toArray
     val eArr = excludes.toArray
-    val byTerm = lists.sortBy(_.term).toArray // fixed scoring order: term asc
+    val mustN = lists.size
+    val shouldSet = shoulds.map(_.term).toSet
+    require(!lists.exists(l => shouldSet.contains(l.term)),
+      "must and should term groups must be disjoint")
+    // fixed scoring order: term asc over the MERGED groups
+    val byTerm = (lists ++ shoulds).sortBy(_.term).toArray
+    val isShould = byTerm.map(it => shouldSet.contains(it.term))
     val heap = scala.collection.mutable.PriorityQueue.empty[HeapEntry](heapOrd)
     var theta = Double.NegativeInfinity
     def offer(score: Double, docId: Long): Unit = {
+      if (after != null &&
+        !(score < after.score || (score == after.score && docId > after.docId))) return
       if (heap.size < k) {
         heap.enqueue(HeapEntry(score, docId))
         if (heap.size == k) theta = heap.head.score
@@ -257,15 +308,21 @@ object Wand {
                 t += 1
               }
             } else {
-              // fully score pivotDoc: exact sum in ascending TERM order
+              // fully score pivotDoc: exact sum in ascending TERM order,
+              // counting group matches for the must-≥1 / minShould rules
               var s = 0.0
+              var nMust = 0
+              var nShould = 0
               var t = 0
               while (t < byTerm.length) {
                 val it = byTerm(t)
-                if (it.curDoc == pivotDoc) { it.nextGEQ(pivotDoc); s += it.score }
+                if (it.curDoc == pivotDoc) {
+                  it.nextGEQ(pivotDoc); s += it.score
+                  if (isShould(t)) nShould += 1 else nMust += 1
+                }
                 t += 1
               }
-              offer(s, pivotDoc)
+              if ((mustN == 0 || nMust >= 1) && nShould >= minShould) offer(s, pivotDoc)
               t = 0
               while (t < byTerm.length) {
                 if (byTerm(t).curDoc == pivotDoc) byTerm(t).advancePast(pivotDoc)
@@ -292,8 +349,11 @@ object Wand {
     */
   def topKConjunctive(lists: Seq[TermIterator], k: Int,
       filters: Seq[DocCursor] = Nil,
-      excludes: Seq[DocCursor] = Nil): Array[Scored] =
-    intersectTopK(lists, k, phrase = null, filters, excludes)
+      excludes: Seq[DocCursor] = Nil,
+      shoulds: Seq[TermIterator] = Nil,
+      minShould: Int = 0,
+      after: Scored = null): Array[Scored] =
+    intersectTopK(lists, k, phrase = null, filters, excludes, shoulds, minShould, after)
 
   /** Phrase top-k: docs containing the terms at ADJACENT positions in
     * `phrase` order (ES `match_phrase` over analyzed fields — SURVEY.md
@@ -305,9 +365,12 @@ object Wand {
     */
   def topKPhrase(lists: Seq[TermIterator], phrase: Seq[String], k: Int,
       filters: Seq[DocCursor] = Nil,
-      excludes: Seq[DocCursor] = Nil): Array[Scored] = {
+      excludes: Seq[DocCursor] = Nil,
+      shoulds: Seq[TermIterator] = Nil,
+      minShould: Int = 0,
+      after: Scored = null): Array[Scored] = {
     if (phrase == null || phrase.isEmpty) return Array.empty
-    intersectTopK(lists, k, phrase, filters, excludes)
+    intersectTopK(lists, k, phrase, filters, excludes, shoulds, minShould, after)
   }
 
   /** Does the phrase occur at the current (aligned) doc? slots(j) is the
@@ -332,12 +395,24 @@ object Wand {
       k: Int,
       phrase: Seq[String],
       filters: Seq[DocCursor] = Nil,
-      excludes: Seq[DocCursor] = Nil
+      excludes: Seq[DocCursor] = Nil,
+      shoulds: Seq[TermIterator] = Nil,
+      minShould: Int = 0,
+      after: Scored = null
   ): Array[Scored] = {
     if (lists.isEmpty || k <= 0) return Array.empty
     val fArr = filters.toArray
     val eArr = excludes.toArray
     val byTerm = lists.sortBy(_.term).toArray
+    val shouldArr = shoulds.sortBy(_.term).toArray
+    require(!shouldArr.exists(s => byTerm.exists(_.term == s.term)),
+      "must and should term groups must be disjoint")
+    // optional-group score headroom for the early-exit bound (Σ global
+    // ubs — sound; shoulds never drive the candidate loop)
+    val shouldUbSum = shouldArr.map(_.ub).sum
+    // scoring order: term asc over the MERGED groups (same determinism
+    // rule as topK); merged(i) aligned-at-candidate ⇒ contributes
+    val merged = (byTerm ++ shouldArr).sortBy(_.term)
     val slots: Array[TermIterator] =
       if (phrase == null) null
       else {
@@ -347,6 +422,17 @@ object Wand {
       }
     val heap = scala.collection.mutable.PriorityQueue.empty[HeapEntry](heapOrd)
     var theta = Double.NegativeInfinity
+    def offer(s: Double, docId: Long): Unit = {
+      if (after != null &&
+        !(s < after.score || (s == after.score && docId > after.docId))) return
+      if (heap.size < k) {
+        heap.enqueue(HeapEntry(s, docId))
+        if (heap.size == k) theta = heap.head.score
+      } else if (s > heap.head.score) {
+        heap.dequeue(); heap.enqueue(HeapEntry(s, docId))
+        theta = heap.head.score
+      }
+    }
     var candidate = byTerm.map(_.curDoc).max
     while (candidate != Long.MaxValue) {
       var skipped = false
@@ -354,9 +440,11 @@ object Wand {
         // block-max early exit: bound the best score reachable inside the
         // current block span WITHOUT decoding (shallowSeek moves block
         // pointers only); if it can't beat θ, jump past the nearest block
-        // horizon.
+        // horizon. (Sound under search_after too: θ is the k-th best
+        // QUALIFYING score, and skipping docs that cannot beat θ never
+        // removes a page member.)
         var i = 0
-        var blockSum = 0.0
+        var blockSum = shouldUbSum
         var horizon = Long.MaxValue
         var dead = false
         while (i < byTerm.length && !dead) {
@@ -389,15 +477,24 @@ object Wand {
         }
         if (aligned && candidate != Long.MaxValue) {
           if (!excludedAt(eArr, candidate) && (slots == null || phraseAt(slots))) {
-            var s = 0.0
-            var t = 0
-            while (t < byTerm.length) { s += byTerm(t).score; t += 1 }
-            if (heap.size < k) {
-              heap.enqueue(HeapEntry(s, candidate))
-              if (heap.size == k) theta = heap.head.score
-            } else if (s > heap.head.score) {
-              heap.dequeue(); heap.enqueue(HeapEntry(s, candidate))
-              theta = heap.head.score
+            // advance shoulds to the candidate and count matches
+            var nShould = 0
+            var j = 0
+            while (j < shouldArr.length) {
+              shouldArr(j).nextGEQ(candidate)
+              if (shouldArr(j).curDoc == candidate) nShould += 1
+              j += 1
+            }
+            if (nShould >= minShould) {
+              // must lists are all aligned here; shoulds contribute only
+              // when aligned (checked via curDoc) — one term-asc sum
+              var s = 0.0
+              var t = 0
+              while (t < merged.length) {
+                if (merged(t).curDoc == candidate) s += merged(t).score
+                t += 1
+              }
+              offer(s, candidate)
             }
           }
           val next = candidate + 1
