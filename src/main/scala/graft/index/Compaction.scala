@@ -9,83 +9,189 @@ import graft.query.Bm25
 
 final case class CompactionReport(segments: Int, n: Long, vocab: Long, buckets: Int)
 
-/** Segment compaction: merge all `seg-*` sub-indexes under an index dir
-  * into ONE ordinary index (readable by a single `Searcher`), WITHOUT
-  * re-tokenizing the corpus — the reference's append runs land in one ES
-  * index whose segments merge internally (NeoFinderToES.java:184-192);
-  * here every micro-batch is a permanent segment until compacted, and
-  * both query and ingest degrade O(segments) (round-2 review).
+/** Segment compaction: merge the LIVE `seg-*` sub-indexes under an index
+  * dir into ONE ordinary index (readable by a single `Searcher`),
+  * WITHOUT re-tokenizing the corpus — the reference's append runs land
+  * in one ES index whose segments merge internally
+  * (NeoFinderToES.java:184-192); here every micro-batch is a permanent
+  * segment until compacted, and both query and ingest degrade
+  * O(segments) (round-2 review).
   *
   * What merging costs and why it's cheap: per-segment docId ranges are
   * DISJOINT by construction (StreamingIngest offsets each batch past the
   * previous max), so posting payload bytes (docs/tfs/dls/poss streams)
-  * are carried over UNTOUCHED — cost ∝ compressed index size, never
-  * corpus tokenize cost. Only three things change:
+  * are carried over UNTOUCHED for every block with no tombstoned doc —
+  * cost ∝ compressed index size, never corpus tokenize cost. What
+  * changes:
   *   1. termIds are segment-local → re-mapped through a merged global
-  *      dictionary (df/cf summed per term). The re-map join moves only a
-  *      dict-sized (segIdx, termIdOld) → (termIdNew, df) table against
-  *      the block stream — one keyed shuffle, AQE-broadcast when small.
+  *      dictionary. The re-map join moves only a dict-sized (segIdx,
+  *      termIdOld) → (termIdNew, shardNew) table against the block
+  *      stream — AQE-broadcast when small.
   *   2. buckets are segment-local docId ranges → shifted by a per-segment
   *      offset so they stay disjoint (WAND needs docId-disjoint block
   *      lists per term — preserved).
-  *   3. stored maxScore encodes per-segment stats → re-derived EXACTLY
-  *      under the merged (N, Σdl, df) by decoding the tf/dl streams and
-  *      rescoring (the payload is not rewritten). The compacted index
-  *      therefore serves a plain `Searcher` with tight bounds — no
-  *      staleBlockMax mode, unlike `MultiSearcher` over raw segments.
+  *   3. TOMBSTONED docs (cross-segment upsert / deletes,
+  *      [[Tombstones]]) are dropped PHYSICALLY: a block overlapping the
+  *      tombstone set is decoded, its dead postings removed, and the
+  *      surviving run re-encoded (blocks fully tombstoned disappear;
+  *      non-overlapping blocks — the overwhelming majority — copy their
+  *      payload verbatim). The tombstone set is the updates since the
+  *      last compaction, driver-bounded and broadcast.
+  *   4. statistics are recomputed EXACTLY over the surviving corpus:
+  *      N and Σdl from the merged doc store write (Observation), df/cf
+  *      per term from the surviving blocks themselves (df = Σ block
+  *      count without decoding; cf decodes only the tf varint stream),
+  *      and per-block maxScore by rescoring the surviving (tf, dl)
+  *      streams under the merged stats. The compacted index therefore
+  *      serves a plain `Searcher` with tight bounds — no staleBlockMax
+  *      mode, unlike `MultiSearcher` over raw segments.
+  *
+  * The output carries the full manifest set a built index has — docs,
+  * finalize AND per-bucket cells — so a LATER compaction over a dir
+  * containing this segment derives its bucket count correctly (round-3
+  * review: the missing bucket cells made a second compactInPlace round
+  * assign overlapping bucket ids).
   */
 object Compaction {
 
-  /** Merge `indexDir`'s seg-* into a self-contained index at `outDir`. */
+  private def tombIndexOfGeq(tomb: Array[Long], target: Long): Int = {
+    var a = 0
+    var b = tomb.length
+    while (a < b) {
+      val m = (a + b) >>> 1
+      if (tomb(m) < target) a = m + 1 else b = m
+    }
+    a
+  }
+
+  /** Drop tombstoned postings from a block: returns the block unchanged
+    * when no tombstone falls in its docId range, None when every posting
+    * is dead, else a re-encoded block of the survivors (maxScore is a
+    * placeholder — phase 2 rescores every block under the merged stats
+    * anyway).
+    */
+  private def filterBlock(blk: PostingBlock, tomb: Array[Long]): Option[PostingBlock] = {
+    if (tomb.isEmpty) return Some(blk)
+    val i0 = tombIndexOfGeq(tomb, blk.firstDocId)
+    if (i0 >= tomb.length || tomb(i0) > blk.lastDocId) return Some(blk)
+    val dec = Codec.decodeBlock(blk)
+    val posDec =
+      if (blk.poss != null && blk.poss.nonEmpty) Codec.decodePositions(blk, dec.tfs) else null
+    val keep = new Array[Boolean](blk.count)
+    var nKeep = 0
+    var i = 0
+    while (i < blk.count) {
+      val d = dec.docIds(i)
+      val j = tombIndexOfGeq(tomb, d)
+      keep(i) = j >= tomb.length || tomb(j) != d
+      if (keep(i)) nKeep += 1
+      i += 1
+    }
+    if (nKeep == blk.count) return Some(blk)
+    if (nKeep == 0) return None
+    val ids = new Array[Long](nKeep)
+    val tfs = new Array[Int](nKeep)
+    val dls = new Array[Int](nKeep)
+    val pss = new Array[Array[Byte]](nKeep)
+    var maxTf = 0
+    var o = 0
+    i = 0
+    while (i < blk.count) {
+      if (keep(i)) {
+        ids(o) = dec.docIds(i)
+        tfs(o) = dec.tfs(i)
+        dls(o) = dec.dls(i)
+        pss(o) = if (posDec == null) Array.emptyByteArray
+          else Codec.encodePositions(posDec(i))
+        if (tfs(o) > maxTf) maxTf = tfs(o)
+        o += 1
+      }
+      i += 1
+    }
+    var posBytes = 0
+    i = 0
+    while (i < nKeep) { posBytes += pss(i).length; i += 1 }
+    val pcat = new Array[Byte](posBytes)
+    var off = 0
+    i = 0
+    while (i < nKeep) {
+      System.arraycopy(pss(i), 0, pcat, off, pss(i).length)
+      off += pss(i).length
+      i += 1
+    }
+    Some(blk.copy(
+      firstDocId = ids(0), lastDocId = ids(nKeep - 1), count = nKeep,
+      docs = Codec.deltaEncode(ids), tfs = Codec.encodeVarInts(tfs),
+      dls = Codec.encodeVarInts(dls), poss = pcat, maxTf = maxTf, maxScore = 0.0))
+  }
+
+  /** Merge `indexDir`'s live seg-* (minus tombstoned docs) into a
+    * self-contained index at `outDir`.
+    */
   def compact(spark: SparkSession, indexDir: String, outDir: String): CompactionReport = {
     import spark.implicits._
-    val fs = new Path(indexDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val segments = fs.listStatus(new Path(indexDir)).toSeq.map(_.getPath)
-      .filter(_.getName.startsWith("seg-")).map(_.toString).sorted
-    require(segments.nonEmpty, s"no seg-* sub-indexes under $indexDir")
+    val segments = SegmentCatalog.liveSegments(spark, indexDir)
+    require(segments.nonEmpty, s"no live seg-* sub-indexes under $indexDir")
     val snap = s"compact:${segments.map(_.split('/').last).mkString(",")}"
+    val tomb = Tombstones.loadSorted(spark, indexDir)
+    val tombBc = spark.sparkContext.broadcast(tomb)
+    val tombDF = Tombstones.loadDF(spark, indexDir)
 
-    // global stats merge associatively (same recovery as MultiSearcher:
-    // per-segment Σdl is integer-valued, round(n·avgdl) is exact)
-    val segStats = segments.map(s => spark.read.parquet(s"$s/stats").as[IndexStats].head())
-    val n = segStats.map(_.n).sum
-    val sumDl = segStats.map(st => math.round(st.avgdl * st.n)).sum
+    // surviving doc store union (docIds globally unique already); stats
+    // ride the write job — Σdl is exact (integer-valued dl per doc)
+    val obs = org.apache.spark.sql.Observation()
+    val docsUnion = segments.map(s => spark.read.parquet(s"$s/docs")).reduce(_ unionByName _)
+    val living =
+      if (tomb.isEmpty) docsUnion
+      else docsUnion.join(tombDF, Seq("docId"), "left_anti")
+    living
+      .observe(obs, count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("sumdl"),
+        coalesce(max(col("docId")), lit(-1L)).as("mx"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/docs")
+    val row = obs.get
+    val n = row("n").asInstanceOf[Long]
+    val sumDl = row("sumdl").asInstanceOf[Long]
+    val maxDocId = row("mx").asInstanceOf[Long]
     val avgdl = if (n == 0) 0.0 else sumDl.toDouble / n
 
     // merged dictionary with fresh termIds — materialized exactly once
-    // (monotonically_increasing_id must not be recomputed across the two
-    // consumers; same rule as IndexBuilder's dict0 phase)
+    // (monotonically_increasing_id must not be recomputed across
+    // consumers; same rule as IndexBuilder's dict0 phase). df/cf are NOT
+    // carried from the segment dicts: they are recomputed exactly from
+    // the surviving blocks below (tombstones change them).
     val dictUnion = segments.zipWithIndex.map { case (s, i) =>
       spark.read.parquet(s"$s/dict").withColumn("seg", lit(i))
     }.reduce(_ unionByName _).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     dictUnion.groupBy(col("term"))
-      .agg(sum(col("df")).as("df"), sum(col("cf")).as("cf"), first(col("shard")).as("shard"))
+      .agg(first(col("shard")).as("shard"))
       .withColumn("termId", monotonically_increasing_id())
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/dict0")
     val gdict = spark.read.parquet(s"$outDir/dict0")
 
-    // (seg, termIdOld) → (termIdNew, shard, global df): dict-sized, no
-    // posting payload rides this join's build side
+    // (seg, termIdOld) → (termIdNew, shardNew): dict-sized, no posting
+    // payload rides this join's build side
     val mapping = dictUnion
       .select(col("seg"), col("term"), col("termId").as("termIdOld"))
       .join(gdict.select(col("term"), col("termId").as("termIdNew"),
-        col("shard").as("shardNew"), col("df").as("dfNew")), Seq("term"))
-      .select("seg", "termIdOld", "termIdNew", "shardNew", "dfNew")
+        col("shard").as("shardNew")), Seq("term"))
+      .select("seg", "termIdOld", "termIdNew", "shardNew")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     mapping.count()
 
-    // per-segment bucket offsets (buckets stay disjoint docId ranges)
+    // per-segment bucket offsets (buckets stay disjoint docId ranges);
+    // manifest bucket cells are authoritative, max-bucket-in-blocks the
+    // fallback for foreign segments
     val bucketCounts = segments.map { s =>
-      new IndexBuilder(spark, s, snap).allManifests
-        .filter(_.cell.startsWith("bucket=")).map(_.bucket)
-        .maxOption.getOrElse(0) + 1
+      val fromManifest = new IndexBuilder(spark, s, snap).allManifests
+        .filter(_.cell.startsWith("bucket=")).map(_.bucket).maxOption
+      fromManifest.getOrElse(
+        spark.read.parquet(s"$s/blocks").agg(coalesce(max(col("bucket")), lit(0)))
+          .head().getInt(0)) + 1
     }
     val offsets = bucketCounts.scanLeft(0)(_ + _)
 
-    // blocks: re-map termId, shift bucket, rescore block-max under the
-    // merged stats; payload byte streams are copied verbatim
-    val nG = n
-    val avgdlG = avgdl
+    // phase 1 — re-map termId, shift bucket, drop tombstoned postings;
+    // payload bytes copy verbatim unless the block overlaps a tombstone
     val rewritten = segments.zipWithIndex.map { case (s, i) =>
       val m = mapping.filter(col("seg") === lit(i)).drop("seg")
       val off = offsets(i)
@@ -95,72 +201,118 @@ object Compaction {
           (col("bucket") + lit(off)).cast("int").as("_3"), col("blockId").as("_4"),
           col("firstDocId").as("_5"), col("lastDocId").as("_6"), col("count").as("_7"),
           col("docs").as("_8"), col("tfs").as("_9"), col("dls").as("_10"),
-          col("poss").as("_11"), col("maxTf").as("_12"), col("dfNew").as("_13"))
+          col("poss").as("_11"), col("maxTf").as("_12"))
     }.reduce(_ unionByName _)
       .as[(Long, Int, Int, Int, Long, Long, Int,
-        Array[Byte], Array[Byte], Array[Byte], Array[Byte], Int, Long)]
-      .map { r =>
+        Array[Byte], Array[Byte], Array[Byte], Array[Byte], Int)]
+      .flatMap { r =>
         val blk = PostingBlock(r._1, r._2, r._3, r._4, r._5, r._6, r._7,
           r._8, r._9, r._10, r._11, r._12, 0.0)
+        filterBlock(blk, tombBc.value)
+      }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // exact per-term stats over the SURVIVING postings: df needs no
+    // decode (block counts), cf decodes only the tf varint stream
+    val dfcf = rewritten
+      .map(b => (b.termId, b.count.toLong,
+        Codec.decodeVarInts(b.tfs, b.count).foldLeft(0L)(_ + _)))
+      .toDF("termId", "dfb", "cfb")
+      .groupBy(col("termId"))
+      .agg(sum(col("dfb")).as("df"), sum(col("cfb")).as("cf"))
+
+    // phase 2 — rescore block-max EXACTLY under the merged (N, Σdl, df):
+    // dict-sized join (AQE-broadcast), decode, rescore; payloads pass
+    // through untouched
+    val nG = n
+    val avgdlG = avgdl
+    val rescored = rewritten
+      .joinWith(dfcf, rewritten("termId") === dfcf("termId"))
+      .map { case (blk, dfRow) =>
+        val df = dfRow.getLong(1)
         val dec = Codec.decodeBlock(blk)
         var mx = Double.NegativeInfinity
         var i = 0
         while (i < dec.docIds.length) {
-          val sc = Bm25.score(dec.tfs(i), r._13, dec.dls(i), nG, avgdlG)
+          val sc = Bm25.score(dec.tfs(i), df, dec.dls(i), nG, avgdlG)
           if (sc > mx) mx = sc
           i += 1
         }
         blk.copy(maxScore = mx)
       }
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    rewritten.write.partitionBy("bucket", "shard")
+    rescored.write.partitionBy("bucket", "shard")
       .mode(SaveMode.Overwrite).parquet(s"$outDir/blocks")
 
-    // finalize: dictionary max-score from the rescored blocks (exact
-    // global upper bounds — a plain Searcher needs no stale-bound mode)
-    val maxs = rewritten.groupBy(col("termId")).agg(max(col("maxScore")).as("maxScore"))
+    // finalize: dictionary df/cf/maxScore from the rescored blocks
+    // (exact global upper bounds — a plain Searcher needs no stale-bound
+    // mode); terms with no surviving posting drop out via the inner join
+    val maxs = rescored.groupBy(col("termId"))
+      .agg(max(col("maxScore")).as("maxScore"))
     gdict
+      .join(dfcf, Seq("termId"))
       .join(maxs, Seq("termId"))
       .select(col("term"), col("termId"), col("shard"), col("df"), col("cf"), col("maxScore"))
       .as[TermStats]
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/dict")
+    val nVocab = spark.read.parquet(s"$outDir/dict").count()
+
+    // per-bucket metrics for the manifest cells (ADVICE r3: the output
+    // segment must carry bucket cells so a later compaction round
+    // derives its bucket count correctly)
+    val perBucket = rescored.groupBy(col("bucket"))
+      .agg(coalesce(sum(col("count")), lit(0L)).as("p"),
+        coalesce(sum(length(col("docs")) + length(col("tfs")) + length(col("dls"))
+          + length(col("poss"))), lit(0L)).as("y"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rescored.unpersist(blocking = false)
     rewritten.unpersist(blocking = false)
     mapping.unpersist(blocking = false)
     dictUnion.unpersist(blocking = false)
-    val nVocab = spark.read.parquet(s"$outDir/dict").count()
+    tombBc.destroy()
 
-    // doc store union (docIds globally unique already) + stats + manifest
-    val obs = org.apache.spark.sql.Observation()
-    segments.map(s => spark.read.parquet(s"$s/docs")).reduce(_ unionByName _)
-      .observe(obs, coalesce(max(col("docId")), lit(-1L)).as("mx"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/docs")
-    val maxDocId = obs.get("mx").asInstanceOf[Long]
     Seq(IndexStats(n, avgdl, snap)).toDS()
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/stats")
     val out = new IndexBuilder(spark, outDir, snap)
     out.writeManifest(BuildManifest("docs", -1, 0, maxDocId + 1, snap, n, 0, "done", 0))
+    val nBuckets = offsets.last
+    for (b <- 0 until nBuckets) {
+      val (p, y) = perBucket.getOrElse(b, (0L, 0L))
+      out.writeManifest(BuildManifest(s"bucket=$b", b, 0, maxDocId + 1, snap, p, y, "done", 0))
+    }
     out.writeManifest(BuildManifest("finalize", -1, 0, n, snap, nVocab, 0, "done", 0))
-    CompactionReport(segments.size, n, nVocab, offsets.last)
+    // key bloom for the merged segment: future appends prune their
+    // upsert key-lookup against it like any built segment's
+    Tombstones.writeKeyBloom(spark, outDir, spark.read.parquet(s"$outDir/docs"), n)
+    CompactionReport(segments.size, n, nVocab, nBuckets)
   }
 
-  /** Compact in place: merge seg-* into `$indexDir/seg-compacted` and
-    * remove the source segments, so streaming ingest keeps appending to
-    * the same directory (currentMaxDocId reads the compacted segment's
-    * manifest) and `MultiSearcher` sees one segment. NOT crash-atomic:
-    * the merged index is fully written to `.compact-tmp` before any
-    * delete, so a crash mid-swap leaves either the old segments (plus the
-    * tmp dir) or the finished swap — recover by re-running or renaming
-    * the tmp dir; a production deployment would swap via a manifest
-    * pointer instead.
+  /** Compact in place: merge the live seg-* into `$indexDir/
+    * seg-compacted-<g>` and retire the inputs, so streaming ingest keeps
+    * appending to the same directory and `MultiSearcher` sees one
+    * segment. CRASH-SAFE via the [[SegmentCatalog]] pointer protocol
+    * (write merged → point → rename → cleanup): a kill at any step
+    * leaves a servable index resolving to either the old segment set
+    * (with tombstones) or the compacted one — never neither, never
+    * both.
     */
   def compactInPlace(spark: SparkSession, indexDir: String): CompactionReport = {
     val fs = new Path(indexDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = s"$indexDir/.compact-tmp"
+    if (fs.exists(new Path(tmp))) fs.delete(new Path(tmp), true) // stale crash leftover
+    val liveBefore = SegmentCatalog.liveSegments(fs, indexDir)
+    val tombDir = new Path(Tombstones.dir(indexDir))
     val report = compact(spark, indexDir, tmp)
-    val old = fs.listStatus(new Path(indexDir)).toSeq.map(_.getPath)
-      .filter(_.getName.startsWith("seg-"))
-    old.foreach(p => fs.delete(p, true))
-    fs.rename(new Path(tmp), new Path(s"$indexDir/seg-compacted"))
+    val target = SegmentCatalog.nextCompactedName(fs, indexDir)
+    // 1. retire the inputs in one atomic pointer write — ignored by
+    //    readers until the live segment exists
+    SegmentCatalog.writePointer(fs, indexDir, SegmentCatalog.Pointer(
+      target, liveBefore.map(s => new Path(s).getName).toSet))
+    // 2. the flip: tmp becomes the live segment
+    fs.rename(new Path(tmp), new Path(s"$indexDir/$target"))
+    // 3. cleanup (crash here leaves retired dirs on disk, out of catalog)
+    liveBefore.foreach(s => fs.delete(new Path(s), true))
+    if (fs.exists(tombDir)) fs.delete(tombDir, true)
     report
   }
 }

@@ -5,13 +5,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.analysis.Analyzer
+import graft.index.{FieldTerms, SegmentCatalog, Tombstones}
 import graft.model.{IndexStats, PostingBlock, Scored, TermStats}
 
 /** Cross-segment BM25 search with GLOBAL corpus statistics — the query
   * side of streaming ingest (StreamingIngest appends each micro-batch as
   * an independent `seg-<id>` index; reference behavior is one shared
   * index with shared stats, NeoFinderToES.java:184-192 append runs, so
-  * queries must see the union as ONE corpus).
+  * queries must see the union as ONE corpus). Serves the FULL search
+  * surface a compacted single-segment `Searcher` serves — OR / AND /
+  * phrase / bool (filter, must_not, terms, range, numeric-trie range,
+  * should + minimum_should_match) / prefix / wildcard / fuzzy / facets /
+  * histogram & stats aggs / field sort / hit count / resolve +
+  * highlight / pagination — so pre-compaction streams are never
+  * second-class (round-3 review "What's missing #4").
   *
   * Statistics merge associatively: N = Σ nᵢ, Σdl = Σ (nᵢ·avgdlᵢ)
   * (dl sums are integer-valued and < 2^52, so the per-segment product
@@ -20,36 +27,83 @@ import graft.model.{IndexStats, PostingBlock, Scored, TermStats}
   * offsets each batch past the current max docId), so per-(segment,
   * bucket) WAND results merge with a plain top-k.
   *
+  * LAST-WRITE-WINS across segments: docs superseded by a later
+  * re-ingest of their (conv_id, turn_idx) key — or explicitly deleted —
+  * are listed in the index's tombstone store ([[Tombstones]]); every
+  * query path excludes tombstoned docIds (WAND via a
+  * [[Wand.SortedArrayCursor]] exclude, the doc-store paths via
+  * anti-join), and the global statistics are ADJUSTED EXACTLY: the
+  * superseded docs still sit in their segments' doc stores, so one
+  * bounded job (∝ tombstone volume, not corpus) re-derives their N /
+  * Σdl / per-term df contributions and subtracts them — scores are
+  * therefore bit-identical to an index that never contained the old
+  * versions, unlike Lucene's deleted-doc model where IDF counts
+  * deletes until merge. Segment membership resolves through the
+  * [[SegmentCatalog]] pointer, so a mid-compaction crash never yields a
+  * doubled or empty corpus.
+  *
   * Stored per-block maxScore / dictionary maxScore encode the SEGMENT's
   * build-time stats and are not valid bounds under merged stats; block
   * bounds are re-derived from the stored stats-independent maxTf as
   * score(maxTf, dl = 0) (exact upper bound — BM25 is increasing in tf,
   * decreasing in dl). Exact per-posting rescoring from the stored
   * (tf, dl) streams with the global stats makes results rank-identical
-  * to an exhaustive oracle over the union (StreamingSpec).
+  * to an exhaustive oracle over the LWW-deduped union (StreamingSpec).
   */
 class MultiSearcher(spark: SparkSession, indexDir: String) {
   import spark.implicits._
 
   private val fs = new Path(indexDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** seg-* sub-index directories (sorted for determinism). */
-  val segments: Seq[String] = {
-    val p = new Path(indexDir)
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq.map(_.getPath)
-      .filter(q => q.getName.startsWith("seg-"))
-      .map(_.toString).sorted
-  }
-  require(segments.nonEmpty, s"no seg-* sub-indexes under $indexDir")
+  /** LIVE seg-* sub-index directories (pointer-resolved, sorted). */
+  val segments: Seq[String] = SegmentCatalog.liveSegments(fs, indexDir)
+  require(segments.nonEmpty, s"no live seg-* sub-indexes under $indexDir")
 
   private val segStats: Seq[IndexStats] =
     segments.map(s => spark.read.parquet(s"$s/stats").as[IndexStats].head())
 
-  /** Global corpus stats over all segments. */
-  val n: Long = segStats.map(_.n).sum
-  val sumDl: Long = segStats.map(st => math.round(st.avgdl * st.n)).sum
-  val avgdl: Double = if (n == 0) 0.0 else sumDl.toDouble / n
+  private val rawN: Long = segStats.map(_.n).sum
+  private val rawSumDl: Long = segStats.map(st => math.round(st.avgdl * st.n)).sum
+
+  /** Tombstoned docIds, sorted (bounded by the updates since the last
+    * compaction — see [[Tombstones]]); broadcast once per searcher.
+    */
+  private lazy val tombBc =
+    spark.sparkContext.broadcast(Tombstones.loadSorted(spark, indexDir))
+  private def tombDF: DataFrame = Tombstones.loadDF(spark, indexDir)
+
+  /** Exact statistic contributions of the tombstoned docs — (count,
+    * Σdl, per-term df over their DISTINCT terms), re-derived from the
+    * doc stores in one job ∝ tombstone volume. Subtracting them makes
+    * every stat exact over the LWW-visible corpus, so scores match a
+    * never-contained-the-old-versions index bit-for-bit (StreamingSpec
+    * pins this against the exhaustive oracle AND the compacted index).
+    * The df map's vocabulary is the tombstoned docs' own — driver-
+    * bounded by the same compaction-cadence argument as the docId list.
+    */
+  private lazy val removedStats: (Long, Long, Map[String, Long]) = {
+    if (tombBc.value.isEmpty) (0L, 0L, Map.empty[String, Long])
+    else {
+      val union = segments.map(s =>
+        spark.read.parquet(s"$s/docs").select(col("docId"), col("dl"), col("text")))
+        .reduce(_ unionByName _)
+      val dead = union.join(tombDF, Seq("docId"), "left_semi")
+        .select(col("dl"), Analyzer.tokensCol(col("text")).as("toks"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val row = dead.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
+      val dfRemoved = dead
+        .select(explode(array_distinct(col("toks"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("c"))
+        .as[(String, Long)].collect().toMap
+      dead.unpersist(blocking = false)
+      (row.getLong(0), row.getLong(1), dfRemoved)
+    }
+  }
+
+  /** Global corpus stats over the LWW-visible union of all segments. */
+  lazy val n: Long = rawN - removedStats._1
+  lazy val sumDl: Long = rawSumDl - removedStats._2
+  lazy val avgdl: Double = if (n == 0) 0.0 else sumDl.toDouble / n
 
   /** Per-segment dictionary rows for the query terms + merged global df.
     * Returns (globalDf by term, per-segment termId by (segIdx, term)).
@@ -69,35 +123,51 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
       .as[(Int, String, Long, Int, Long, Long, Double)].collect()
       .map { case (i, t, tid, sh, df, cf, ms) => (i, t) -> TermStats(t, tid, sh, df, cf, ms) }
       .toMap
+    // exact LWW df: subtract the tombstoned docs' contribution; a term
+    // living ONLY in superseded docs vanishes (absent from the visible
+    // corpus — conjunctive queries on it must return empty, expansion
+    // must not propose it)
+    val dfRemoved = removedStats._3
     val dfGlobal = perSeg.toSeq.groupBy(_._1._2)
-      .map { case (t, xs) => t -> xs.map(_._2.df).sum }
+      .map { case (t, xs) => t -> (xs.map(_._2.df).sum - dfRemoved.getOrElse(t, 0L)) }
+      .filter(_._2 > 0L)
     (dfGlobal, perSeg)
   }
 
   private def run(terms: Seq[String], k: Int, conjunctive: Boolean,
       slots: Seq[String] = null,
       filterClauses: Seq[Seq[String]] = Nil,
-      excludeTerms: Seq[String] = Nil): Array[Scored] = {
+      excludeTerms: Seq[String] = Nil,
+      shouldTerms: Seq[String] = Nil,
+      minShould: Int = 0,
+      after: Scored = null): Array[Scored] = {
     val distinctTerms = terms.distinct.sorted
-    if (distinctTerms.isEmpty || k <= 0) return Array.empty
+    if ((distinctTerms.isEmpty && shouldTerms.isEmpty) || k <= 0) return Array.empty
     val (dfGlobal, perSeg) =
-      lookup((distinctTerms ++ filterClauses.flatten ++ excludeTerms).distinct.sorted)
-    if (!distinctTerms.exists(dfGlobal.contains)) return Array.empty
+      lookup((distinctTerms ++ filterClauses.flatten ++ excludeTerms ++ shouldTerms)
+        .distinct.sorted)
+    if (distinctTerms.nonEmpty && !distinctTerms.exists(dfGlobal.contains))
+      return Array.empty
     // a clause with no value present in any segment ⇒ nothing can match
     val clauses = filterClauses.map(_.filter(dfGlobal.contains))
     if (clauses.exists(_.isEmpty)) return Array.empty
     if ((conjunctive || slots != null) && distinctTerms.exists(t => !dfGlobal.contains(t)))
       return Array.empty
+    val shouldFound = shouldTerms.filter(dfGlobal.contains)
+    if (shouldFound.size < minShould) return Array.empty
     val nTerms = distinctTerms.count(dfGlobal.contains)
     val fSet = clauses.flatten.toSet
     val eSet = excludeTerms.toSet
+    val sSet = shouldFound.toSet
     val nG = n
     val avgdlG = avgdl
-    // termId is segment-local: key block groups by (segIdx, termId)
+    val tb = tombBc
+    // termId is segment-local: key block groups by (segIdx, termId);
+    // terms whose visible df fell to zero are pruned from the scan
     val idToTerm: Map[(Int, Long), (String, Long)] =
-      perSeg.map { case ((i, t), ts) => (i, ts.termId) -> (t, dfGlobal(t)) }
+      perSeg.flatMap { case ((i, t), ts) => dfGlobal.get(t).map(df => (i, ts.termId) -> (t, df)) }
     val segBlocks: Seq[DataFrame] = segments.zipWithIndex.flatMap { case (seg, i) =>
-      val ids = perSeg.collect { case ((`i`, _), ts) => ts }.toSeq
+      val ids = perSeg.collect { case ((`i`, t), ts) if dfGlobal.contains(t) => ts }.toSeq
       if (ids.isEmpty) None
       else {
         val shards = ids.map(_.shard).distinct
@@ -113,40 +183,58 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
       .as[(Int, Int, PostingBlock)]
     val sl = slots
     val cl = clauses
+    val msh = minShould
+    val aft = after
     val perGroup = all
       .groupByKey { case (seg, bucket, _) => (seg, bucket) }
       .flatMapGroups { (_, it) =>
         val rows = it.toArray
         val segIdx = rows.head._1
-        val grouped = rows.map(_._3).groupBy(_.termId).toSeq.map { case (tid, bs) =>
-          val (t, df) = idToTerm((segIdx, tid))
-          // bound from stats-independent maxTf (stored maxScore is
-          // stale under global stats; filters never read bounds)
-          lazy val ub = bs.iterator.map(b => Bm25.score(b.maxTf, df, 0, nG, avgdlG)).max
-          val isScored = !fSet.contains(t) && !eSet.contains(t)
-          (t, new Wand.TermIterator(t, bs, if (isScored) ub else 0.0, df, nG, avgdlG,
-            staleBlockMax = true))
-        }
-        val iters = grouped.collect { case (t, it0) if !fSet.contains(t) && !eSet.contains(t) => it0 }
-        val byName = grouped.toMap
+        val byTerm: Map[String, (Array[PostingBlock], Long)] =
+          rows.map(_._3).groupBy(_.termId).map { case (tid, bs) =>
+            val (t, df) = idToTerm((segIdx, tid))
+            t -> (bs, df)
+          }
+        // EVERY role gets a FRESH iterator per membership (cursors are
+        // mutable; round-3 review flagged the shared-by-name reuse):
+        // scored/should iterators carry the maxTf-derived bound, filter/
+        // exclude cursors never read bounds
+        def iterOf(t: String, scored: Boolean): Option[Wand.TermIterator] =
+          byTerm.get(t).map { case (bs, df) =>
+            val ub =
+              if (scored) bs.iterator.map(b => Bm25.score(b.maxTf, df, 0, nG, avgdlG)).max
+              else 0.0
+            new Wand.TermIterator(t, bs, ub, df, nG, avgdlG, staleBlockMax = true)
+          }
+        val iters = byTerm.keysIterator
+          .filter(t => !fSet.contains(t) && !eSet.contains(t) && !sSet.contains(t))
+          .toSeq.sorted.flatMap(t => iterOf(t, scored = true))
+        val shoulds = sSet.toSeq.sorted.flatMap(t => iterOf(t, scored = true))
         val clauseCursors: Seq[Option[Wand.DocCursor]] = cl.map { clause =>
-          val members = clause.flatMap(byName.get)
+          val members = clause.flatMap(t => iterOf(t, scored = false))
           if (members.isEmpty) None
           else if (members.size == 1) Some(members.head)
           else Some(new Wand.UnionCursor(members))
         }
         val filters = clauseCursors.flatten
-        val excludes = grouped.collect { case (t, it0) if eSet.contains(t) => it0 }
+        val excludes: Seq[Wand.DocCursor] =
+          eSet.toSeq.sorted.flatMap(t => iterOf(t, scored = false)) ++
+            (if (tb.value.isEmpty) Nil else Seq(new Wand.SortedArrayCursor(tb.value)))
         // AND/phrase: every scored term must be present; filter context:
         // a (segment, bucket) where a clause has NO member value has no
-        // matching docs
-        if (iters.isEmpty || ((conjunctive || sl != null) && iters.size < nTerms) ||
+        // matching docs; a required-group term present globally but
+        // absent here ⇒ no hits in this group
+        if ((nTerms > 0 && iters.isEmpty) ||
+          (iters.isEmpty && shoulds.isEmpty) ||
+          ((conjunctive || sl != null) && iters.size < nTerms) ||
+          shoulds.size < msh ||
           clauseCursors.exists(_.isEmpty)) Iterator.empty
         else {
           val top =
-            if (sl != null) Wand.topKPhrase(iters, sl, k, filters, excludes)
-            else if (conjunctive) Wand.topKConjunctive(iters, k, filters, excludes)
-            else Wand.topK(iters, k, filters, excludes)
+            if (sl != null) Wand.topKPhrase(iters, sl, k, filters, excludes, shoulds, msh, aft)
+            else if (conjunctive)
+              Wand.topKConjunctive(iters, k, filters, excludes, shoulds, msh, aft)
+            else Wand.topK(iters, k, filters, excludes, shoulds, msh, aft)
           top.iterator
         }
       }
@@ -158,21 +246,30 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
       "count", "docs", "tfs", "dls", "poss", "maxTf", "maxScore").map(col)
 
   /** Disjunctive (OR) BM25 top-k over the union of all segments. */
-  def search(query: String, k: Int): Array[Scored] =
-    run(Analyzer.analyzeQuery(query).toSeq, k, conjunctive = false)
+  def search(query: String, k: Int, from: Int = 0): Array[Scored] = {
+    val hits = run(Analyzer.analyzeQuery(query).toSeq, from + k, conjunctive = false)
+    if (from == 0) hits else hits.slice(from, from + k)
+  }
+
+  /** ES `search_after` continuation over the union of all segments. */
+  def searchAfter(query: String, k: Int, after: Scored): Array[Scored] =
+    run(Analyzer.analyzeQuery(query).toSeq, k, conjunctive = false, after = after)
 
   /** Conjunctive (AND) BM25 top-k over the union of all segments. */
-  def searchConjunctive(query: String, k: Int): Array[Scored] =
-    run(Analyzer.analyzeQuery(query).toSeq, k, conjunctive = true)
+  def searchConjunctive(query: String, k: Int, from: Int = 0): Array[Scored] = {
+    val hits = run(Analyzer.analyzeQuery(query).toSeq, from + k, conjunctive = true)
+    if (from == 0) hits else hits.slice(from, from + k)
+  }
 
   /** Phrase top-k over the union of all segments (positions are stored
     * per posting, so adjacency needs no segment-level state; scores use
     * the merged global stats like every other path here).
     */
-  def searchPhrase(query: String, k: Int): Array[Scored] = {
+  def searchPhrase(query: String, k: Int, from: Int = 0): Array[Scored] = {
     val slots = Analyzer.tokenize(query).toSeq
     if (slots.isEmpty) return Array.empty
-    run(slots.distinct.sorted, k, conjunctive = false, slots = slots)
+    val hits = run(slots.distinct.sorted, from + k, conjunctive = false, slots = slots)
+    if (from == 0) hits else hits.slice(from, from + k)
   }
 
   /** ES bool query over the union of all segments: scoring clauses per
@@ -180,7 +277,9 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
     * ([[graft.index.FieldTerms]] — segments must be built with
     * `IndexConfig.fieldCols`, e.g. via StreamingIngest's cfg). Same
     * filter-context semantics as `Searcher.searchBool`: membership only,
-    * scores = merged-global-stats BM25 of the scoring clauses.
+    * scores = merged-global-stats BM25 of the scoring clauses. `should`
+    * / `minShouldMatch` / `numericRangeFilters` / `from` / `after`
+    * behave exactly as on the single-index searcher.
     */
   def searchBool(
       query: String,
@@ -193,22 +292,35 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
       anyFilters: Seq[(String, Seq[String])] = Nil,
       /** ES `range` clauses (lexicographic, inclusive): expanded with ONE
         * unioned dictionary scan across all segments — uncapped, like
-        * `Searcher`'s (a capped expansion would silently drop docs).
+        * `Searcher`'s; use `numericRangeFilters` for high-cardinality
+        * numeric fields.
         */
-      rangeFilters: Seq[(String, String, String)] = Nil
+      rangeFilters: Seq[(String, String, String)] = Nil,
+      /** Tiered-trie numeric ranges (`IndexConfig.numericFieldCols`):
+        * bounded clause at any cardinality, no dict range scan.
+        */
+      numericRangeFilters: Seq[(String, Long, Long)] = Nil,
+      should: String = "",
+      minShouldMatch: Int = 0,
+      from: Int = 0,
+      after: Scored = null
   ): Array[Scored] = {
     val slots = if (phrase) Analyzer.tokenize(query).toSeq else null
     val scoredTerms =
       if (phrase) Option(slots).getOrElse(Nil).distinct.sorted
       else Analyzer.analyzeQuery(query).toSeq
-    if (scoredTerms.isEmpty) return Array.empty
-    run(scoredTerms, k, conjunctive, slots,
-      filters.map { case (f, v) => Seq(graft.index.FieldTerms.term(f, v)) } ++
+    val shouldTerms = Analyzer.analyzeQuery(should).filterNot(scoredTerms.contains).toSeq
+    if (scoredTerms.isEmpty && shouldTerms.isEmpty) return Array.empty
+    val hits = run(scoredTerms, from + k, conjunctive, slots,
+      filters.map { case (f, v) => Seq(FieldTerms.term(f, v)) } ++
         anyFilters.map { case (f, vs) =>
-          vs.distinct.map(v => graft.index.FieldTerms.term(f, v))
+          vs.distinct.map(v => FieldTerms.term(f, v))
         } ++
+        numericRangeFilters.map { case (f, lo, hi) => FieldTerms.trieRangeTerms(f, lo, hi) } ++
         rangeFilters.map { case (f, lo, hi) => expandFieldRange(f, lo, hi) },
-      mustNot.map { case (f, v) => graft.index.FieldTerms.term(f, v) }.distinct)
+      mustNot.map { case (f, v) => FieldTerms.term(f, v) }.distinct,
+      shouldTerms, minShouldMatch, after)
+    if (from == 0) hits else hits.slice(from, from + k)
   }
 
   /** Stored `#field:value` terms with lo ≤ value ≤ hi across ALL
@@ -217,7 +329,7 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
     * the clause unsatisfiable (run returns no hits).
     */
   private def expandFieldRange(field: String, lo: String, hi: String): Seq[String] = {
-    val prefix = graft.index.FieldTerms.term(field, "")
+    val prefix = FieldTerms.term(field, "")
     val valueCol = col("term").substr(lit(prefix.length + 1), lit(Int.MaxValue))
     segments.map { s =>
       spark.read.parquet(s"$s/dict")
@@ -227,7 +339,155 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
     }.reduce(_ unionByName _).distinct().as[String].collect().toSeq.sorted
   }
 
-  /** All segments' doc stores as one DataFrame (docIds globally unique). */
-  def docs: DataFrame =
-    segments.map(s => spark.read.parquet(s"$s/docs")).reduce(_ unionByName _)
+  // --- term-expansion queries (ES prefix / wildcard / fuzzy) --------------
+
+  /** Matching TEXT dictionary terms across all segments: ascending term
+    * order, capped at maxExpansions over the GLOBAL distinct set — the
+    * same deterministic rewrite rule as the single-index `Searcher`, so
+    * a compacted index answers identically. ONE unioned dict scan.
+    */
+  private def expand(sqlPred: org.apache.spark.sql.Column, maxExpansions: Int): Seq[String] = {
+    val notField = !col("term").startsWith(FieldTerms.Prefix)
+    segments.map { s =>
+      spark.read.parquet(s"$s/dict").filter(notField && sqlPred).select(col("term"))
+    }.reduce(_ unionByName _).distinct()
+      .orderBy(col("term")).limit(maxExpansions)
+      .as[String].collect().toSeq
+  }
+
+  /** Prefix query (ES `prefix`) over the union of all segments. */
+  def searchPrefix(prefix: String, k: Int, maxExpansions: Int = 50): Array[Scored] = {
+    val toks = Analyzer.tokenize(prefix)
+    if (toks.isEmpty) return Array.empty
+    run(expand(col("term").startsWith(toks(0)), maxExpansions), k, conjunctive = false)
+  }
+
+  /** Wildcard query (ES `wildcard`) over the union of all segments. */
+  def searchWildcard(pattern: String, k: Int, maxExpansions: Int = 50): Array[Scored] = {
+    val like = Expansion.wildcardLike(pattern.toLowerCase(java.util.Locale.ROOT))
+    run(expand(col("term").like(like), maxExpansions), k, conjunctive = false)
+  }
+
+  /** Fuzzy query (ES `fuzziness`) over the union of all segments. */
+  def searchFuzzy(term: String, k: Int, maxDist: Int = 1,
+      maxExpansions: Int = 50): Array[Scored] = {
+    val toks = Analyzer.tokenize(term)
+    if (toks.isEmpty) return Array.empty
+    run(expand(levenshtein(lit(toks(0)), col("term")) <= lit(maxDist), maxExpansions),
+      k, conjunctive = false)
+  }
+
+  // --- match-set operators (facets / aggs / sort / count) -----------------
+
+  /** Distinct LIVE docIds containing ≥1 query term, across all segments
+    * (union of shard-pruned block scans — docIds are globally disjoint —
+    * minus tombstones): the shared membership scan under facets / aggs /
+    * sort / count, exactly the single-index plan shape.
+    */
+  private def matchSet(query: String): Option[DataFrame] = {
+    val terms = Analyzer.analyzeQuery(query).toSeq
+    val (dfGlobal, perSeg) = lookup(terms)
+    if (dfGlobal.isEmpty) return None
+    val segBlocks = segments.zipWithIndex.flatMap { case (seg, i) =>
+      val ids = perSeg.collect { case ((`i`, _), ts) => ts }.toSeq
+      if (ids.isEmpty) None
+      else Some(spark.read.parquet(s"$seg/blocks")
+        .filter(col("shard").isin(ids.map(_.shard).distinct: _*) &&
+          col("termId").isin(ids.map(_.termId): _*))
+        .select(col("docs"), col("count"), col("firstDocId")))
+    }
+    if (segBlocks.isEmpty) return None
+    val decoded = segBlocks.reduce(_ unionByName _)
+      .as[(Array[Byte], Int, Long)]
+      .flatMap { case (ds, n0, first) => graft.index.Codec.deltaDecode(ds, n0, first) }
+      .toDF("docId")
+      .distinct()
+    Some(if (Tombstones.exists(spark, indexDir))
+      decoded.join(tombDF, Seq("docId"), "left_anti") else decoded)
+  }
+
+  private def matchingOrEmpty(query: String): DataFrame =
+    matchSet(query).getOrElse(Seq.empty[Long].toDF("docId"))
+
+  /** ES `terms` aggregation (facets) over the cross-segment match set. */
+  def facetCounts(query: String, field: String): DataFrame =
+    docs.select(col("docId"), col(field).as("value"))
+      .join(matchingOrEmpty(query), Seq("docId"))
+      .groupBy(col("value")).agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("value"))
+
+  /** ES `hits.total` over the union of all segments (tombstones
+    * excluded).
+    */
+  def matchCount(query: String): Long =
+    matchSet(query).map(_.count()).getOrElse(0L)
+
+  /** ES `sort`-by-field top-k over the cross-segment match set. */
+  def searchSortedBy(query: String, field: String, k: Int,
+      descending: Boolean = true): DataFrame = {
+    val ord =
+      if (descending) Seq(col(field).desc, col("docId").asc)
+      else Seq(col(field).asc, col("docId").asc)
+    docs.select(col("docId"), col(field))
+      .join(matchingOrEmpty(query), Seq("docId"))
+      .orderBy(ord: _*)
+      .limit(k)
+  }
+
+  /** ES `histogram` aggregation over the cross-segment match set. */
+  def numericHistogram(query: String, field: String, width: Long): DataFrame = {
+    require(width > 0, "histogram width must be positive")
+    docs.select(col("docId"), col(field))
+      .join(matchingOrEmpty(query), Seq("docId"))
+      .groupBy((floor(col(field) / lit(width)) * lit(width)).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("bucket"))
+  }
+
+  /** ES `date_histogram` over the cross-segment match set. */
+  def dateHistogram(query: String, field: String, interval: String): DataFrame =
+    docs.select(col("docId"), col(field))
+      .join(matchingOrEmpty(query), Seq("docId"))
+      .groupBy(date_trunc(interval, col(field)).as("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("bucket"))
+
+  /** ES `stats` aggregation over the cross-segment match set. */
+  def fieldStats(query: String, field: String): DataFrame =
+    docs.select(col("docId"), col(field))
+      .join(matchingOrEmpty(query), Seq("docId"))
+      .agg(count(lit(1)).as("n_docs"), min(col(field)).as("min"),
+        max(col(field)).as("max"), avg(col(field)).as("avg"),
+        sum(col(field)).as("sum"))
+
+  /** Top-k resolved back to turn metadata + text (broadcast k hits
+    * against the live doc store).
+    */
+  def searchResolved(query: String, k: Int): DataFrame = {
+    val hits = search(query, k)
+    val hitsDF = hits.toSeq.zipWithIndex
+      .map { case (s, i) => (s.docId, s.score, i + 1) }.toDF("docId", "score", "rank")
+    docs.join(broadcast(hitsDF), Seq("docId"))
+      .select(col("rank"), col("docId"), col("score"), col("conv_id"), col("turn_idx"),
+        col("role"), col("text"))
+      .orderBy(col("rank"))
+  }
+
+  /** Resolved hits with ES-style highlighted fragments (same rule as
+    * the single-index searcher: the one UDF runs on k resolved rows).
+    */
+  def searchHighlighted(query: String, k: Int, window: Int = 5): DataFrame = {
+    val terms = Analyzer.analyzeQuery(query).toSet
+    val frag = udf((text: String) => Highlight.fragment(text, terms, window))
+    searchResolved(query, k).withColumn("fragment", frag(col("text")))
+  }
+
+  /** All live segments' doc stores as one DataFrame (docIds globally
+    * unique; tombstoned docs excluded — the LWW-visible corpus).
+    */
+  def docs: DataFrame = {
+    val union = segments.map(s => spark.read.parquet(s"$s/docs")).reduce(_ unionByName _)
+    if (Tombstones.exists(spark, indexDir)) union.join(tombDF, Seq("docId"), "left_anti")
+    else union
+  }
 }

@@ -42,6 +42,29 @@ private[query] final case class SearchMode(
     minShould: Int = 0,
     after: Scored = null)
 
+/** Pattern-compile helpers shared by the single-index and cross-segment
+  * term-expansion paths (ES `wildcard` rewrite): the Scala regex and the
+  * SQL LIKE pattern MUST stay equivalent (AnalyzerSpec-style parity is
+  * covered by the expansion specs).
+  */
+private[query] object Expansion {
+  def wildcardRegex(patLower: String): scala.util.matching.Regex =
+    ("^" + patLower.flatMap {
+      case '*' => ".*"
+      case '?' => "."
+      case c if "\\.[]{}()+-^$|".indexOf(c) >= 0 => "\\" + c
+      case c => c.toString
+    } + "$").r
+
+  def wildcardLike(patLower: String): String =
+    patLower.flatMap {
+      case '*' => "%"
+      case '?' => "_"
+      case c if c == '%' || c == '_' || c == '\\' => "\\" + c
+      case c => c.toString
+    }
+}
+
 private[query] object Searcher {
   import graft.model.{PostingBlock => PB}
 
@@ -515,18 +538,8 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
     */
   def searchWildcard(pattern: String, k: Int, maxExpansions: Int = 50): Array[Scored] = {
     val pat = pattern.toLowerCase(java.util.Locale.ROOT)
-    val rx = ("^" + pat.flatMap {
-      case '*' => ".*"
-      case '?' => "."
-      case c if "\\.[]{}()+-^$|".indexOf(c) >= 0 => "\\" + c
-      case c => c.toString
-    } + "$").r
-    val like = pat.flatMap {
-      case '*' => "%"
-      case '?' => "_"
-      case c if c == '%' || c == '_' || c == '\\' => "\\" + c
-      case c => c.toString
-    }
+    val rx = Expansion.wildcardRegex(pat)
+    val like = Expansion.wildcardLike(pat)
     runFound(expand(t => rx.findFirstIn(t).isDefined, col("term").like(like), maxExpansions),
       k, Mode(conjunctive = false))
   }

