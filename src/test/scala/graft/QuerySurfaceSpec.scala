@@ -1,0 +1,265 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.analysis.Analyzer
+import graft.corpus.Transcripts
+import graft.index.{DocIds, FieldTerms, IndexBuilder, IndexConfig}
+import graft.model.Scored
+import graft.query.{Oracle, Searcher}
+
+/** Round-4 query surface: should / minimum_should_match, tiered numeric
+  * range filters, pagination (from + search_after), histogram/stats
+  * aggregations — each pinned rank-identical (docIds AND scores) to a
+  * semi-join construction over the exhaustive oracle, on both the
+  * single-index and the cross-segment searcher.
+  */
+class QuerySurfaceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val nConvs = 300L
+  private lazy val indexDir = s"${TestSpark.tmpRoot}/index-surface"
+  private lazy val cfg = IndexConfig(numBuckets = 2, numShards = 8, blockSize = 32,
+    partitions = 8, fieldCols = Seq("role"), numericFieldCols = Seq("dl"))
+
+  private lazy val built: graft.index.BuildReport = {
+    val docs = DocIds.assign(DocIds.dedup(Transcripts.generate(spark, nConvs)), 8)
+    new IndexBuilder(spark, indexDir, "snap-surface-1", cfg).build(docs)
+  }
+  private lazy val searcher = { built; new Searcher(spark, indexDir, cfg.numShards) }
+  private lazy val warmed = {
+    built
+    new Searcher(spark, indexDir, cfg.numShards).warm(maxLocalBlockBytes = 1L << 30)
+  }
+  private lazy val docsDF = { built; spark.read.parquet(s"$indexDir/docs") }
+
+  /** (docId, term) distinct pairs — the membership oracle's raw table. */
+  private lazy val tok = docsDF
+    .select(col("docId"), explode(array_distinct(Analyzer.tokensCol(col("text")))).as("term"))
+    .cache()
+
+  /** Oracle for bool must/should: rank ALL docs by the merged term set
+    * (score = BM25 sum over matched terms, the engine's rule), then keep
+    * docs matching the must group (≥1, or all when mustAll) and ≥
+    * minShould should terms.
+    */
+  private def boolWant(mustTerms: Seq[String], shouldTerms: Seq[String],
+      minShould: Int, mustAll: Boolean, k: Int = 10): Seq[Scored] = {
+    var ranked = Oracle.topK(docsDF, (mustTerms ++ shouldTerms).mkString(" "), Int.MaxValue)
+    if (mustTerms.nonEmpty) {
+      val nm = tok.filter(col("term").isin(mustTerms: _*))
+        .groupBy(col("docId")).agg(countDistinct(col("term")).as("nm"))
+        .filter(if (mustAll) col("nm") === lit(mustTerms.size) else col("nm") >= lit(1))
+        .select("docId")
+      ranked = ranked.join(nm, Seq("docId"), "left_semi")
+    }
+    if (minShould > 0) {
+      val ns = tok.filter(col("term").isin(shouldTerms: _*))
+        .groupBy(col("docId")).agg(countDistinct(col("term")).as("ns"))
+        .filter(col("ns") >= lit(minShould)).select("docId")
+      ranked = ranked.join(ns, Seq("docId"), "left_semi")
+    }
+    ranked.orderBy(col("score").desc, col("docId").asc).limit(k)
+      .as[Scored].collect().toSeq
+  }
+
+  test("should clauses add score to an OR must group; minimum_should_match gates") {
+    for (m <- 0 to 2) {
+      val want = boolWant(Seq("zanzibar"), Seq("the", "quasar"), m, mustAll = false)
+      val got = searcher.searchBool("zanzibar", 10, should = "the quasar", minShouldMatch = m)
+      assert(got.toSeq == want, s"must-OR + should, m=$m:\n got=${got.toSeq}\n want=$want")
+      val gotWarm = warmed.searchBool("zanzibar", 10, should = "the quasar", minShouldMatch = m)
+      assert(gotWarm.toSeq == want, s"warm path differs at m=$m")
+    }
+    // should matches must actually CHANGE the ranking vs the bare must
+    assert(searcher.searchBool("zanzibar", 10, should = "the quasar").toSeq
+      != searcher.search("zanzibar", 10).toSeq)
+  }
+
+  test("pure should group: m-of-n matching") {
+    val terms = Seq("t10", "t11", "t12", "t13")
+    for (m <- 1 to 3) {
+      val want = boolWant(Nil, terms, m, mustAll = false)
+      val got = searcher.searchBool("", 10, should = terms.mkString(" "), minShouldMatch = m)
+      assert(got.toSeq == want, s"pure should m=$m:\n got=${got.toSeq}\n want=$want")
+    }
+    // m=1 over a pure should group ≡ the plain OR query
+    assert(searcher.searchBool("", 10, should = terms.mkString(" "), minShouldMatch = 1).toSeq
+      == searcher.search(terms.mkString(" "), 10).toSeq)
+    // m > matchable terms → empty
+    assert(searcher.searchBool("", 10, should = "zanzibar quasar", minShouldMatch = 3).isEmpty)
+  }
+
+  test("conjunctive must + should clauses") {
+    for (m <- 0 to 1) {
+      val want = boolWant(Seq("the", "a"), Seq("zanzibar", "t10"), m, mustAll = true)
+      val got = searcher.searchBool("the a", 10, conjunctive = true,
+        should = "zanzibar t10", minShouldMatch = m)
+      assert(got.toSeq == want, s"AND must + should, m=$m:\n got=${got.toSeq}\n want=$want")
+      val gotWarm = warmed.searchBool("the a", 10, conjunctive = true,
+        should = "zanzibar t10", minShouldMatch = m)
+      assert(gotWarm.toSeq == want, s"warm AND+should differs at m=$m")
+    }
+  }
+
+  test("trieRangeTerms: exact disjoint cover of any range (unit)") {
+    val rng = new scala.util.Random(7)
+    val ranges = Seq((0L, 0L), (1L, 16L), (15L, 17L), (0L, 255L), (17L, 4099L)) ++
+      (1 to 20).map { _ =>
+        val a = rng.nextInt(5000).toLong
+        val b = a + rng.nextInt(3000)
+        (a, b)
+      }
+    for ((lo, hi) <- ranges) {
+      val terms = FieldTerms.trieRangeTerms("f", lo, hi).toSet
+      assert(terms.size <= 512, s"[$lo,$hi] expanded to ${terms.size} terms")
+      for (v <- math.max(0, lo - 40) to (hi + 40)) {
+        val carried = FieldTerms.numericValueTerms("f", v).toSet
+        val inter = carried.intersect(terms)
+        if (v >= lo && v <= hi)
+          assert(inter.size == 1, s"value $v in [$lo,$hi] carried ${inter.size} range cells")
+        else
+          assert(inter.isEmpty, s"value $v outside [$lo,$hi] matched $inter")
+      }
+    }
+  }
+
+  test("numeric trie range filter ≡ doc-predicate oracle; bounded expansion") {
+    val dlStats = docsDF.agg(min(col("dl")), max(col("dl"))).head()
+    val lo = dlStats.getInt(0) + 3L
+    val hi = dlStats.getInt(1) - 5L
+    assert(lo < hi)
+    for ((a, b) <- Seq((lo, hi), (lo, lo + 7), (0L, hi), (hi - 1, hi + 1000))) {
+      val want = Oracle.topK(docsDF, "the", Int.MaxValue)
+        .join(docsDF.filter(col("dl") >= lit(a) && col("dl") <= lit(b)).select("docId"),
+          Seq("docId"), "left_semi")
+        .orderBy(col("score").desc, col("docId").asc).limit(10)
+        .as[Scored].collect().toSeq
+      val got = searcher.searchBool("the", 10, numericRangeFilters = Seq(("dl", a, b)))
+      assert(got.toSeq == want, s"trie range [$a,$b]:\n got=${got.toSeq}\n want=$want")
+      val gotWarm = warmed.searchBool("the", 10, numericRangeFilters = Seq(("dl", a, b)))
+      assert(gotWarm.toSeq == want, s"warm trie range [$a,$b]")
+    }
+    // the clause is BOUNDED regardless of value cardinality — never one
+    // term per distinct value (the round-3 scale defect this replaces)
+    assert(FieldTerms.trieRangeTerms("dl", 0L, Long.MaxValue / 2).size <= 512)
+    // empty range ⇒ no hits
+    assert(searcher.searchBool("the", 10,
+      numericRangeFilters = Seq(("dl", 1000000L, 2000000L))).isEmpty)
+  }
+
+  test("pagination: from-pages tile the ranking; search_after continues exactly") {
+    val full = Oracle.topK(docsDF, "the", 30).as[Scored].collect().toSeq
+    val pages = (0 until 3).map(p => searcher.search("the", 10, from = p * 10).toSeq)
+    assert(pages.flatten == full)
+    val warmPages = (0 until 3).map(p => warmed.search("the", 10, from = p * 10).toSeq)
+    assert(warmPages.flatten == full)
+    // search_after: cursor continuation reproduces the same pages
+    val afterP1 = searcher.searchAfter("the", 10, pages(0).last).toSeq
+    assert(afterP1 == pages(1))
+    val afterP2 = searcher.searchAfter("the", 10, afterP1.last).toSeq
+    assert(afterP2 == pages(2))
+    val warmAfter = warmed.searchAfter("the", 10, pages(0).last).toSeq
+    assert(warmAfter == pages(1))
+    // from beyond the match set → empty
+    val total = searcher.matchCount("zanzibar").toInt
+    assert(searcher.search("zanzibar", 10, from = total).isEmpty)
+    // bool pagination composes with filters
+    val boolFull = searcher.searchBool("the", 20, filters = Seq("role" -> "user")).toSeq
+    val boolP2 = searcher.searchBool("the", 10, filters = Seq("role" -> "user"), from = 10).toSeq
+    assert(boolFull.drop(10) == boolP2)
+  }
+
+  test("histogram and stats aggregations match direct computation") {
+    val terms = Analyzer.analyzeQuery("the zanzibar").toSeq
+    val matching = docsDF
+      .join(tok.filter(col("term").isin(terms: _*)).select("docId").distinct(), Seq("docId"))
+    // numeric histogram on dl, width 20
+    val wantHist = matching
+      .groupBy((floor(col("dl") / lit(20)) * lit(20)).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_docs")).orderBy(col("bucket"))
+      .as[(Long, Long)].collect().toSeq
+    val gotHist = searcher.numericHistogram("the zanzibar", "dl", 20)
+      .as[(Long, Long)].collect().toSeq
+    assert(gotHist == wantHist && gotHist.nonEmpty)
+    // date histogram on ts, hourly
+    val wantDate = matching
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"))
+      .agg(count(lit(1)).as("n_docs")).orderBy(col("bucket"))
+      .as[(java.sql.Timestamp, Long)].collect().toSeq
+    val gotDate = searcher.dateHistogram("the zanzibar", "ts", "hour")
+      .as[(java.sql.Timestamp, Long)].collect().toSeq
+    assert(gotDate == wantDate && gotDate.nonEmpty)
+    // stats on dl
+    val wantStats = matching.agg(count(lit(1)).cast("long"), min(col("dl")),
+      max(col("dl")), avg(col("dl")), sum(col("dl"))).head()
+    val gotStats = searcher.fieldStats("the zanzibar", "dl").head()
+    assert(gotStats.getLong(0) == wantStats.getLong(0))
+    assert(gotStats.getInt(1) == wantStats.getInt(1))
+    assert(gotStats.getInt(2) == wantStats.getInt(2))
+    assert(math.abs(gotStats.getDouble(3) - wantStats.getDouble(3)) < 1e-12)
+    assert(gotStats.getLong(4) == wantStats.getLong(4))
+    // no-term query → empty aggs with the right shape
+    assert(searcher.numericHistogram("definitely-notavocab-word", "dl", 20).count() == 0)
+    assert(searcher.fieldStats("definitely-notavocab-word", "dl").head().getLong(0) == 0L)
+  }
+
+  test("cross-segment parity: MultiSearcher answers the full surface like the compacted index") {
+    val segIdx = s"${TestSpark.tmpRoot}/surface-segmented"
+    val all = Transcripts.generate(spark, 120L).cache()
+    for (b <- 0 until 3) {
+      val lo = f"conv-${b * 40}%08d"
+      val hi = f"conv-${(b + 1) * 40}%08d"
+      graft.streaming.StreamingIngest.appendSegment(spark,
+        all.filter(col("conv_id") >= lo && col("conv_id") < hi), segIdx, b.toLong, cfg)
+    }
+    val compacted = s"${TestSpark.tmpRoot}/surface-compacted"
+    graft.index.Compaction.compact(spark, segIdx, compacted)
+    val multi = new graft.query.MultiSearcher(spark, segIdx)
+    val single = new Searcher(spark, compacted, cfg.numShards)
+
+    // expansion queries (prefix / wildcard / fuzzy)
+    assert(multi.searchPrefix("zanz", 10).toSeq == single.searchPrefix("zanz", 10).toSeq)
+    assert(multi.searchPrefix("zanz", 10).nonEmpty)
+    assert(multi.searchWildcard("t1?", 10, maxExpansions = 200).toSeq
+      == single.searchWildcard("t1?", 10, maxExpansions = 200).toSeq)
+    assert(multi.searchFuzzy("zanzibat", 10).toSeq == single.searchFuzzy("zanzibat", 10).toSeq)
+    assert(multi.searchFuzzy("zanzibat", 10).nonEmpty)
+
+    // match-set surfaces
+    for (q <- Seq("the zanzibar", "one have t999")) {
+      assert(multi.matchCount(q) == single.matchCount(q))
+      assert(multi.facetCounts(q, "role").as[(String, Long)].collect().toSeq
+        == single.facetCounts(q, "role").as[(String, Long)].collect().toSeq)
+      assert(multi.searchSortedBy(q, "dl", 10).as[(Long, Int)].collect().toSeq
+        == single.searchSortedBy(q, "dl", 10).as[(Long, Int)].collect().toSeq)
+      assert(multi.numericHistogram(q, "dl", 25).as[(Long, Long)].collect().toSeq
+        == single.numericHistogram(q, "dl", 25).as[(Long, Long)].collect().toSeq)
+      assert(multi.fieldStats(q, "dl").collect().toSeq
+        == single.fieldStats(q, "dl").collect().toSeq)
+    }
+    assert(multi.dateHistogram("the", "ts", "hour").as[(java.sql.Timestamp, Long)].collect().toSeq
+      == single.dateHistogram("the", "ts", "hour").as[(java.sql.Timestamp, Long)].collect().toSeq)
+
+    // bool surface incl. numeric trie range + should, and pagination
+    val nr = Seq(("dl", 40L, 90L))
+    assert(multi.searchBool("the", 10, numericRangeFilters = nr).toSeq
+      == single.searchBool("the", 10, numericRangeFilters = nr).toSeq)
+    assert(multi.searchBool("the", 10, numericRangeFilters = nr).nonEmpty)
+    assert(multi.searchBool("zanzibar", 10, should = "the quasar", minShouldMatch = 1).toSeq
+      == single.searchBool("zanzibar", 10, should = "the quasar", minShouldMatch = 1).toSeq)
+    val mPages = (0 until 2).map(p => multi.search("the", 10, from = p * 10).toSeq)
+    val sPages = (0 until 2).map(p => single.search("the", 10, from = p * 10).toSeq)
+    assert(mPages == sPages)
+    assert(multi.searchAfter("the", 10, mPages(0).last).toSeq == mPages(1))
+
+    // resolve + highlight parity (fragments are pure functions of
+    // (text, terms) — identical rows ⇒ identical fragments)
+    val mHi = multi.searchHighlighted("zanzibar quasar", 5)
+      .select("rank", "docId", "conv_id", "turn_idx", "fragment")
+      .as[(Long, Long, String, Long, String)].collect().toSeq
+    assert(mHi.nonEmpty && mHi.forall(_._5.contains("<em>zanzibar</em>")))
+    all.unpersist(blocking = false)
+  }
+}
