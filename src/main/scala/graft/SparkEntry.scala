@@ -31,6 +31,27 @@ object SparkEntry {
   // ---- documents → engine index (built once per (JVM, sfDir)) --------------
   private val idxCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Streaming index exercising the cross-segment identity semantics:
+    * batch 0 = the 300-conv transcript corpus, batch 1 RE-INGESTS
+    * (conv-00000003, 1) with marker-free text (LWW upsert — the
+    * reference's `_id = path` re-import), then (conv-00000099, 1) is
+    * deleted. Built once per JVM; both mutations are applied in the
+    * initializer so the two entries below are order-independent.
+    */
+  private def upsertIndex(s: SparkSession): String =
+    idxCache.computeIfAbsent("__upsert__", _ => {
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft-upsert-index").toString
+      val cfg = IndexConfig(numBuckets = 1, partitions = 8)
+      graft.streaming.StreamingIngest.appendSegment(s,
+        graft.corpus.Transcripts.generate(s, 300L), out, batchId = 0L, cfg)
+      val upd = Seq(graft.model.Turn("conv-00000003", 1, "user",
+        "upserted sentinel payload row", None, new Timestamp(1767312000000L))).toDS()
+      graft.streaming.StreamingIngest.appendSegment(s, upd, out, batchId = 1L, cfg)
+      graft.streaming.StreamingIngest.deleteTurns(s, out, Seq(("conv-00000099", 1)))
+      out
+    })
+
   private[graft] def documentsDocs(spark: SparkSession, dir: String) = {
     import spark.implicits._
     spark.read.parquet(s"$dir/documents.parquet")
@@ -46,14 +67,15 @@ object SparkEntry {
   private def documentsDocsDF(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"), col("text"), col("lang"), col("source"))
-      .as[(Long, String, String, String)]
-      .map { case (id, t, lang, src) =>
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars").cast("long"))
+      .as[(Long, String, String, String, Long)]
+      .map { case (id, t, lang, src, nc) =>
         (id, f"doc-$id%08d", 0, "doc", t, Option.empty[String], new Timestamp(0L),
-          Analyzer.tokenize(t).length, lang, src)
+          Analyzer.tokenize(t).length, lang, src, nc)
       }
       .toDF("docId", "conv_id", "turn_idx", "role", "text", "tool", "ts", "dl",
-        "lang", "source")
+        "lang", "source", "n_chars")
   }
 
   private def documentsIndex(spark: SparkSession, dir: String): String =
@@ -62,17 +84,21 @@ object SparkEntry {
       val docs = documentsDocsDF(spark, dir)
       // bucket count from the corpus-sizing rule (IndexConfig.sized);
       // lang/source are indexed as fielded keyword terms (filter
-      // context) — text-term stats and all BM25 scores are unaffected
+      // context) and n_chars with tiered numeric trie terms (bounded
+      // range clauses at any cardinality) — text-term stats and all
+      // BM25 scores are unaffected
       val cfg = IndexConfig.sized(docs.count(), spark.sparkContext.defaultParallelism)
-        .copy(numShards = 8, fieldCols = Seq("lang", "source"))
+        .copy(numShards = 8, fieldCols = Seq("lang", "source"),
+          numericFieldCols = Seq("n_chars"))
       new IndexBuilder(spark, out, s"docs:$dir", cfg).buildFrom(docs)
       out
     })
 
-  private def rankHits(spark: SparkSession, hits: Array[graft.model.Scored]): DataFrame = {
+  private def rankHits(spark: SparkSession, hits: Array[graft.model.Scored],
+      rankBase: Long = 0L): DataFrame = {
     import spark.implicits._
     hits.toSeq.zipWithIndex
-      .map { case (h, i) => ((i + 1).toLong, h.docId, BigDecimal(h.score).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      .map { case (h, i) => (rankBase + i + 1, h.docId, BigDecimal(h.score).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) }
       .toDF("rank", "doc_id", "score")
   }
 
@@ -93,9 +119,13 @@ object SparkEntry {
     */
   private def bm25Sql(terms: Seq[String], k: Int, conjunctive: Boolean,
       phrase: Seq[String] = null, termPred: String = null,
-      docPred: String = null): String = {
+      docPred: String = null, havingExpr: String = null,
+      offset: Int = 0): String = {
     val score = Bm25.scoreSql("tf.tf", "df.df", "dl.dl", "st.n", "st.avgdl")
-    val having = if (conjunctive) s"HAVING count(*) = ${terms.size}" else ""
+    val having =
+      if (havingExpr != null) s"HAVING $havingExpr"
+      else if (conjunctive) s"HAVING count(*) = ${terms.size}"
+      else ""
     val pred = if (termPred != null) termPred else s"tf.term IN ${inList(terms)}"
     // filter/must_not context: restrict doc MEMBERSHIP only — scores stay
     // the full-corpus BM25 (exact ES bool filter semantics)
@@ -104,6 +134,9 @@ object SparkEntry {
     val phraseAnd = (if (phrase == null) "" else
       s""" AND tf.doc_id IN (SELECT doc_id FROM documents
     WHERE contains(' ' || array_to_string(list_filter(regexp_split_to_array(lower(text), '$SqlTokRegex'), x -> x <> ''), ' ') || ' ', ' ${phrase.mkString(" ")} '))""") + docAnd
+    // pagination twin: rank is computed over the FULL ordering, then the
+    // page is cut — ranks on page p read offset+1 .. offset+k
+    val page = if (offset == 0) "" else s" OFFSET $offset"
     s"""${toksCte("documents", "doc_id")},
 dl AS (SELECT d.doc_id, coalesce(t.n, 0) AS dl FROM documents d
        LEFT JOIN (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id) t ON d.doc_id = t.doc_id),
@@ -117,7 +150,7 @@ scored AS (
   GROUP BY tf.doc_id $having)
 SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
        doc_id, round(score, 4) AS score
-FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k$page"""
   }
 
   private val Bm25Query = "spark query window merge"
@@ -282,6 +315,50 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
       rankHits(s, new Searcher(s, documentsIndex(s, dir), 8)
         .searchBool(Bm25Query, 10, rangeFilters = Seq(("lang", "d", "f"))))
     }),
+    "q_bm25_range_numeric" -> ((s, dir) => {
+      // tiered numeric trie range on the HIGH-CARDINALITY n_chars field
+      // (IndexConfig.numericFieldCols): the clause is a bounded set of
+      // trie cells, never one dictionary term per distinct value
+      rankHits(s, new Searcher(s, documentsIndex(s, dir), 8)
+        .searchBool(Bm25Query, 10, numericRangeFilters = Seq(("n_chars", 137L, 2741L))))
+    }),
+    "q_bm25_should" -> ((s, dir) => {
+      // ES bool should: optional scoring clause — matched should terms
+      // add their BM25 contribution, membership still requires >=1 must
+      rankHits(s, new Searcher(s, documentsIndex(s, dir), 8)
+        .searchBool("spark query", 10, should = "window customer"))
+    }),
+    "q_bm25_minmatch" -> ((s, dir) => {
+      // minimum_should_match over a pure should group: docs matching
+      // >= 2 of the 4 terms, scored by their matched sum
+      rankHits(s, new Searcher(s, documentsIndex(s, dir), 8)
+        .searchBool("", 10, should = Bm25Query, minShouldMatch = 2))
+    }),
+    "q_bm25_page2" -> ((s, dir) => {
+      // ES from-pagination: hits 11..20 of the ranking
+      rankHits(s, new Searcher(s, documentsIndex(s, dir), 8)
+        .search(Bm25Query, 10, from = 10), rankBase = 10L)
+    }),
+    "q_bm25_search_after" -> ((s, dir) => {
+      // ES search_after: page 2 via the (score, docId) cursor of page
+      // 1's last hit — identical rows to from=10 (twin shares the
+      // OFFSET oracle)
+      val se = new Searcher(s, documentsIndex(s, dir), 8)
+      val page1 = se.search(Bm25Query, 10)
+      rankHits(s, se.searchAfter(Bm25Query, 10, page1.last), rankBase = 10L)
+    }),
+    "q_facet_histogram" -> ((s, dir) =>
+      // ES histogram aggregation over the FULL match set (fixed-width
+      // numeric buckets of n_chars among docs matching >=1 query term)
+      new Searcher(s, documentsIndex(s, dir), 8)
+        .numericHistogram(Bm25Query, "n_chars", 200L)),
+    "q_stats_field" -> ((s, dir) =>
+      // ES stats aggregation over the match set
+      new Searcher(s, documentsIndex(s, dir), 8)
+        .fieldStats(Bm25Query, "n_chars")
+        .select(col("n_docs"), col("min").cast("long").as("min"),
+          col("max").cast("long").as("max"), round(col("avg"), 6).as("avg"),
+          col("sum").cast("long").as("sum"))),
     "q_facet_lang" -> ((s, dir) =>
       // ES terms aggregation (facets) over the FULL match set: doc
       // counts per lang among docs containing >=1 query term — runs
@@ -437,6 +514,24 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
       graft.compat.CatalogIngest.readCatalog(s, p.toString, autocorrect = true).records
         .orderBy(col("path"))
     }),
+    // ---- cross-segment upsert / delete (LWW identity semantics) ----
+    "q_upsert_lww" -> ((s, _) => {
+      // re-ingesting (conv-00000003, 1) with marker-free text supersedes
+      // the older segment's doc: the marker query keeps ONLY conv-17
+      new graft.query.MultiSearcher(s, upsertIndex(s))
+        .searchResolved("zanzibar quasar lattice", 10)
+        .select(col("rank").cast("long").as("rank"), col("conv_id"),
+          col("turn_idx").cast("long").as("turn_idx"))
+    }),
+    "q_delete_tombstone" -> ((s, _) => {
+      // (conv-00000099, 1) — holder of the full 'cinnabar monolith
+      // archipelago' marker — was deleted; only the partial marker at
+      // (conv-00000042, 2) remains
+      new graft.query.MultiSearcher(s, upsertIndex(s))
+        .searchResolved("cinnabar monolith archipelago", 10)
+        .select(col("rank").cast("long").as("rank"), col("conv_id"),
+          col("turn_idx").cast("long").as("turn_idx"))
+    }),
     // ---- transcript engine end-to-end (rows-only; primary payload) ----
     "q_transcript_bm25" -> ((s, _) => {
       import s.implicits._
@@ -574,6 +669,41 @@ WHERE d.doc_id IN (SELECT DISTINCT doc_id FROM tok
 GROUP BY 1 ORDER BY 1""",
       "q_bm25_range" -> bm25Sql(Analyzer.analyzeQuery(Bm25Query).toSeq, 10,
         conjunctive = false, docPred = "lang >= 'd' AND lang <= 'f'"),
+      // tiered trie decomposition is an exact disjoint cover of the
+      // range, so the twin is the plain numeric BETWEEN predicate
+      "q_bm25_range_numeric" -> bm25Sql(Analyzer.analyzeQuery(Bm25Query).toSeq, 10,
+        conjunctive = false, docPred = "n_chars BETWEEN 137 AND 2741"),
+      // should semantics: score over must ∪ should matched terms, doc
+      // qualifies via >=1 must; minShouldMatch counts distinct should
+      // terms (tf has one row per (term, doc), so FILTER counts terms)
+      "q_bm25_should" -> {
+        val must = Analyzer.analyzeQuery("spark query").toSeq
+        val should = Analyzer.analyzeQuery("window customer").toSeq
+        bm25Sql((must ++ should).distinct.sorted, 10, conjunctive = false,
+          havingExpr = s"count(*) FILTER (tf.term IN ${inList(must)}) >= 1")
+      },
+      "q_bm25_minmatch" -> bm25Sql(Analyzer.analyzeQuery(Bm25Query).toSeq, 10,
+        conjunctive = false, havingExpr = "count(*) >= 2"),
+      // pagination twins: rank over the full ordering, page cut by OFFSET
+      "q_bm25_page2" -> bm25Sql(Analyzer.analyzeQuery(Bm25Query).toSeq, 10,
+        conjunctive = false, offset = 10),
+      "q_bm25_search_after" -> bm25Sql(Analyzer.analyzeQuery(Bm25Query).toSeq, 10,
+        conjunctive = false, offset = 10),
+      "q_facet_histogram" ->
+        s"""${toksCte("documents", "doc_id")}
+SELECT CAST(floor(n_chars / 200) * 200 AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n_docs
+FROM documents
+WHERE doc_id IN (SELECT DISTINCT doc_id FROM tok
+                 WHERE term IN ${inList(Analyzer.analyzeQuery(Bm25Query).toSeq)})
+GROUP BY 1 ORDER BY 1""",
+      "q_stats_field" ->
+        s"""${toksCte("documents", "doc_id")}
+SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(min(n_chars) AS BIGINT) AS "min",
+       CAST(max(n_chars) AS BIGINT) AS "max", round(avg(n_chars), 6) AS "avg",
+       CAST(sum(n_chars) AS BIGINT) AS "sum"
+FROM documents
+WHERE doc_id IN (SELECT DISTINCT doc_id FROM tok
+                 WHERE term IN ${inList(Analyzer.analyzeQuery(Bm25Query).toSeq)})""",
       "q_bm25_oracle" ->
         (bm25Sql(Analyzer.analyzeQuery(Bm25Query).toSeq, 10, conjunctive = false)),
       "q_dedup_exact" ->
@@ -678,6 +808,16 @@ FROM t ORDER BY doc_id""",
           "('b.tif', '/arch/b.tif', '4 KB (4.096 Bytes)', '05.03.2021 00:00:00', '05.03.2021 00:00:00', 'Bild', 'K1', 'Vol1', CAST(4096 AS BIGINT)), " +
           "('c.pdf', '/arch/c.pdf', '(100 Bytes)', '05.03.2021 10:11:12', '06.03.2021 10:11:12', 'Dokument', 'K1', 'Vol1', CAST(100 AS BIGINT))" +
           ") AS t(name, path, size, created, lastChanged, resourceType, catalog, volume, sizeInBytes) ORDER BY path"),
+      // cross-segment identity goldens (deterministic engine fixtures →
+      // VALUES literals; semantics additionally pinned by StreamingSpec):
+      // the (conv-3, 1) marker holder was REPLACED by a marker-free
+      // re-ingest, the (conv-99, 1) holder DELETED
+      "q_upsert_lww" ->
+        ("SELECT * FROM (VALUES (CAST(1 AS BIGINT), 'conv-00000017', CAST(0 AS BIGINT))" +
+          ") AS t(rank, conv_id, turn_idx) ORDER BY rank"),
+      "q_delete_tombstone" ->
+        ("SELECT * FROM (VALUES (CAST(1 AS BIGINT), 'conv-00000042', CAST(2 AS BIGINT))" +
+          ") AS t(rank, conv_id, turn_idx) ORDER BY rank"),
       "q_transcript_bm25" ->
         ("SELECT * FROM (VALUES " +
           "(CAST(1 AS BIGINT), CAST(142 AS BIGINT), 'conv-00000017', CAST(0 AS BIGINT)), " +
