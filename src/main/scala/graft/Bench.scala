@@ -148,8 +148,10 @@ object Bench {
     // 1) transcript index build + BM25 query p50 (the north-rule pipeline).
     // The host shows 2-7x co-tenant variance on identical runs
     // (BASELINE.md), so the recorded build number is a MEDIAN of `reps`
-    // independent builds, not one draw.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // independent builds, not one draw. 5 reps (round-4: up from 3) so
+    // one contended draw cannot drag the median — BASELINE.md's
+    // representative claim IS this median (round-3 review ask #2).
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
     val runs = (1 to reps).map(_ => transcriptWorkload(spark, nConvs, cpus.toInt))
     val turns = runs.head.turns
     val buildSec = percentile(runs.map(_.buildSec), 0.5) // median build wall
@@ -163,7 +165,8 @@ object Bench {
     // recorded 8.3 s of cold build inside q_bm25_topk).
     SparkEntry.queries("q_bm25_topk")(spark, sfDir).count()
     for (name <- Seq("q_bm25_topk", "q_bm25_and", "q_bm25_phrase", "q_bm25_prefix",
-        "q_bm25_fuzzy", "q_bm25_filtered", "q_bm25_terms", "q_facet_lang",
+        "q_bm25_fuzzy", "q_bm25_filtered", "q_bm25_terms", "q_bm25_should",
+        "q_bm25_range_numeric", "q_facet_lang", "q_facet_histogram", "q_stats_field",
         "q_sort_by_field", "q_tf", "q_df", "q_agg_lineitem",
         "q_join_broadcast", "q_minhash_lsh", "q_simhash_pairs", "q_ann_cosine",
         "q_ann_lsh", "q_langid", "q_quality", "q_dedup_exact", "q_window_rank")) {

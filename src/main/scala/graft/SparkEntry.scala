@@ -359,6 +359,19 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k$page"""
         .select(col("n_docs"), col("min").cast("long").as("min"),
           col("max").cast("long").as("max"), round(col("avg"), 6).as("avg"),
           col("sum").cast("long").as("sum"))),
+    "q_facet_filtered" -> ((s, dir) =>
+      // ES aggs run over the FULL bool query: facet restricted by a
+      // filter clause (semi-join of the clause's posting docIds — no
+      // doc-store predicate scan)
+      new Searcher(s, documentsIndex(s, dir), 8)
+        .facetCounts(Bm25Query, "lang", filters = Seq("source" -> "src1"))),
+    "q_count_range" -> ((s, dir) => {
+      import s.implicits._
+      // hits.total of a bool query with a numeric trie range clause
+      Seq(new Searcher(s, documentsIndex(s, dir), 8)
+        .matchCount(Bm25Query, numericRangeFilters = Seq(("n_chars", 137L, 2741L))))
+        .toDF("n_hits")
+    }),
     "q_facet_lang" -> ((s, dir) =>
       // ES terms aggregation (facets) over the FULL match set: doc
       // counts per lang among docs containing >=1 query term — runs
@@ -704,6 +717,20 @@ SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(min(n_chars) AS BIGINT) AS "min"
 FROM documents
 WHERE doc_id IN (SELECT DISTINCT doc_id FROM tok
                  WHERE term IN ${inList(Analyzer.analyzeQuery(Bm25Query).toSeq)})""",
+      "q_facet_filtered" ->
+        s"""${toksCte("documents", "doc_id")}
+SELECT d.lang AS value, CAST(count(*) AS BIGINT) AS n_docs
+FROM documents d
+WHERE d.doc_id IN (SELECT DISTINCT doc_id FROM tok
+                   WHERE term IN ${inList(Analyzer.analyzeQuery(Bm25Query).toSeq)})
+  AND d.source = 'src1'
+GROUP BY 1 ORDER BY 1""",
+      "q_count_range" ->
+        s"""${toksCte("documents", "doc_id")}
+SELECT CAST(count(*) AS BIGINT) AS n_hits FROM documents d
+WHERE d.doc_id IN (SELECT DISTINCT doc_id FROM tok
+                   WHERE term IN ${inList(Analyzer.analyzeQuery(Bm25Query).toSeq)})
+  AND d.n_chars BETWEEN 137 AND 2741""",
       "q_bm25_oracle" ->
         (bm25Sql(Analyzer.analyzeQuery(Bm25Query).toSeq, 10, conjunctive = false)),
       "q_dedup_exact" ->

@@ -379,83 +379,134 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
 
   // --- match-set operators (facets / aggs / sort / count) -----------------
 
-  /** Distinct LIVE docIds containing ≥1 query term, across all segments
-    * (union of shard-pruned block scans — docIds are globally disjoint —
-    * minus tombstones): the shared membership scan under facets / aggs /
-    * sort / count, exactly the single-index plan shape.
+  /** Distinct decoded docIds of `terms` across all segments (union of
+    * shard-pruned docIds-only block scans — docIds globally disjoint).
+    * None when no segment holds any of the terms.
     */
-  private def matchSet(query: String): Option[DataFrame] = {
-    val terms = Analyzer.analyzeQuery(query).toSeq
-    val (dfGlobal, perSeg) = lookup(terms)
-    if (dfGlobal.isEmpty) return None
+  private def decodeDocIds(perSeg: Map[(Int, String), TermStats],
+      terms: Set[String]): Option[DataFrame] = {
     val segBlocks = segments.zipWithIndex.flatMap { case (seg, i) =>
-      val ids = perSeg.collect { case ((`i`, _), ts) => ts }.toSeq
+      val ids = perSeg.collect { case ((`i`, t), ts) if terms.contains(t) => ts }.toSeq
       if (ids.isEmpty) None
       else Some(spark.read.parquet(s"$seg/blocks")
         .filter(col("shard").isin(ids.map(_.shard).distinct: _*) &&
           col("termId").isin(ids.map(_.termId): _*))
         .select(col("docs"), col("count"), col("firstDocId")))
     }
-    if (segBlocks.isEmpty) return None
-    val decoded = segBlocks.reduce(_ unionByName _)
+    if (segBlocks.isEmpty) None
+    else Some(segBlocks.reduce(_ unionByName _)
       .as[(Array[Byte], Int, Long)]
       .flatMap { case (ds, n0, first) => graft.index.Codec.deltaDecode(ds, n0, first) }
       .toDF("docId")
-      .distinct()
-    Some(if (Tombstones.exists(spark, indexDir))
-      decoded.join(tombDF, Seq("docId"), "left_anti") else decoded)
+      .distinct())
   }
 
-  private def matchingOrEmpty(query: String): DataFrame =
-    matchSet(query).getOrElse(Seq.empty[Long].toDF("docId"))
+  /** Membership of the FULL bool query across segments (ES aggs run
+    * over the filtered query): scored-term docIds semi-joined per
+    * filter clause, anti-joined against must_not and tombstones —
+    * exactly the single-index plan shape, minus superseded docs.
+    */
+  private def matchSet(query: String,
+      filters: Seq[(String, String)] = Nil,
+      mustNot: Seq[(String, String)] = Nil,
+      numericRangeFilters: Seq[(String, Long, Long)] = Nil): Option[DataFrame] = {
+    val terms = Analyzer.analyzeQuery(query).toSeq
+    val clauses: Seq[Seq[String]] =
+      filters.map { case (f, v) => Seq(FieldTerms.term(f, v)) } ++
+        numericRangeFilters.map { case (f, lo, hi) => FieldTerms.trieRangeTerms(f, lo, hi) }
+    val excludeTerms = mustNot.map { case (f, v) => FieldTerms.term(f, v) }.distinct
+    val (dfGlobal, perSeg) =
+      lookup(terms ++ clauses.flatten.distinct ++ excludeTerms)
+    val scoredFound = terms.filter(dfGlobal.contains)
+    if (scoredFound.isEmpty) return None
+    val foundClauses = clauses.map(_.filter(dfGlobal.contains))
+    if (foundClauses.exists(_.isEmpty)) return None
+    var m = decodeDocIds(perSeg, scoredFound.toSet).getOrElse(return None)
+    for (cl <- foundClauses)
+      decodeDocIds(perSeg, cl.toSet) match {
+        case Some(c) => m = m.join(c, Seq("docId"), "left_semi")
+        case None => return None
+      }
+    val exFound = excludeTerms.filter(dfGlobal.contains)
+    if (exFound.nonEmpty)
+      decodeDocIds(perSeg, exFound.toSet).foreach(e =>
+        m = m.join(e, Seq("docId"), "left_anti"))
+    Some(if (Tombstones.exists(spark, indexDir))
+      m.join(tombDF, Seq("docId"), "left_anti") else m)
+  }
+
+  private def matchingOrEmpty(query: String,
+      filters: Seq[(String, String)] = Nil,
+      mustNot: Seq[(String, String)] = Nil,
+      numericRangeFilters: Seq[(String, Long, Long)] = Nil): DataFrame =
+    matchSet(query, filters, mustNot, numericRangeFilters)
+      .getOrElse(Seq.empty[Long].toDF("docId"))
 
   /** ES `terms` aggregation (facets) over the cross-segment match set. */
-  def facetCounts(query: String, field: String): DataFrame =
+  def facetCounts(query: String, field: String,
+      filters: Seq[(String, String)] = Nil,
+      mustNot: Seq[(String, String)] = Nil,
+      numericRangeFilters: Seq[(String, Long, Long)] = Nil): DataFrame =
     docs.select(col("docId"), col(field).as("value"))
-      .join(matchingOrEmpty(query), Seq("docId"))
+      .join(matchingOrEmpty(query, filters, mustNot, numericRangeFilters), Seq("docId"))
       .groupBy(col("value")).agg(count(lit(1)).as("n_docs"))
       .orderBy(col("value"))
 
   /** ES `hits.total` over the union of all segments (tombstones
     * excluded).
     */
-  def matchCount(query: String): Long =
-    matchSet(query).map(_.count()).getOrElse(0L)
+  def matchCount(query: String,
+      filters: Seq[(String, String)] = Nil,
+      mustNot: Seq[(String, String)] = Nil,
+      numericRangeFilters: Seq[(String, Long, Long)] = Nil): Long =
+    matchSet(query, filters, mustNot, numericRangeFilters).map(_.count()).getOrElse(0L)
 
   /** ES `sort`-by-field top-k over the cross-segment match set. */
   def searchSortedBy(query: String, field: String, k: Int,
-      descending: Boolean = true): DataFrame = {
+      descending: Boolean = true,
+      filters: Seq[(String, String)] = Nil,
+      mustNot: Seq[(String, String)] = Nil,
+      numericRangeFilters: Seq[(String, Long, Long)] = Nil): DataFrame = {
     val ord =
       if (descending) Seq(col(field).desc, col("docId").asc)
       else Seq(col(field).asc, col("docId").asc)
     docs.select(col("docId"), col(field))
-      .join(matchingOrEmpty(query), Seq("docId"))
+      .join(matchingOrEmpty(query, filters, mustNot, numericRangeFilters), Seq("docId"))
       .orderBy(ord: _*)
       .limit(k)
   }
 
   /** ES `histogram` aggregation over the cross-segment match set. */
-  def numericHistogram(query: String, field: String, width: Long): DataFrame = {
+  def numericHistogram(query: String, field: String, width: Long,
+      filters: Seq[(String, String)] = Nil,
+      mustNot: Seq[(String, String)] = Nil,
+      numericRangeFilters: Seq[(String, Long, Long)] = Nil): DataFrame = {
     require(width > 0, "histogram width must be positive")
     docs.select(col("docId"), col(field))
-      .join(matchingOrEmpty(query), Seq("docId"))
+      .join(matchingOrEmpty(query, filters, mustNot, numericRangeFilters), Seq("docId"))
       .groupBy((floor(col(field) / lit(width)) * lit(width)).cast("long").as("bucket"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("bucket"))
   }
 
   /** ES `date_histogram` over the cross-segment match set. */
-  def dateHistogram(query: String, field: String, interval: String): DataFrame =
+  def dateHistogram(query: String, field: String, interval: String,
+      filters: Seq[(String, String)] = Nil,
+      mustNot: Seq[(String, String)] = Nil,
+      numericRangeFilters: Seq[(String, Long, Long)] = Nil): DataFrame =
     docs.select(col("docId"), col(field))
-      .join(matchingOrEmpty(query), Seq("docId"))
+      .join(matchingOrEmpty(query, filters, mustNot, numericRangeFilters), Seq("docId"))
       .groupBy(date_trunc(interval, col(field)).as("bucket"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("bucket"))
 
   /** ES `stats` aggregation over the cross-segment match set. */
-  def fieldStats(query: String, field: String): DataFrame =
+  def fieldStats(query: String, field: String,
+      filters: Seq[(String, String)] = Nil,
+      mustNot: Seq[(String, String)] = Nil,
+      numericRangeFilters: Seq[(String, Long, Long)] = Nil): DataFrame =
     docs.select(col("docId"), col(field))
-      .join(matchingOrEmpty(query), Seq("docId"))
+      .join(matchingOrEmpty(query, filters, mustNot, numericRangeFilters), Seq("docId"))
       .agg(count(lit(1)).as("n_docs"), min(col(field)).as("min"),
         max(col(field)).as("max"), avg(col(field)).as("avg"),
         sum(col(field)).as("sum"))

@@ -590,20 +590,55 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
     * match set, so decode waste scales with it. Returns None when no
     * query term exists in the index.
     */
-  private def matchSet(query: String): Option[DataFrame] = {
-    val terms = Analyzer.analyzeQuery(query).toSeq
-    val found = lookupTerms(terms)
-    if (found.isEmpty) return None
-    Some(selectBlocks(found.values)
+  /** Distinct decoded docIds of a found term set (docIds-only block
+    * read — three columns, parquet-pruned past the tf/dl/pos streams).
+    */
+  private def decodeDocIds(found: Iterable[TermStats]): DataFrame =
+    selectBlocks(found)
       .select(col("docs"), col("count"), col("firstDocId"))
       .as[(Array[Byte], Int, Long)]
       .flatMap { case (docs, n0, first) => graft.index.Codec.deltaDecode(docs, n0, first) }
       .toDF("docId")
-      .distinct())
+      .distinct()
+
+  /** Membership of the FULL bool query (ES aggregations/counts run over
+    * the filtered query, not just the scored terms): docs matching ≥1
+    * scored term, restricted by every filter clause (semi-join per
+    * clause — each clause's docIds come from its own pruned block scan)
+    * and must_not (anti-join). All joins are docId-keyed — the match
+    * set never touches the driver.
+    */
+  private def matchSet(query: String,
+      filters: Seq[(String, String)] = Nil,
+      mustNot: Seq[(String, String)] = Nil,
+      anyFilters: Seq[(String, Seq[String])] = Nil,
+      numericRangeFilters: Seq[(String, Long, Long)] = Nil): Option[DataFrame] = {
+    val terms = Analyzer.analyzeQuery(query).toSeq
+    val clauses: Seq[Seq[String]] =
+      filters.map { case (f, v) => Seq(graft.index.FieldTerms.term(f, v)) } ++
+        anyFilters.map { case (f, vs) => vs.distinct.map(v => graft.index.FieldTerms.term(f, v)) } ++
+        numericRangeFilters.map { case (f, lo, hi) =>
+          graft.index.FieldTerms.trieRangeTerms(f, lo, hi) }
+    val excludeTerms = mustNot.map { case (f, v) => graft.index.FieldTerms.term(f, v) }.distinct
+    val found = lookupTerms(terms ++ clauses.flatten.distinct ++ excludeTerms)
+    val scoredFound = terms.filter(found.contains)
+    if (scoredFound.isEmpty) return None
+    val foundClauses = clauses.map(_.filter(found.contains))
+    if (foundClauses.exists(_.isEmpty)) return None
+    var m = decodeDocIds(scoredFound.map(found))
+    for (cl <- foundClauses)
+      m = m.join(decodeDocIds(cl.map(found)), Seq("docId"), "left_semi")
+    val exFound = excludeTerms.filter(found.contains)
+    if (exFound.nonEmpty)
+      m = m.join(decodeDocIds(exFound.map(found)), Seq("docId"), "left_anti")
+    Some(m)
   }
 
-  def facetCounts(query: String, field: String): DataFrame =
-    matchSet(query) match {
+  def facetCounts(query: String, field: String,
+      filters: Seq[(String, String)] = Nil,
+      mustNot: Seq[(String, String)] = Nil,
+      numericRangeFilters: Seq[(String, Long, Long)] = Nil): DataFrame =
+    matchSet(query, filters, mustNot, Nil, numericRangeFilters) match {
       case None =>
         docs.select(col(field).as("value")).limit(0).withColumn("n_docs", lit(0L))
       case Some(matching) =>
@@ -613,19 +648,27 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
           .orderBy(col("value"))
     }
 
-  /** Total hit count of the OR match set (ES `hits.total` /
-    * `_count`) — no top-k involved; one distributed count over the
-    * decoded docId stream.
+  /** Total hit count of the (optionally bool-filtered) match set (ES
+    * `hits.total` / `_count`) — no top-k involved; one distributed
+    * count over the decoded docId stream.
     */
-  def matchCount(query: String): Long =
-    matchSet(query).map(_.count()).getOrElse(0L)
+  def matchCount(query: String,
+      filters: Seq[(String, String)] = Nil,
+      mustNot: Seq[(String, String)] = Nil,
+      numericRangeFilters: Seq[(String, Long, Long)] = Nil): Long =
+    matchSet(query, filters, mustNot, Nil, numericRangeFilters)
+      .map(_.count()).getOrElse(0L)
 
   /** The match set, or an empty docId frame when no query term exists —
     * so every aggregation below shares one plan shape with a correct
     * empty-result schema.
     */
-  private def matchingOrEmpty(query: String): DataFrame =
-    matchSet(query).getOrElse(Seq.empty[Long].toDF("docId"))
+  private def matchingOrEmpty(query: String,
+      filters: Seq[(String, String)] = Nil,
+      mustNot: Seq[(String, String)] = Nil,
+      numericRangeFilters: Seq[(String, Long, Long)] = Nil): DataFrame =
+    matchSet(query, filters, mustNot, Nil, numericRangeFilters)
+      .getOrElse(Seq.empty[Long].toDF("docId"))
 
   /** ES `histogram` aggregation over the FULL match set: doc counts per
     * fixed-width bucket of a numeric field (bucket = floor(v/width)·
@@ -634,10 +677,13 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
     * against the column-pruned doc store → hash agg; the match set
     * never touches the driver.
     */
-  def numericHistogram(query: String, field: String, width: Long): DataFrame = {
+  def numericHistogram(query: String, field: String, width: Long,
+      filters: Seq[(String, String)] = Nil,
+      mustNot: Seq[(String, String)] = Nil,
+      numericRangeFilters: Seq[(String, Long, Long)] = Nil): DataFrame = {
     require(width > 0, "histogram width must be positive")
     docs.select(col("docId"), col(field))
-      .join(matchingOrEmpty(query), Seq("docId"))
+      .join(matchingOrEmpty(query, filters, mustNot, numericRangeFilters), Seq("docId"))
       .groupBy((floor(col(field) / lit(width)) * lit(width)).cast("long").as("bucket"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("bucket"))
@@ -647,9 +693,12 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
     * `interval` is a `date_trunc` unit — "day", "hour", "week",
     * "month", … Empty buckets omitted.
     */
-  def dateHistogram(query: String, field: String, interval: String): DataFrame =
+  def dateHistogram(query: String, field: String, interval: String,
+      filters: Seq[(String, String)] = Nil,
+      mustNot: Seq[(String, String)] = Nil,
+      numericRangeFilters: Seq[(String, Long, Long)] = Nil): DataFrame =
     docs.select(col("docId"), col(field))
-      .join(matchingOrEmpty(query), Seq("docId"))
+      .join(matchingOrEmpty(query, filters, mustNot, numericRangeFilters), Seq("docId"))
       .groupBy(date_trunc(interval, col(field)).as("bucket"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("bucket"))
@@ -658,9 +707,12 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
     * avg / sum of a numeric field among all docs matching ≥ 1 query
     * term. One distributed agg — no top-k, no driver materialization.
     */
-  def fieldStats(query: String, field: String): DataFrame =
+  def fieldStats(query: String, field: String,
+      filters: Seq[(String, String)] = Nil,
+      mustNot: Seq[(String, String)] = Nil,
+      numericRangeFilters: Seq[(String, Long, Long)] = Nil): DataFrame =
     docs.select(col("docId"), col(field))
-      .join(matchingOrEmpty(query), Seq("docId"))
+      .join(matchingOrEmpty(query, filters, mustNot, numericRangeFilters), Seq("docId"))
       .agg(count(lit(1)).as("n_docs"), min(col(field)).as("min"),
         max(col(field)).as("max"), avg(col(field)).as("avg"),
         sum(col(field)).as("sum"))
@@ -673,11 +725,14 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
     * never a global sort.
     */
   def searchSortedBy(query: String, field: String, k: Int,
-      descending: Boolean = true): DataFrame = {
+      descending: Boolean = true,
+      filters: Seq[(String, String)] = Nil,
+      mustNot: Seq[(String, String)] = Nil,
+      numericRangeFilters: Seq[(String, Long, Long)] = Nil): DataFrame = {
     val ord =
       if (descending) Seq(col(field).desc, col("docId").asc)
       else Seq(col(field).asc, col("docId").asc)
-    matchSet(query) match {
+    matchSet(query, filters, mustNot, Nil, numericRangeFilters) match {
       case None => docs.select(col("docId"), col(field)).limit(0)
       case Some(matching) =>
         docs.select(col("docId"), col(field))

@@ -205,6 +205,37 @@ class QuerySurfaceSpec extends SparkSpec {
     assert(searcher.fieldStats("definitely-notavocab-word", "dl").head().getLong(0) == 0L)
   }
 
+  test("bool-filtered aggregations run over the FILTERED match set (ES aggs semantics)") {
+    val terms = Analyzer.analyzeQuery("the").toSeq
+    val base = docsDF
+      .join(tok.filter(col("term").isin(terms: _*)).select("docId").distinct(), Seq("docId"))
+      .cache()
+    // filter clause + numeric range clause
+    val filtered = base.filter(col("role") === lit("user") &&
+      col("dl") >= lit(30) && col("dl") <= lit(80))
+    val wantFacet = filtered.groupBy(col("role").as("value"))
+      .agg(count(lit(1)).as("n_docs")).orderBy(col("value"))
+      .as[(String, Long)].collect().toSeq
+    val gotFacet = searcher.facetCounts("the", "role",
+      filters = Seq("role" -> "user"), numericRangeFilters = Seq(("dl", 30L, 80L)))
+      .as[(String, Long)].collect().toSeq
+    assert(gotFacet == wantFacet && gotFacet.nonEmpty)
+    assert(searcher.matchCount("the",
+      filters = Seq("role" -> "user"), numericRangeFilters = Seq(("dl", 30L, 80L)))
+      == filtered.count())
+    // must_not restricts the agg's population too
+    val anti = base.filter(col("role") =!= lit("user"))
+    val wantStats = anti.agg(count(lit(1)), min(col("dl")), max(col("dl"))).head()
+    val gotStats = searcher.fieldStats("the", "dl", mustNot = Seq("role" -> "user")).head()
+    assert(gotStats.getLong(0) == wantStats.getLong(0))
+    assert(gotStats.getInt(1) == wantStats.getInt(1))
+    assert(gotStats.getInt(2) == wantStats.getInt(2))
+    // unknown filter value ⇒ empty aggs
+    assert(searcher.matchCount("the", filters = Seq("role" -> "no-such")) == 0L)
+    assert(searcher.facetCounts("the", "role", filters = Seq("role" -> "no-such")).count() == 0L)
+    base.unpersist(blocking = false)
+  }
+
   test("cross-segment parity: MultiSearcher answers the full surface like the compacted index") {
     val segIdx = s"${TestSpark.tmpRoot}/surface-segmented"
     val all = Transcripts.generate(spark, 120L).cache()
@@ -241,6 +272,13 @@ class QuerySurfaceSpec extends SparkSpec {
     }
     assert(multi.dateHistogram("the", "ts", "hour").as[(java.sql.Timestamp, Long)].collect().toSeq
       == single.dateHistogram("the", "ts", "hour").as[(java.sql.Timestamp, Long)].collect().toSeq)
+    // bool-filtered aggs agree across segments too
+    assert(multi.facetCounts("the", "role", filters = Seq("role" -> "user"),
+        numericRangeFilters = Seq(("dl", 30L, 80L))).as[(String, Long)].collect().toSeq
+      == single.facetCounts("the", "role", filters = Seq("role" -> "user"),
+        numericRangeFilters = Seq(("dl", 30L, 80L))).as[(String, Long)].collect().toSeq)
+    assert(multi.matchCount("the", mustNot = Seq("role" -> "user"))
+      == single.matchCount("the", mustNot = Seq("role" -> "user")))
 
     // bool surface incl. numeric trie range + should, and pagination
     val nr = Seq(("dl", 40L, 90L))

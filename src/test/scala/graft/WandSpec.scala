@@ -225,6 +225,144 @@ class WandSpec extends AnyFunSuite {
     }
   }
 
+  /** Brute oracle with should semantics: score = BM25 sum over matched
+    * (must ∪ should) terms in ascending term order; qualify = must-group
+    * rule (≥1 for OR, all for AND) AND ≥ minShould should terms.
+    */
+  private def bruteShould(corpus: Array[Array[String]], mustTerms: Seq[String],
+      shouldTerms: Seq[String], k: Int, conjunctive: Boolean, minShould: Int): Seq[Scored] = {
+    val tfs = corpus.map(tfOf)
+    val dls = corpus.map(_.length)
+    val n = corpus.length.toLong
+    val avgdl = dls.sum.toDouble / corpus.length
+    val df: Map[String, Long] =
+      tfs.flatMap(_.keys).groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val mq = mustTerms.distinct.sorted.filter(df.contains)
+    val sq = shouldTerms.distinct.sorted.filter(df.contains)
+    corpus.indices.flatMap { d =>
+      val mp = mq.filter(tfs(d).contains)
+      val sp = sq.filter(tfs(d).contains)
+      val mustOk =
+        if (mq.isEmpty) true
+        else if (conjunctive) mp.size == mq.size
+        else mp.nonEmpty
+      if (!mustOk || sp.size < minShould || (mp.isEmpty && sp.isEmpty)) None
+      else {
+        var s = 0.0
+        (mp ++ sp).sorted.foreach(t => s += Bm25.score(tfs(d)(t), df(t), dls(d), n, avgdl))
+        Some(Scored(d.toLong, s))
+      }
+    }.sortBy(s => (-s.score, s.docId)).take(k)
+  }
+
+  test("should + minimum_should_match ≡ exhaustive on 150 random cases (OR and AND musts)") {
+    for (i <- 1 to 150) {
+      val vocab = 3 + rnd.nextInt(10)
+      val nDocs = 10 + rnd.nextInt(300)
+      val corpus = randomCorpus(nDocs, vocab)
+      val nMust = i % 3 // 0 = pure should group
+      val must = Seq.fill(nMust)("t" + rnd.nextInt(vocab)).distinct.sorted
+      val should = Seq.fill(1 + rnd.nextInt(3))("t" + rnd.nextInt(vocab))
+        .distinct.filterNot(must.contains).sorted
+      if (should.nonEmpty) {
+        val m = rnd.nextInt(should.size + 1)
+        val k = 1 + rnd.nextInt(12)
+        val blockSize = Seq(4, 16, 128)(i % 3)
+        val conj = nMust > 0 && i % 2 == 0
+        val (mIters, _, _, _) = buildIters(corpus, must, blockSize)
+        val (sIters, _, _, _) = buildIters(corpus, should, blockSize)
+        val brute = bruteShould(corpus, must, should, k, conj, m)
+        val got =
+          if (conj && mIters.size < must.size) Array.empty[Scored]
+          else if (conj) Wand.topKConjunctive(mIters, k, Nil, Nil, sIters, m)
+          else Wand.topK(mIters, k, Nil, Nil, sIters, m)
+        assert(got.toSeq == brute,
+          s"should mismatch: must=$must should=$should m=$m conj=$conj k=$k\n" +
+            s" got=${got.toSeq}\n want=$brute")
+      }
+    }
+  }
+
+  test("search_after pages tile the full ranking on 100 random cases (OR/AND/phrase)") {
+    for (i <- 1 to 100) {
+      val vocab = 3 + rnd.nextInt(8)
+      val nDocs = 20 + rnd.nextInt(300)
+      val corpus = randomCorpus(nDocs, vocab)
+      val phraseMode = i % 4 == 3
+      val phrase: Seq[String] =
+        if (!phraseMode) null
+        else {
+          val d = corpus(rnd.nextInt(nDocs))
+          if (d.length >= 2) { val s0 = rnd.nextInt(d.length - 1); d.slice(s0, s0 + 2).toSeq }
+          else Seq.fill(2)("t" + rnd.nextInt(vocab))
+        }
+      val terms =
+        if (phraseMode) phrase.distinct.sorted
+        else Seq.fill(1 + rnd.nextInt(3))("t" + rnd.nextInt(vocab)).distinct.sorted
+      val conj = !phraseMode && i % 4 == 1
+      val k = 2 + rnd.nextInt(8)
+      val blockSize = Seq(4, 16, 128)(i % 3)
+      val (_, df, _, _) = buildIters(corpus, terms, blockSize)
+      if (terms.forall(df.contains)) {
+        val full = bruteScore(corpus, terms, nDocs, conj || phraseMode, phrase = phrase)
+        def run(after: Scored): Array[Scored] = {
+          // fresh iterators per page (cursors are stateful)
+          val (it, _, _, _) = buildIters(corpus, terms, blockSize)
+          if (phraseMode) Wand.topKPhrase(it, phrase, k, after = after)
+          else if (conj) Wand.topKConjunctive(it, k, after = after)
+          else Wand.topK(it, k, after = after)
+        }
+        var pages = Vector.empty[Scored]
+        var cursor: Scored = null
+        var done = false
+        while (!done) {
+          val page = run(cursor)
+          pages ++= page
+          if (page.length < k) done = true else cursor = page.last
+        }
+        assert(pages == full.toVector,
+          s"search_after tiling: terms=$terms conj=$conj phrase=$phrase k=$k\n" +
+            s" got=$pages\n want=$full")
+      }
+    }
+  }
+
+  test("SortedArrayCursor ≡ linear reference; tombstone excludes ≡ posting-list excludes") {
+    // cursor semantics against a linear scan
+    for (_ <- 1 to 50) {
+      val ids = (0 until 200).filter(_ => rnd.nextBoolean()).map(_.toLong).toArray
+      val c = new Wand.SortedArrayCursor(ids)
+      var target = 0L
+      while (target < 220L) {
+        c.nextGEQ(target)
+        val want = ids.find(_ >= target).getOrElse(Long.MaxValue)
+        assert(c.curDoc == want, s"nextGEQ($target) gave ${c.curDoc}, want $want")
+        target += 1 + rnd.nextInt(7)
+      }
+    }
+    // excluding docs via SortedArrayCursor ≡ excluding via an equivalent
+    // posting list (the MultiSearcher tombstone path vs the must_not path)
+    for (i <- 1 to 50) {
+      val vocab = 3 + rnd.nextInt(8)
+      val nDocs = 20 + rnd.nextInt(300)
+      val corpus = randomCorpus(nDocs, vocab)
+      val terms = Seq.fill(1 + rnd.nextInt(3))("t" + rnd.nextInt(vocab)).distinct.sorted
+      val k = 1 + rnd.nextInt(10)
+      val blockSize = Seq(4, 16, 128)(i % 3)
+      val dead = (0 until nDocs).filter(_ => rnd.nextInt(4) == 0)
+      val (it1, _, _, _) = buildIters(corpus, terms, blockSize)
+      val (it2, _, n, avgdl) = buildIters(corpus, terms, blockSize)
+      val viaArray = Wand.topK(it1, k,
+        excludes = Seq(new Wand.SortedArrayCursor(dead.map(_.toLong).toArray)))
+      val viaList = Wand.topK(it2, k,
+        excludes = if (dead.isEmpty) Nil else Seq(fieldIter("#dead", dead, blockSize, n, avgdl)))
+      assert(viaArray.toSeq == viaList.toSeq)
+      val brute = bruteScore(corpus, terms, nDocs, conjunctive = false)
+        .filterNot(s => dead.contains(s.docId.toInt)).take(k)
+      assert(viaArray.toSeq == brute)
+    }
+  }
+
   test("union-cursor clauses (terms filter) ≡ exhaustive on 100 random cases") {
     for (i <- 1 to 100) {
       val vocab = 3 + rnd.nextInt(10)
