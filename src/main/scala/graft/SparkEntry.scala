@@ -117,10 +117,20 @@ object SparkEntry {
     * contains the phrase adjacently (substring of the space-joined
     * stream — exact, tokens cannot contain spaces).
     */
+  /** 2-term ordered-proximity membership subquery (the engine's slop
+    * semantics for a bigram: b after a with gap ≤ slop): DuckDB
+    * positional token table via the 2-arg list_transform lambda.
+    */
+  private def proximitySubquery(a: String, b: String, slop: Int): String =
+    s"""WITH arrs AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '$SqlTokRegex'), x -> x <> '') AS arr FROM documents),
+  pe AS (SELECT doc_id, tp.term AS term, tp.p AS p FROM (SELECT doc_id, unnest(list_transform(arr, (t, i) -> {'term': t, 'p': i})) AS tp FROM arrs))
+  SELECT DISTINCT pa.doc_id FROM pe pa JOIN pe pb USING (doc_id)
+  WHERE pa.term = '$a' AND pb.term = '$b' AND pb.p > pa.p AND pb.p - pa.p <= ${slop + 1}"""
+
   private def bm25Sql(terms: Seq[String], k: Int, conjunctive: Boolean,
       phrase: Seq[String] = null, termPred: String = null,
       docPred: String = null, havingExpr: String = null,
-      offset: Int = 0): String = {
+      offset: Int = 0, docIdIn: String = null): String = {
     val score = Bm25.scoreSql("tf.tf", "df.df", "dl.dl", "st.n", "st.avgdl")
     val having =
       if (havingExpr != null) s"HAVING $havingExpr"
@@ -133,7 +143,8 @@ object SparkEntry {
       s" AND tf.doc_id IN (SELECT doc_id FROM documents WHERE $docPred)"
     val phraseAnd = (if (phrase == null) "" else
       s""" AND tf.doc_id IN (SELECT doc_id FROM documents
-    WHERE contains(' ' || array_to_string(list_filter(regexp_split_to_array(lower(text), '$SqlTokRegex'), x -> x <> ''), ' ') || ' ', ' ${phrase.mkString(" ")} '))""") + docAnd
+    WHERE contains(' ' || array_to_string(list_filter(regexp_split_to_array(lower(text), '$SqlTokRegex'), x -> x <> ''), ' ') || ' ', ' ${phrase.mkString(" ")} '))""") +
+      (if (docIdIn == null) "" else s" AND tf.doc_id IN ($docIdIn)") + docAnd
     // pagination twin: rank is computed over the FULL ordering, then the
     // page is cut — ranks on page p read offset+1 .. offset+k
     val page = if (offset == 0) "" else s" OFFSET $offset"
@@ -334,6 +345,12 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k$page"""
       rankHits(s, new Searcher(s, documentsIndex(s, dir), 8)
         .searchBool("", 10, should = Bm25Query, minShouldMatch = 2))
     }),
+    "q_bm25_proximity" -> ((s, dir) =>
+      // ordered proximity (ES slop, order-preserving): 'merge' then
+      // 'sort' within 2 extra token gaps — positional postings +
+      // greedy minimal-chain window check, conjunctive BM25 scoring
+      rankHits(s, new Searcher(s, documentsIndex(s, dir), 8)
+        .searchPhrase(PhraseQuery, 10, slop = 2))),
     "q_bm25_page2" -> ((s, dir) => {
       // ES from-pagination: hits 11..20 of the ranking
       rankHits(s, new Searcher(s, documentsIndex(s, dir), 8)
@@ -697,6 +714,13 @@ GROUP BY 1 ORDER BY 1""",
       },
       "q_bm25_minmatch" -> bm25Sql(Analyzer.analyzeQuery(Bm25Query).toSeq, 10,
         conjunctive = false, havingExpr = "count(*) >= 2"),
+      // ordered bigram proximity: positional twin via the 2-arg
+      // list_transform position table, gap ≤ slop+1
+      "q_bm25_proximity" -> {
+        val Seq(a, b) = Analyzer.tokenize(PhraseQuery).toSeq
+        bm25Sql(Analyzer.analyzeQuery(PhraseQuery).toSeq, 10, conjunctive = true,
+          docIdIn = proximitySubquery(a, b, 2))
+      },
       // pagination twins: rank over the full ordering, page cut by OFFSET
       "q_bm25_page2" -> bm25Sql(Analyzer.analyzeQuery(Bm25Query).toSeq, 10,
         conjunctive = false, offset = 10),

@@ -140,7 +140,8 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
       excludeTerms: Seq[String] = Nil,
       shouldTerms: Seq[String] = Nil,
       minShould: Int = 0,
-      after: Scored = null): Array[Scored] = {
+      after: Scored = null,
+      slop: Int = 0): Array[Scored] = {
     val distinctTerms = terms.distinct.sorted
     if ((distinctTerms.isEmpty && shouldTerms.isEmpty) || k <= 0) return Array.empty
     val (dfGlobal, perSeg) =
@@ -185,6 +186,7 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
     val cl = clauses
     val msh = minShould
     val aft = after
+    val slp = slop
     val perGroup = all
       .groupByKey { case (seg, bucket, _) => (seg, bucket) }
       .flatMapGroups { (_, it) =>
@@ -231,7 +233,8 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
           clauseCursors.exists(_.isEmpty)) Iterator.empty
         else {
           val top =
-            if (sl != null) Wand.topKPhrase(iters, sl, k, filters, excludes, shoulds, msh, aft)
+            if (sl != null)
+              Wand.topKPhrase(iters, sl, k, filters, excludes, shoulds, msh, aft, slp)
             else if (conjunctive)
               Wand.topKConjunctive(iters, k, filters, excludes, shoulds, msh, aft)
             else Wand.topK(iters, k, filters, excludes, shoulds, msh, aft)
@@ -265,10 +268,11 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
     * per posting, so adjacency needs no segment-level state; scores use
     * the merged global stats like every other path here).
     */
-  def searchPhrase(query: String, k: Int, from: Int = 0): Array[Scored] = {
+  def searchPhrase(query: String, k: Int, from: Int = 0, slop: Int = 0): Array[Scored] = {
     val slots = Analyzer.tokenize(query).toSeq
     if (slots.isEmpty) return Array.empty
-    val hits = run(slots.distinct.sorted, from + k, conjunctive = false, slots = slots)
+    val hits = run(slots.distinct.sorted, from + k, conjunctive = false, slots = slots,
+      slop = slop)
     if (from == 0) hits else hits.slice(from, from + k)
   }
 
@@ -303,7 +307,8 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
       should: String = "",
       minShouldMatch: Int = 0,
       from: Int = 0,
-      after: Scored = null
+      after: Scored = null,
+      phraseSlop: Int = 0
   ): Array[Scored] = {
     val slots = if (phrase) Analyzer.tokenize(query).toSeq else null
     val scoredTerms =
@@ -319,7 +324,7 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
         numericRangeFilters.map { case (f, lo, hi) => FieldTerms.trieRangeTerms(f, lo, hi) } ++
         rangeFilters.map { case (f, lo, hi) => expandFieldRange(f, lo, hi) },
       mustNot.map { case (f, v) => FieldTerms.term(f, v) }.distinct,
-      shouldTerms, minShouldMatch, after)
+      shouldTerms, minShouldMatch, after, phraseSlop)
     if (from == 0) hits else hits.slice(from, from + k)
   }
 

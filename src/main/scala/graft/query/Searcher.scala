@@ -40,7 +40,8 @@ private[query] final case class SearchMode(
     excludeTerms: Seq[String] = Nil,
     shouldTerms: Seq[String] = Nil,
     minShould: Int = 0,
-    after: Scored = null)
+    after: Scored = null,
+    slop: Int = 0)
 
 /** Pattern-compile helpers shared by the single-index and cross-segment
   * term-expansion paths (ES `wildcard` rewrite): the Scala regex and the
@@ -116,7 +117,8 @@ private[query] object Searcher {
     val excludes = entries.filter(e => eSet.contains(e._1)).flatMap { case (t, s) => iterOf(t, s) }
     val top =
       if (mode.slots != null)
-        Wand.topKPhrase(scored, mode.slots, k, filters, excludes, shoulds, mode.minShould, mode.after)
+        Wand.topKPhrase(scored, mode.slots, k, filters, excludes, shoulds, mode.minShould,
+          mode.after, mode.slop)
       else if (mode.conjunctive)
         Wand.topKConjunctive(scored, k, filters, excludes, shoulds, mode.minShould, mode.after)
       else Wand.topK(scored, k, filters, excludes, shoulds, mode.minShould, mode.after)
@@ -276,11 +278,16 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
     * the BM25 sum of the phrase's distinct terms. Needs an index built
     * with storePositions (default).
     */
-  def searchPhrase(query: String, k: Int, from: Int = 0): Array[Scored] = {
+  def searchPhrase(query: String, k: Int, from: Int = 0,
+      /** Ordered proximity window (ES `slop`, order-preserving): extra
+        * token gaps allowed between consecutive phrase slots; 0 = exact
+        * adjacency.
+        */
+      slop: Int = 0): Array[Scored] = {
     val slots = Analyzer.tokenize(query).toSeq // order + duplicates kept
     if (slots.isEmpty) return Array.empty
     val hits = runPerBucket(slots.distinct.sorted, from + k,
-      Mode(conjunctive = false, slots = slots))
+      SearchMode(conjunctive = false, slots = slots, slop = slop))
     if (from == 0) hits else hits.slice(from, from + k)
   }
 
@@ -398,7 +405,9 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
         * (score, docId) are returned. Composes with `from` (applied
         * after the cursor).
         */
-      after: Scored = null
+      after: Scored = null,
+      /** Proximity window for `phrase = true` (ordered slop). */
+      phraseSlop: Int = 0
   ): Array[Scored] = {
     val slots = if (phrase) Analyzer.tokenize(query).toSeq else null
     val scoredTerms =
@@ -437,7 +446,7 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
     if (shouldFound.size < minShouldMatch) return Array.empty
     val hits = runFound(found, from + k,
       SearchMode(conjunctive, slots, foundClauses, excludeTerms.filter(found.contains),
-        shouldFound, minShouldMatch, after))
+        shouldFound, minShouldMatch, after, phraseSlop))
     if (from == 0) hits else hits.slice(from, from + k)
   }
 

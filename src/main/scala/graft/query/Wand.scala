@@ -368,26 +368,53 @@ object Wand {
       excludes: Seq[DocCursor] = Nil,
       shoulds: Seq[TermIterator] = Nil,
       minShould: Int = 0,
-      after: Scored = null): Array[Scored] = {
+      after: Scored = null,
+      /** Ordered proximity window (ES `slop`, order-preserving): total
+        * extra token gaps allowed between consecutive phrase slots;
+        * 0 = exact adjacency. See [[phraseAt]].
+        */
+      slop: Int = 0): Array[Scored] = {
     if (phrase == null || phrase.isEmpty) return Array.empty
-    intersectTopK(lists, k, phrase, filters, excludes, shoulds, minShould, after)
+    intersectTopK(lists, k, phrase, filters, excludes, shoulds, minShould, after, slop)
   }
 
-  /** Does the phrase occur at the current (aligned) doc? slots(j) is the
-    * iterator of phrase position j; all slots sit on the same doc.
-    * Survivor starts after slot j: positions p where every slot i ≤ j has
-    * an occurrence at p + i.
+  /** Does the phrase occur at the current (aligned) doc within `slop`
+    * extra token gaps? slots(j) is the iterator of phrase position j;
+    * all slots sit on the same doc. Semantics: ORDERED proximity —
+    * strictly increasing positions p_0 < p_1 < … < p_{m-1}, one per
+    * slot, with total gap Σ(p_i − p_{i−1} − 1) = span − (m−1) ≤ slop.
+    * slop = 0 is exact adjacency (`match_phrase`); slop > 0 is the
+    * ordered ES `slop` shape (ES additionally permits REORDERING moves
+    * at slop ≥ 2 — this implementation keeps order, documented).
+    *
+    * Greedy minimal-chain check: for each start in slot 0, extend each
+    * later slot to its MINIMAL position past the previous slot. The
+    * greedy chain has the minimal span for that start (each choice is a
+    * lower bound for any valid chain), so testing span ≤ m−1+slop is
+    * exact; pointers only move forward across starts (starts increase ⇒
+    * minimal chains increase), giving O(Σ positions) total.
     */
-  private def phraseAt(slots: Array[TermIterator]): Boolean = {
-    var starts = slots(0).positions
-    var j = 1
-    while (j < slots.length && starts.length > 0) {
-      val pj = slots(j).positions
-      val off = j
-      starts = starts.filter(s => java.util.Arrays.binarySearch(pj, s + off) >= 0)
-      j += 1
+  private def phraseAt(slots: Array[TermIterator], slop: Int): Boolean = {
+    val pos = slots.map(_.positions)
+    val m = slots.length
+    if (m == 1) return pos(0).length > 0
+    val ptr = new Array[Int](m)
+    var s = 0
+    while (s < pos(0).length) {
+      val start = pos(0)(s)
+      var prev = start
+      var j = 1
+      while (j < m) {
+        val pj = pos(j)
+        while (ptr(j) < pj.length && pj(ptr(j)) <= prev) ptr(j) += 1
+        if (ptr(j) >= pj.length) return false // exhausted: no later start can match
+        prev = pj(ptr(j))
+        j += 1
+      }
+      if (prev - start - (m - 1) <= slop) return true
+      s += 1
     }
-    starts.length > 0
+    false
   }
 
   private def intersectTopK(
@@ -398,7 +425,8 @@ object Wand {
       excludes: Seq[DocCursor] = Nil,
       shoulds: Seq[TermIterator] = Nil,
       minShould: Int = 0,
-      after: Scored = null
+      after: Scored = null,
+      slop: Int = 0
   ): Array[Scored] = {
     if (lists.isEmpty || k <= 0) return Array.empty
     val fArr = filters.toArray
@@ -476,7 +504,7 @@ object Wand {
           if (fNext != candidate) { candidate = fNext; aligned = false }
         }
         if (aligned && candidate != Long.MaxValue) {
-          if (!excludedAt(eArr, candidate) && (slots == null || phraseAt(slots))) {
+          if (!excludedAt(eArr, candidate) && (slots == null || phraseAt(slots, slop))) {
             // advance shoulds to the candidate and count matches
             var nShould = 0
             var j = 0

@@ -205,6 +205,30 @@ class QuerySurfaceSpec extends SparkSpec {
     assert(searcher.fieldStats("definitely-notavocab-word", "dl").head().getLong(0) == 0L)
   }
 
+  test("proximity slop: widens the exact-phrase hit set monotonically, warm ≡ distributed") {
+    // 'the a' occurs adjacently AND at wider ordered gaps in the corpus;
+    // k above corpus size so the sets are complete (no top-k truncation)
+    val kAll = stats_n + 1
+    val exact = searcher.searchPhrase("the a", kAll)
+    val s1 = searcher.searchPhrase("the a", kAll, slop = 1)
+    val s3 = searcher.searchPhrase("the a", kAll, slop = 3)
+    assert(exact.nonEmpty)
+    assert(exact.map(_.docId).toSet.subsetOf(s1.map(_.docId).toSet))
+    assert(s1.map(_.docId).toSet.subsetOf(s3.map(_.docId).toSet))
+    assert(s3.length > exact.length, "slop never widened the match set — inert parameter?")
+    // scores are the conjunctive BM25 sum regardless of slop: a doc in
+    // both result sets scores identically
+    val exactScores = exact.map(s => s.docId -> s.score).toMap
+    assert(s3.filter(s => exactScores.contains(s.docId))
+      .forall(s => s.score == exactScores(s.docId)))
+    // warm path identical
+    assert(warmed.searchPhrase("the a", kAll, slop = 3).toSeq == s3.toSeq)
+    // slop = 0 is exactly the adjacency path
+    assert(searcher.searchPhrase("the a", kAll, slop = 0).toSeq == exact.toSeq)
+  }
+
+  private lazy val stats_n: Int = searcher.stats.n.toInt
+
   test("bool-filtered aggregations run over the FILTERED match set (ES aggs semantics)") {
     val terms = Analyzer.analyzeQuery("the").toSeq
     val base = docsDF
@@ -291,6 +315,10 @@ class QuerySurfaceSpec extends SparkSpec {
     val sPages = (0 until 2).map(p => single.search("the", 10, from = p * 10).toSeq)
     assert(mPages == sPages)
     assert(multi.searchAfter("the", 10, mPages(0).last).toSeq == mPages(1))
+    // proximity parity across segments
+    assert(multi.searchPhrase("the a", 20, slop = 2).toSeq
+      == single.searchPhrase("the a", 20, slop = 2).toSeq)
+    assert(multi.searchPhrase("the a", 20, slop = 2).nonEmpty)
 
     // resolve + highlight parity (fragments are pure functions of
     // (text, terms) — identical rows ⇒ identical fragments)

@@ -225,6 +225,57 @@ class WandSpec extends AnyFunSuite {
     }
   }
 
+  /** Does `doc` contain the phrase terms in order with total extra gap
+    * ≤ slop? Exhaustive DFS over position tuples — the proximity brute.
+    */
+  private def proximityMatch(doc: Array[String], phrase: Seq[String], slop: Int): Boolean = {
+    def go(slot: Int, from: Int, start: Int): Boolean = {
+      if (slot == phrase.length) return true
+      var p = from
+      while (p < doc.length) {
+        if (doc(p) == phrase(slot)) {
+          if (slot == phrase.length - 1) {
+            if (p - start - (phrase.length - 1) <= slop) return true
+          } else if (go(slot + 1, p + 1, start)) return true
+          // positions beyond can only grow the span for the LAST slot,
+          // but intermediate slots may still enable later chains — keep
+          // scanning (exhaustive)
+        }
+        p += 1
+      }
+      false
+    }
+    (0 until doc.length).exists(s0 =>
+      doc(s0) == phrase(0) && go(1, s0 + 1, s0))
+  }
+
+  test("ordered proximity (slop) ≡ exhaustive DFS on 150 random cases; slop=0 ≡ adjacency") {
+    for (i <- 1 to 150) {
+      val vocab = 2 + rnd.nextInt(6) // small vocab → real near-misses
+      val nDocs = 10 + rnd.nextInt(200)
+      val corpus = randomCorpus(nDocs, vocab)
+      val len = 2 + rnd.nextInt(2)
+      val phrase: Seq[String] =
+        if (i % 2 == 0) {
+          val d = corpus(rnd.nextInt(nDocs))
+          if (d.length >= len) { val s = rnd.nextInt(d.length - len + 1); d.slice(s, s + len).toSeq }
+          else Seq.fill(len)("t" + rnd.nextInt(vocab))
+        } else Seq.fill(len)("t" + rnd.nextInt(vocab))
+      val slop = rnd.nextInt(4)
+      val terms = phrase.distinct.sorted
+      val (iters, df, _, _) = buildIters(corpus, terms, Seq(4, 16, 128)(i % 3))
+      // brute: conjunctive scoring restricted to proximity-matching docs
+      val brute = bruteScore(corpus, terms, nDocs, conjunctive = true)
+        .filter(s => proximityMatch(corpus(s.docId.toInt), phrase, slop))
+        .take(10)
+      val got =
+        if (terms.exists(t => !df.contains(t))) Array.empty[Scored]
+        else Wand.topKPhrase(iters, phrase, 10, slop = slop)
+      assert(got.toSeq == brute,
+        s"proximity mismatch: phrase=$phrase slop=$slop\n got=${got.toSeq}\n want=$brute")
+    }
+  }
+
   /** Brute oracle with should semantics: score = BM25 sum over matched
     * (must ∪ should) terms in ascending term order; qualify = must-group
     * rule (≥1 for OR, all for AND) AND ≥ minShould should terms.
