@@ -65,6 +65,49 @@ object Demo {
     println("== top hit highlighted:")
     searcher.searchHighlighted(query, 1).select("docId", "fragment").show(false)
 
+    // round-4 surface: proximity, should/min_should_match, pagination,
+    // histogram/stats aggs
+    println(s"== proximity 'the a' slop 0/1/3 -> " +
+      Seq(0, 1, 3).map(s => searcher.searchPhrase("the a", 10000, slop = s).length)
+        .mkString("/") + " hits (ordered window widens monotonically)")
+    val boosted = searcher.searchBool(query, 5, should = "the")
+    println(s"== should-boosted '$query' + should 'the' -> top docId " +
+      s"${boosted.headOption.map(_.docId).getOrElse(-1L)} " +
+      s"(vs plain ${searcher.search(query, 5).headOption.map(_.docId).getOrElse(-1L)})")
+    println(s"== minimum_should_match 2 of 'the a of to' -> " +
+      s"${searcher.searchBool("", 5, should = "the a of to", minShouldMatch = 2).length} hits")
+    val p1 = searcher.search("the", 5)
+    val p2 = searcher.searchAfter("the", 5, p1.last)
+    println(s"== pagination: page1 ends at doc ${p1.last.docId}, " +
+      s"search_after continues with doc ${p2.headOption.map(_.docId).getOrElse(-1L)} " +
+      s"(= from=5 page: ${searcher.search("the", 5, from = 5).headOption.map(_.docId).getOrElse(-1L)})")
+    println("== dl histogram (width 20) over the 'the' match set:")
+    searcher.numericHistogram("the", "dl", 20).show(5, truncate = false)
+    println("== dl stats over the 'the' match set, filtered role=user:")
+    searcher.fieldStats("the", "dl", filters = Seq("role" -> "user")).show(false)
+
+    // cross-segment LWW upsert + delete (streaming dir; re-ingested key
+    // supersedes, deleted key vanishes; crash-atomic compaction)
+    println("== cross-segment upsert/delete demo:")
+    val segDir = java.nio.file.Files.createTempDirectory("graft-demo-segs").toString
+    import spark.implicits._
+    val base = Transcripts.generate(spark, math.min(nConvs, 100L))
+    graft.streaming.StreamingIngest.appendSegment(spark, base, segDir, 0L, cfg)
+    val upd = Seq(graft.model.Turn("conv-00000003", 1, "user",
+      "replacement text without any marker words", None,
+      new java.sql.Timestamp(1767312000000L))).toDS()
+    graft.streaming.StreamingIngest.appendSegment(spark, upd, segDir, 1L, cfg)
+    val nDel = graft.streaming.StreamingIngest.deleteTurns(spark, segDir,
+      Seq(("conv-00000017", 0)))
+    val multi = new graft.query.MultiSearcher(spark, segDir)
+    println(s"   re-ingested (conv-3, 1) and deleted (conv-17, 0) [$nDel doc] -> " +
+      s"'zanzibar quasar lattice' now ${multi.search("zanzibar quasar lattice", 10).length} hits " +
+      s"(was 2); LWW corpus N=${multi.n}")
+    val rep = graft.index.Compaction.compactInPlace(spark, segDir)
+    val afterCompact = new graft.query.MultiSearcher(spark, segDir)
+    println(s"   crash-atomic compactInPlace -> ${rep.segments} segs merged, N=${rep.n}; " +
+      s"post-compaction hits ${afterCompact.search("zanzibar quasar lattice", 10).length} (unchanged)")
+
     println("== oracle cross-check (exhaustive scorer, no index):")
     val oracle = Oracle.topK(spark.read.parquet(s"$indexDir/docs"), query, 10)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
