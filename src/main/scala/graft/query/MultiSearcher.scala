@@ -62,6 +62,29 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
   private val segStats: Seq[IndexStats] =
     segments.map(s => spark.read.parquet(s"$s/stats").as[IndexStats].head())
 
+  // ONE DataFrame per segment store, shared by every query path: a
+  // `warm()`ed searcher persists these, and Spark's cache manager then
+  // serves every pruned scan from the in-memory relation (plan-level
+  // cache matching on the shared analyzed plan)
+  private val segDicts: Seq[DataFrame] =
+    segments.map(s => spark.read.parquet(s"$s/dict"))
+  private val segBlocks: Seq[DataFrame] =
+    segments.map(s => spark.read.parquet(s"$s/blocks"))
+  private val segDocs: Seq[DataFrame] =
+    segments.map(s => spark.read.parquet(s"$s/docs"))
+
+  /** Pin every segment's dictionary and blocks in executor memory (the
+    * warm serving state for a streaming dir that is queried repeatedly
+    * between compactions — spills to disk if larger than memory).
+    * Results are identical either way (same frames, same plans).
+    */
+  def warm(): this.type = {
+    (segDicts ++ segBlocks).foreach { df =>
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
+    }
+    this
+  }
+
   private val rawN: Long = segStats.map(_.n).sum
   private val rawSumDl: Long = segStats.map(st => math.round(st.avgdl * st.n)).sum
 
@@ -84,8 +107,7 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
   private lazy val removedStats: (Long, Long, Map[String, Long]) = {
     if (tombBc.value.isEmpty) (0L, 0L, Map.empty[String, Long])
     else {
-      val union = segments.map(s =>
-        spark.read.parquet(s"$s/docs").select(col("docId"), col("dl"), col("text")))
+      val union = segDocs.map(_.select(col("docId"), col("dl"), col("text")))
         .reduce(_ unionByName _)
       val dead = union.join(tombDF, Seq("docId"), "left_semi")
         .select(col("dl"), Analyzer.tokensCol(col("text")).as("toks"))
@@ -113,9 +135,8 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
     */
   private def lookup(terms: Seq[String]): (Map[String, Long], Map[(Int, String), TermStats]) = {
     if (terms.isEmpty) return (Map.empty, Map.empty)
-    val unioned = segments.zipWithIndex.map { case (seg, i) =>
-      spark.read.parquet(s"$seg/dict")
-        .filter(col("term").isin(terms: _*))
+    val unioned = segDicts.zipWithIndex.map { case (d, i) =>
+      d.filter(col("term").isin(terms: _*))
         .select(lit(i).as("seg"), col("term"), col("termId"), col("shard"),
           col("df"), col("cf"), col("maxScore"))
     }.reduce(_ unionByName _)
@@ -167,18 +188,17 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
     // terms whose visible df fell to zero are pruned from the scan
     val idToTerm: Map[(Int, Long), (String, Long)] =
       perSeg.flatMap { case ((i, t), ts) => dfGlobal.get(t).map(df => (i, ts.termId) -> (t, df)) }
-    val segBlocks: Seq[DataFrame] = segments.zipWithIndex.flatMap { case (seg, i) =>
+    val prunedBlocks: Seq[DataFrame] = segBlocks.zipWithIndex.flatMap { case (b, i) =>
       val ids = perSeg.collect { case ((`i`, t), ts) if dfGlobal.contains(t) => ts }.toSeq
       if (ids.isEmpty) None
       else {
         val shards = ids.map(_.shard).distinct
-        Some(spark.read.parquet(s"$seg/blocks")
-          .filter(col("shard").isin(shards: _*) && col("termId").isin(ids.map(_.termId): _*))
+        Some(b.filter(col("shard").isin(shards: _*) && col("termId").isin(ids.map(_.termId): _*))
           .withColumn("seg", lit(i)))
       }
     }
-    if (segBlocks.isEmpty) return Array.empty
-    val all = segBlocks.reduce(_ unionByName _)
+    if (prunedBlocks.isEmpty) return Array.empty
+    val all = prunedBlocks.reduce(_ unionByName _)
       .select(col("seg").as("_1"), col("bucket").as("_2"),
         struct(all_block_cols: _*).as("_3"))
       .as[(Int, Int, PostingBlock)]
@@ -336,9 +356,8 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
   private def expandFieldRange(field: String, lo: String, hi: String): Seq[String] = {
     val prefix = FieldTerms.term(field, "")
     val valueCol = col("term").substr(lit(prefix.length + 1), lit(Int.MaxValue))
-    segments.map { s =>
-      spark.read.parquet(s"$s/dict")
-        .filter(col("term").startsWith(prefix) &&
+    segDicts.map { d =>
+      d.filter(col("term").startsWith(prefix) &&
           valueCol >= lit(lo) && valueCol <= lit(hi))
         .select(col("term"))
     }.reduce(_ unionByName _).distinct().as[String].collect().toSeq.sorted
@@ -353,8 +372,8 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
     */
   private def expand(sqlPred: org.apache.spark.sql.Column, maxExpansions: Int): Seq[String] = {
     val notField = !col("term").startsWith(FieldTerms.Prefix)
-    segments.map { s =>
-      spark.read.parquet(s"$s/dict").filter(notField && sqlPred).select(col("term"))
+    segDicts.map { d =>
+      d.filter(notField && sqlPred).select(col("term"))
     }.reduce(_ unionByName _).distinct()
       .orderBy(col("term")).limit(maxExpansions)
       .as[String].collect().toSeq
@@ -390,16 +409,15 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
     */
   private def decodeDocIds(perSeg: Map[(Int, String), TermStats],
       terms: Set[String]): Option[DataFrame] = {
-    val segBlocks = segments.zipWithIndex.flatMap { case (seg, i) =>
+    val pruned = segBlocks.zipWithIndex.flatMap { case (b, i) =>
       val ids = perSeg.collect { case ((`i`, t), ts) if terms.contains(t) => ts }.toSeq
       if (ids.isEmpty) None
-      else Some(spark.read.parquet(s"$seg/blocks")
-        .filter(col("shard").isin(ids.map(_.shard).distinct: _*) &&
+      else Some(b.filter(col("shard").isin(ids.map(_.shard).distinct: _*) &&
           col("termId").isin(ids.map(_.termId): _*))
         .select(col("docs"), col("count"), col("firstDocId")))
     }
-    if (segBlocks.isEmpty) None
-    else Some(segBlocks.reduce(_ unionByName _)
+    if (pruned.isEmpty) None
+    else Some(pruned.reduce(_ unionByName _)
       .as[(Array[Byte], Int, Long)]
       .flatMap { case (ds, n0, first) => graft.index.Codec.deltaDecode(ds, n0, first) }
       .toDF("docId")
@@ -542,7 +560,7 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
     * unique; tombstoned docs excluded — the LWW-visible corpus).
     */
   def docs: DataFrame = {
-    val union = segments.map(s => spark.read.parquet(s"$s/docs")).reduce(_ unionByName _)
+    val union = segDocs.reduce(_ unionByName _)
     if (Tombstones.exists(spark, indexDir)) union.join(tombDF, Seq("docId"), "left_anti")
     else union
   }

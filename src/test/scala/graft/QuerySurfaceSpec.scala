@@ -320,6 +320,14 @@ class QuerySurfaceSpec extends SparkSpec {
       == single.searchPhrase("the a", 20, slop = 2).toSeq)
     assert(multi.searchPhrase("the a", 20, slop = 2).nonEmpty)
 
+    // warm() pins the segment frames; results identical on every path
+    val warmMulti = new graft.query.MultiSearcher(spark, segIdx).warm()
+    assert(warmMulti.search("the zanzibar", 10).toSeq == multi.search("the zanzibar", 10).toSeq)
+    assert(warmMulti.searchPrefix("zanz", 10).toSeq == multi.searchPrefix("zanz", 10).toSeq)
+    assert(warmMulti.matchCount("the zanzibar") == multi.matchCount("the zanzibar"))
+    assert(warmMulti.searchBool("the", 10, numericRangeFilters = nr).toSeq
+      == multi.searchBool("the", 10, numericRangeFilters = nr).toSeq)
+
     // resolve + highlight parity (fragments are pure functions of
     // (text, terms) — identical rows ⇒ identical fragments)
     val mHi = multi.searchHighlighted("zanzibar quasar", 5)

@@ -389,6 +389,31 @@ class StreamingSpec extends SparkSpec {
     all.unpersist(blocking = false)
   }
 
+  test("appendSegment is idempotent per batchId (foreachBatch retry semantics)") {
+    val idx = s"${TestSpark.tmpRoot}/stream-idx-retry"
+    val cfg = IndexConfig(numBuckets = 1, partitions = 4)
+    val all = Transcripts.generate(spark, 20L).cache()
+    StreamingIngest.appendSegment(spark, all.filter($"conv_id" < "conv-00000010"), idx, 0L, cfg)
+    // batch 1 re-ingests one existing turn AND adds new convs — then the
+    // whole batch call is RETRIED (a crashed foreachBatch re-runs)
+    val b1 = all.filter($"conv_id" >= "conv-00000010").toDF()
+      .unionByName(all.toDF().filter($"conv_id" === "conv-00000003" && $"turn_idx" === 1)
+        .withColumn("text", org.apache.spark.sql.functions.lit("retry upsert body")))
+      .as[graft.model.Turn]
+    StreamingIngest.appendSegment(spark, b1, idx, 1L, cfg)
+    val before = new graft.query.MultiSearcher(spark, idx).docs
+      .orderBy($"conv_id", $"turn_idx")
+      .select("conv_id", "turn_idx", "text").as[(String, Long, String)].collect().toSeq
+    StreamingIngest.appendSegment(spark, b1, idx, 1L, cfg) // the retry
+    val multi = new graft.query.MultiSearcher(spark, idx)
+    val after = multi.docs.orderBy($"conv_id", $"turn_idx")
+      .select("conv_id", "turn_idx", "text").as[(String, Long, String)].collect().toSeq
+    assert(after == before, "retry changed the visible corpus")
+    assert(multi.docs.select("conv_id", "turn_idx").distinct().count() == multi.docs.count())
+    assert(multi.docs.filter($"text" === "retry upsert body").count() == 1)
+    all.unpersist(blocking = false)
+  }
+
   test("windowed streaming agg over the turn stream (memory sink)") {
     val src = s"${TestSpark.tmpRoot}/stream-agg-src"
     Transcripts.generate(spark, 40L).write.parquet(src)
