@@ -153,6 +153,11 @@ object Compaction {
     val sumDl = row("sumdl").asInstanceOf[Long]
     val maxDocId = row("mx").asInstanceOf[Long]
     val avgdl = if (n == 0) 0.0 else sumDl.toDouble / n
+    // an all-deleted corpus would compact to an index with no block
+    // files (unreadable by Searcher — same as IndexBuilder's n=0 early
+    // return); refuse loudly rather than swap in a broken index
+    require(n > 0,
+      "every live document is tombstoned — nothing to compact; delete the index dir instead")
 
     // merged dictionary with fresh termIds — materialized exactly once
     // (monotonically_increasing_id must not be recomputed across

@@ -34,8 +34,9 @@ import graft.model.{IndexStats, PostingBlock, Scored, TermStats}
   * [[Wand.SortedArrayCursor]] exclude, the doc-store paths via
   * anti-join), and the global statistics are ADJUSTED EXACTLY: the
   * superseded docs still sit in their segments' doc stores, so one
-  * bounded job (∝ tombstone volume, not corpus) re-derives their N /
-  * Σdl / per-term df contributions and subtracts them — scores are
+  * bounded job (docId-range-pruned scan of the affected segments;
+  * re-tokenize cost ∝ tombstone volume) re-derives their N / Σdl /
+  * per-term df contributions and subtracts them — scores are
   * therefore bit-identical to an index that never contained the old
   * versions, unlike Lucene's deleted-doc model where IDF counts
   * deletes until merge. Segment membership resolves through the
@@ -97,7 +98,9 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
 
   /** Exact statistic contributions of the tombstoned docs — (count,
     * Σdl, per-term df over their DISTINCT terms), re-derived from the
-    * doc stores in one job ∝ tombstone volume. Subtracting them makes
+    * doc stores in one range-pruned job (scan cost ∝ segments the
+    * tombstone docId range touches; tokenize cost ∝ tombstone volume).
+    * Subtracting them makes
     * every stat exact over the LWW-visible corpus, so scores match a
     * never-contained-the-old-versions index bit-for-bit (StreamingSpec
     * pins this against the exhaustive oracle AND the compacted index).
@@ -107,7 +110,15 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
   private lazy val removedStats: (Long, Long, Map[String, Long]) = {
     if (tombBc.value.isEmpty) (0L, 0L, Map.empty[String, Long])
     else {
-      val union = segDocs.map(_.select(col("docId"), col("dl"), col("text")))
+      // docId-range prefilter: tombstones cluster in the segments whose
+      // keys were superseded, and doc stores are docId-ordered — the
+      // pushed bounds let parquet row-group stats skip everything
+      // outside [min, max] of the tombstone set, so the text column of
+      // unaffected segments is never read
+      val lo = tombBc.value.head
+      val hi = tombBc.value.last
+      val union = segDocs.map(_.select(col("docId"), col("dl"), col("text"))
+        .filter(col("docId") >= lit(lo) && col("docId") <= lit(hi)))
         .reduce(_ unionByName _)
       val dead = union.join(tombDF, Seq("docId"), "left_semi")
         .select(col("dl"), Analyzer.tokensCol(col("text")).as("toks"))
