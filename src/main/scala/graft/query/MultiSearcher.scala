@@ -500,13 +500,19 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
       descending: Boolean = true,
       filters: Seq[(String, String)] = Nil,
       mustNot: Seq[(String, String)] = Nil,
-      numericRangeFilters: Seq[(String, Long, Long)] = Nil): DataFrame = {
+      numericRangeFilters: Seq[(String, Long, Long)] = Nil,
+      /** Pagination offset on the field ordering (ES sort + from);
+        * plans as TakeOrderedAndProject with limit+offset — still
+        * per-partition heaps, never a global sort.
+        */
+      from: Int = 0): DataFrame = {
     val ord =
       if (descending) Seq(col(field).desc, col("docId").asc)
       else Seq(col(field).asc, col("docId").asc)
     docs.select(col("docId"), col(field))
       .join(matchingOrEmpty(query, filters, mustNot, numericRangeFilters), Seq("docId"))
       .orderBy(ord: _*)
+      .offset(from)
       .limit(k)
   }
 

@@ -737,7 +737,12 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
       descending: Boolean = true,
       filters: Seq[(String, String)] = Nil,
       mustNot: Seq[(String, String)] = Nil,
-      numericRangeFilters: Seq[(String, Long, Long)] = Nil): DataFrame = {
+      numericRangeFilters: Seq[(String, Long, Long)] = Nil,
+      /** Pagination offset on the field ordering (ES sort + from);
+        * plans as TakeOrderedAndProject with limit+offset — still
+        * per-partition heaps, never a global sort.
+        */
+      from: Int = 0): DataFrame = {
     val ord =
       if (descending) Seq(col(field).desc, col("docId").asc)
       else Seq(col(field).asc, col("docId").asc)
@@ -747,6 +752,7 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
         docs.select(col("docId"), col(field))
           .join(matching, Seq("docId"))
           .orderBy(ord: _*)
+          .offset(from)
           .limit(k)
     }
   }

@@ -165,6 +165,10 @@ class QuerySurfaceSpec extends SparkSpec {
     // from beyond the match set → empty
     val total = searcher.matchCount("zanzibar").toInt
     assert(searcher.search("zanzibar", 10, from = total).isEmpty)
+    // field-sort pagination tiles the field ordering too
+    val sortAll = searcher.searchSortedBy("the", "dl", 20).as[(Long, Int)].collect().toSeq
+    val sortP2 = searcher.searchSortedBy("the", "dl", 10, from = 10).as[(Long, Int)].collect().toSeq
+    assert(sortAll.drop(10) == sortP2 && sortP2.nonEmpty)
     // bool pagination composes with filters
     val boolFull = searcher.searchBool("the", 20, filters = Seq("role" -> "user")).toSeq
     val boolP2 = searcher.searchBool("the", 10, filters = Seq("role" -> "user"), from = 10).toSeq
