@@ -43,6 +43,23 @@ private[query] final case class SearchMode(
     after: Scored = null,
     slop: Int = 0)
 
+/** One query of a batched `_msearch`-style request
+  * ([[Searcher.searchManyBool]]): the full bool surface minus
+  * lexicographic `rangeFilters` (whose dictionary expansion is
+  * per-query — use the trie `numericRangeFilters`).
+  */
+final case class BoolQuerySpec(
+    query: String = "",
+    conjunctive: Boolean = false,
+    phrase: Boolean = false,
+    filters: Seq[(String, String)] = Nil,
+    mustNot: Seq[(String, String)] = Nil,
+    anyFilters: Seq[(String, Seq[String])] = Nil,
+    numericRangeFilters: Seq[(String, Long, Long)] = Nil,
+    should: String = "",
+    minShouldMatch: Int = 0,
+    phraseSlop: Int = 0)
+
 /** Pattern-compile helpers shared by the single-index and cross-segment
   * term-expansion paths (ES `wildcard` rewrite): the Scala regex and the
   * SQL LIKE pattern MUST stay equivalent (AnalyzerSpec-style parity is
@@ -337,6 +354,91 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
         .sortBy(s => (-s.score, s.docId))
         .take(k)
     }.toMap
+  }
+
+  /** Batched execution of FULL bool queries — the ES `_msearch` shape:
+    * N heterogeneous queries (OR / AND / phrase+slop / filters /
+    * must_not / terms / trie ranges / should+minimum_should_match) in
+    * ONE Spark job. One dictionary lookup and one pruned block scan
+    * cover the union of every spec's terms; per bucket, each spec runs
+    * through the same [[Searcher.runBucket]] dispatch as its standalone
+    * API, so results are identical to issuing the specs one at a time
+    * (test-pinned). Warm searchers answer each spec in-process with
+    * zero jobs. (Lexicographic `rangeFilters` are not batchable — their
+    * dictionary expansion is per-query; use `numericRangeFilters`.)
+    */
+  def searchManyBool(specs: Seq[BoolQuerySpec], k: Int): Seq[Array[Scored]] = {
+    final case class Prep(scoredTerms: Seq[String], slots: Seq[String],
+        clauses: Seq[Seq[String]], excludeTerms: Seq[String], shouldTerms: Seq[String])
+    val preps = specs.map { sp =>
+      val slots = if (sp.phrase) Analyzer.tokenize(sp.query).toSeq else null
+      val scoredTerms =
+        if (sp.phrase) Option(slots).getOrElse(Nil).distinct.sorted
+        else Analyzer.analyzeQuery(sp.query).toSeq
+      val shouldTerms = Analyzer.analyzeQuery(sp.should).filterNot(scoredTerms.contains).toSeq
+      val clauses: Seq[Seq[String]] =
+        sp.filters.map { case (f, v) => Seq(graft.index.FieldTerms.term(f, v)) } ++
+          sp.anyFilters.map { case (f, vs) =>
+            vs.distinct.map(v => graft.index.FieldTerms.term(f, v)) } ++
+          sp.numericRangeFilters.map { case (f, lo, hi) =>
+            graft.index.FieldTerms.trieRangeTerms(f, lo, hi) }
+      Prep(scoredTerms, slots, clauses,
+        sp.mustNot.map { case (f, v) => graft.index.FieldTerms.term(f, v) }.distinct,
+        shouldTerms)
+    }
+    val allTerms = preps.flatMap(p =>
+      p.scoredTerms ++ p.shouldTerms ++ p.clauses.flatten ++ p.excludeTerms).distinct.sorted
+    val found = lookupTerms(allTerms)
+    // per-spec resolution mirrors searchBool's early-empty rules exactly
+    val resolved: Seq[Option[(Seq[(String, TermStats)], SearchMode)]] =
+      preps.zip(specs).map { case (p, sp) =>
+        val needAll = sp.conjunctive || sp.phrase
+        val foundClauses = p.clauses.map(_.filter(found.contains))
+        val shouldFound = p.shouldTerms.filter(found.contains)
+        if ((p.scoredTerms.isEmpty && p.shouldTerms.isEmpty) ||
+          (sp.phrase && (p.slots == null || p.slots.isEmpty)) ||
+          foundClauses.exists(_.isEmpty) ||
+          (needAll && p.scoredTerms.exists(t => !found.contains(t))) ||
+          (p.scoredTerms.nonEmpty && !p.scoredTerms.exists(found.contains)) ||
+          shouldFound.size < sp.minShouldMatch) None
+        else {
+          val terms = (p.scoredTerms ++ shouldFound ++ foundClauses.flatten ++
+            p.excludeTerms).distinct.filter(found.contains)
+          Some((terms.map(t => t -> found(t)),
+            SearchMode(sp.conjunctive, p.slots, foundClauses,
+              p.excludeTerms.filter(found.contains), shouldFound, sp.minShouldMatch,
+              null, sp.phraseSlop)))
+        }
+      }
+    if (!resolved.exists(_.isDefined)) return specs.map(_ => Array.empty[Scored])
+    if (localIdx != null)
+      return resolved.map {
+        case Some((fs, m)) => runLocal(fs.toMap, k, m)
+        case None => Array.empty[Scored]
+      }
+    val nG = stats.n
+    val avgdlG = stats.avgdl
+    val work: Seq[(Int, Seq[(String, TermStats)], SearchMode)] =
+      resolved.zipWithIndex.collect { case (Some((f, m)), i) => (i, f, m) }
+    val allStats = work.flatMap(_._2.map(_._2)).groupBy(_.termId).map(_._2.head)
+    val rows = selectBlocks(allStats)
+      .as[PostingBlock]
+      .groupByKey(_.bucket)
+      .flatMapGroups { (_, it) =>
+        val byTerm = it.toArray.groupBy(_.termId)
+        work.iterator.flatMap { case (i, foundSeq, mode) =>
+          Searcher.runBucket(byTerm, foundSeq, mode, k, nG, avgdlG)
+            .map(s => (i, s.docId, s.score))
+        }
+      }
+      .collect()
+    val grouped = rows.groupBy(_._1)
+    specs.indices.map { i =>
+      grouped.getOrElse(i, Array.empty)
+        .map(r => Scored(r._2, r._3))
+        .sortBy(s => (-s.score, s.docId))
+        .take(k)
+    }
   }
 
   /** Conjunctive (AND) BM25 top-k. */

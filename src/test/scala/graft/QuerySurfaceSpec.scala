@@ -264,6 +264,40 @@ class QuerySurfaceSpec extends SparkSpec {
     base.unpersist(blocking = false)
   }
 
+  test("searchManyBool: heterogeneous batch in one job ≡ standalone calls (warm + distributed)") {
+    import graft.query.BoolQuerySpec
+    val specs = Seq(
+      BoolQuerySpec("the zanzibar"),
+      BoolQuerySpec("the a", conjunctive = true),
+      BoolQuerySpec("the a", phrase = true, phraseSlop = 2),
+      BoolQuerySpec("the", filters = Seq("role" -> "user"),
+        numericRangeFilters = Seq(("dl", 30L, 80L))),
+      BoolQuerySpec("zanzibar", should = "the quasar", minShouldMatch = 1),
+      BoolQuerySpec("", should = "t10 t11 t12 t13", minShouldMatch = 2),
+      BoolQuerySpec("the", mustNot = Seq("role" -> "user")),
+      BoolQuerySpec("definitely-notavocab-word"), // → empty slot
+      BoolQuerySpec("the", filters = Seq("role" -> "no-such-value")) // → empty slot
+    )
+    def standalone(s: Searcher): Seq[Seq[graft.model.Scored]] = Seq(
+      s.search("the zanzibar", 10).toSeq,
+      s.searchConjunctive("the a", 10).toSeq,
+      s.searchPhrase("the a", 10, slop = 2).toSeq,
+      s.searchBool("the", 10, filters = Seq("role" -> "user"),
+        numericRangeFilters = Seq(("dl", 30L, 80L))).toSeq,
+      s.searchBool("zanzibar", 10, should = "the quasar", minShouldMatch = 1).toSeq,
+      s.searchBool("", 10, should = "t10 t11 t12 t13", minShouldMatch = 2).toSeq,
+      s.searchBool("the", 10, mustNot = Seq("role" -> "user")).toSeq,
+      Seq.empty, Seq.empty)
+    val wantCold = standalone(searcher)
+    val gotCold = searcher.searchManyBool(specs, 10).map(_.toSeq)
+    assert(gotCold == wantCold, "distributed batch differs from standalone")
+    // the pure-should m=2 slot (index 5) may be legitimately empty at
+    // this corpus size; every other non-sentinel slot must produce hits
+    assert(Seq(0, 1, 2, 3, 4, 6).forall(i => gotCold(i).nonEmpty))
+    val gotWarm = warmed.searchManyBool(specs, 10).map(_.toSeq)
+    assert(gotWarm == wantCold, "warm batch differs from standalone")
+  }
+
   test("cross-segment parity: MultiSearcher answers the full surface like the compacted index") {
     val segIdx = s"${TestSpark.tmpRoot}/surface-segmented"
     val all = Transcripts.generate(spark, 120L).cache()
