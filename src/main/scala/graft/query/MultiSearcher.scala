@@ -51,6 +51,22 @@ import graft.model.{IndexStats, PostingBlock, Scored, TermStats}
   * (tf, dl) streams with the global stats makes results rank-identical
   * to an exhaustive oracle over the LWW-deduped union (StreamingSpec).
   */
+/** Driver-resolved execution state of one batched query (serializable —
+  * rides the task closure of [[MultiSearcher.searchManyBool]]'s single
+  * job): all term lists are restricted to GLOBALLY-found terms; the
+  * per-group emptiness rules re-check bucket-local presence.
+  */
+private[query] final case class MsSpecWork(
+    idx: Int,
+    scored: Seq[String],
+    shoulds: Seq[String],
+    clauses: Seq[Seq[String]],
+    excludes: Seq[String],
+    conjunctive: Boolean,
+    slots: Seq[String],
+    minShould: Int,
+    slop: Int)
+
 class MultiSearcher(spark: SparkSession, indexDir: String) {
   import spark.implicits._
 
@@ -357,6 +373,131 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
       mustNot.map { case (f, v) => FieldTerms.term(f, v) }.distinct,
       shouldTerms, minShouldMatch, after, phraseSlop)
     if (from == 0) hits else hits.slice(from, from + k)
+  }
+
+  /** Batched full-bool-surface execution across ALL segments (ES
+    * `_msearch` over an unmerged index): one unioned dictionary lookup
+    * and ONE job whose pruned block scan covers the union of every
+    * spec's terms; per (segment, bucket) group each spec builds fresh
+    * cursors and dispatches through the same Wand calls as its
+    * standalone API — results are identical to issuing the specs one
+    * at a time (test-pinned), including tombstone exclusion and the
+    * exact LWW statistics.
+    */
+  def searchManyBool(specs: Seq[BoolQuerySpec], k: Int): Seq[Array[Scored]] = {
+    val preps = specs.map { sp =>
+      val slots = if (sp.phrase) Analyzer.tokenize(sp.query).toSeq else null
+      val scoredTerms =
+        if (sp.phrase) Option(slots).getOrElse(Nil).distinct.sorted
+        else Analyzer.analyzeQuery(sp.query).toSeq
+      val shouldTerms = Analyzer.analyzeQuery(sp.should).filterNot(scoredTerms.contains).toSeq
+      val clauses: Seq[Seq[String]] =
+        sp.filters.map { case (f, v) => Seq(FieldTerms.term(f, v)) } ++
+          sp.anyFilters.map { case (f, vs) =>
+            vs.distinct.map(v => FieldTerms.term(f, v)) } ++
+          sp.numericRangeFilters.map { case (f, lo, hi) => FieldTerms.trieRangeTerms(f, lo, hi) }
+      (slots, scoredTerms, shouldTerms, clauses,
+        sp.mustNot.map { case (f, v) => FieldTerms.term(f, v) }.distinct)
+    }
+    val allTerms = preps.flatMap(p => p._2 ++ p._3 ++ p._4.flatten ++ p._5).distinct.sorted
+    val (dfGlobal, perSeg) = lookup(allTerms)
+    // per-spec resolution mirrors searchBool/run's early-empty rules
+    val works: Seq[Option[MsSpecWork]] =
+      preps.zip(specs).zipWithIndex.map { case (((slots, sc, sh, cls, ex), sp), i) =>
+        val needAll = sp.conjunctive || sp.phrase
+        val foundClauses = cls.map(_.filter(dfGlobal.contains))
+        val shouldFound = sh.filter(dfGlobal.contains)
+        if ((sc.isEmpty && sh.isEmpty) ||
+          (sp.phrase && (slots == null || slots.isEmpty)) ||
+          foundClauses.exists(_.isEmpty) ||
+          (needAll && sc.exists(t => !dfGlobal.contains(t))) ||
+          (sc.nonEmpty && !sc.exists(dfGlobal.contains)) ||
+          shouldFound.size < sp.minShouldMatch) None
+        else Some(MsSpecWork(i, sc.filter(dfGlobal.contains), shouldFound, foundClauses,
+          ex.filter(dfGlobal.contains), sp.conjunctive, slots, sp.minShouldMatch,
+          sp.phraseSlop))
+      }
+    val active = works.flatten
+    if (active.isEmpty) return specs.map(_ => Array.empty[Scored])
+    val needed = active.flatMap(w =>
+      w.scored ++ w.shoulds ++ w.clauses.flatten ++ w.excludes).toSet
+    val idToTerm: Map[(Int, Long), (String, Long)] =
+      perSeg.flatMap { case ((i, t), ts) =>
+        if (needed.contains(t)) dfGlobal.get(t).map(df => (i, ts.termId) -> (t, df)) else None
+      }
+    val prunedBlocks: Seq[DataFrame] = segBlocks.zipWithIndex.flatMap { case (b, i) =>
+      val ids = perSeg.collect {
+        case ((`i`, t), ts) if needed.contains(t) && dfGlobal.contains(t) => ts
+      }.toSeq
+      if (ids.isEmpty) None
+      else Some(b.filter(col("shard").isin(ids.map(_.shard).distinct: _*) &&
+          col("termId").isin(ids.map(_.termId): _*))
+        .withColumn("seg", lit(i)))
+    }
+    if (prunedBlocks.isEmpty) return specs.map(_ => Array.empty[Scored])
+    val all = prunedBlocks.reduce(_ unionByName _)
+      .select(col("seg").as("_1"), col("bucket").as("_2"),
+        struct(all_block_cols: _*).as("_3"))
+      .as[(Int, Int, PostingBlock)]
+    val nG = n
+    val avgdlG = avgdl
+    val tb = tombBc
+    val ws = active
+    val rows = all
+      .groupByKey { case (seg, bucket, _) => (seg, bucket) }
+      .flatMapGroups { (_, it) =>
+        val grp = it.toArray
+        val segIdx = grp.head._1
+        val byTerm: Map[String, (Array[PostingBlock], Long)] =
+          grp.map(_._3).groupBy(_.termId).map { case (tid, bs) =>
+            val (t, df) = idToTerm((segIdx, tid))
+            t -> (bs, df)
+          }
+        def iterOf(t: String, scored: Boolean): Option[Wand.TermIterator] =
+          byTerm.get(t).map { case (bs, df) =>
+            val ub =
+              if (scored) bs.iterator.map(b => Bm25.score(b.maxTf, df, 0, nG, avgdlG)).max
+              else 0.0
+            new Wand.TermIterator(t, bs, ub, df, nG, avgdlG, staleBlockMax = true)
+          }
+        ws.iterator.flatMap { w =>
+          val iters = w.scored.flatMap(t => iterOf(t, scored = true))
+          val shoulds = w.shoulds.flatMap(t => iterOf(t, scored = true))
+          val clauseCursors: Seq[Option[Wand.DocCursor]] = w.clauses.map { clause =>
+            val members = clause.flatMap(t => iterOf(t, scored = false))
+            if (members.isEmpty) None
+            else if (members.size == 1) Some(members.head)
+            else Some(new Wand.UnionCursor(members))
+          }
+          val filters = clauseCursors.flatten
+          val excludes: Seq[Wand.DocCursor] =
+            w.excludes.flatMap(t => iterOf(t, scored = false)) ++
+              (if (tb.value.isEmpty) Nil else Seq(new Wand.SortedArrayCursor(tb.value)))
+          if ((w.scored.nonEmpty && iters.isEmpty) ||
+            (iters.isEmpty && shoulds.isEmpty) ||
+            ((w.conjunctive || w.slots != null) && iters.size < w.scored.size) ||
+            shoulds.size < w.minShould ||
+            clauseCursors.exists(_.isEmpty)) Iterator.empty
+          else {
+            val top =
+              if (w.slots != null)
+                Wand.topKPhrase(iters, w.slots, k, filters, excludes, shoulds, w.minShould,
+                  null, w.slop)
+              else if (w.conjunctive)
+                Wand.topKConjunctive(iters, k, filters, excludes, shoulds, w.minShould)
+              else Wand.topK(iters, k, filters, excludes, shoulds, w.minShould)
+            top.iterator.map(s => (w.idx, s.docId, s.score))
+          }
+        }
+      }
+      .collect()
+    val grouped = rows.groupBy(_._1)
+    specs.indices.map { i =>
+      grouped.getOrElse(i, Array.empty)
+        .map(r => Scored(r._2, r._3))
+        .sortBy(s => (-s.score, s.docId))
+        .take(k)
+    }
   }
 
   /** Stored `#field:value` terms with lo ≤ value ≤ hi across ALL

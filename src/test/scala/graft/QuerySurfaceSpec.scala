@@ -358,6 +358,29 @@ class QuerySurfaceSpec extends SparkSpec {
       == single.searchPhrase("the a", 20, slop = 2).toSeq)
     assert(multi.searchPhrase("the a", 20, slop = 2).nonEmpty)
 
+    // cross-segment batched _msearch ≡ standalone multi calls ≡ the
+    // compacted index's batch (one job for the whole heterogeneous set)
+    val batch = Seq(
+      graft.query.BoolQuerySpec("the zanzibar"),
+      graft.query.BoolQuerySpec("the a", conjunctive = true),
+      graft.query.BoolQuerySpec("the a", phrase = true, phraseSlop = 2),
+      graft.query.BoolQuerySpec("the", filters = Seq("role" -> "user"),
+        numericRangeFilters = Seq(("dl", 40L, 90L))),
+      graft.query.BoolQuerySpec("zanzibar", should = "the quasar", minShouldMatch = 1),
+      graft.query.BoolQuerySpec("definitely-notavocab-word"))
+    val mBatch = multi.searchManyBool(batch, 10).map(_.toSeq)
+    assert(mBatch == Seq(
+      multi.search("the zanzibar", 10).toSeq,
+      multi.searchConjunctive("the a", 10).toSeq,
+      multi.searchPhrase("the a", 10, slop = 2).toSeq,
+      multi.searchBool("the", 10, filters = Seq("role" -> "user"),
+        numericRangeFilters = Seq(("dl", 40L, 90L))).toSeq,
+      multi.searchBool("zanzibar", 10, should = "the quasar", minShouldMatch = 1).toSeq,
+      Seq.empty), "cross-segment batch differs from standalone")
+    assert(mBatch == single.searchManyBool(batch, 10).map(_.toSeq),
+      "cross-segment batch differs from compacted batch")
+    assert(mBatch.take(5).forall(_.nonEmpty))
+
     // warm() pins the segment frames; results identical on every path
     val warmMulti = new graft.query.MultiSearcher(spark, segIdx).warm()
     assert(warmMulti.search("the zanzibar", 10).toSeq == multi.search("the zanzibar", 10).toSeq)
