@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
 import graft.model.{BuildManifest, IndexStats, PostingBlock, TermStats}
 import graft.query.Bm25
 
-final case class CompactionReport(segments: Int, n: Long, vocab: Long, buckets: Int)
+final case class CompactionReport(segments: Int, n: Long, vocab: Long, buckets: Int,
+  consumedTombstones: Seq[String] = Nil)
 
 /** Segment compaction: merge the LIVE `seg-*` sub-indexes under an index
   * dir into ONE ordinary index (readable by a single `Searcher`),
@@ -133,9 +134,16 @@ object Compaction {
     val segments = SegmentCatalog.liveSegments(spark, indexDir)
     require(segments.nonEmpty, s"no live seg-* sub-indexes under $indexDir")
     val snap = s"compact:${segments.map(_.split('/').last).mkString(",")}"
-    val tomb = Tombstones.loadSorted(spark, indexDir)
+    // ONE tombstone snapshot drives the whole compaction (round-4
+    // review): the sorted array (postings filter), the anti-join frame
+    // (doc-store filter) and the final cleanup all see exactly these
+    // files, so a tombstone appended by concurrent ingest mid-compact
+    // can neither drop a doc whose postings survive nor be destroyed by
+    // cleanup before any reader applied it.
+    val tombFiles = Tombstones.listDataFiles(spark, indexDir)
+    val tomb = Tombstones.loadSorted(spark, tombFiles)
     val tombBc = spark.sparkContext.broadcast(tomb)
-    val tombDF = Tombstones.loadDF(spark, indexDir)
+    val tombDF = Tombstones.loadDF(spark, tombFiles)
 
     // surviving doc store union (docIds globally unique already); stats
     // ride the write job — Σdl is exact (integer-valued dl per doc)
@@ -289,7 +297,7 @@ object Compaction {
     // key bloom for the merged segment: future appends prune their
     // upsert key-lookup against it like any built segment's
     Tombstones.writeKeyBloom(spark, outDir, spark.read.parquet(s"$outDir/docs"), n)
-    CompactionReport(segments.size, n, nVocab, nBuckets)
+    CompactionReport(segments.size, n, nVocab, nBuckets, tombFiles)
   }
 
   /** Compact in place: merge the live seg-* into `$indexDir/
@@ -305,19 +313,35 @@ object Compaction {
     val fs = new Path(indexDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = s"$indexDir/.compact-tmp"
     if (fs.exists(new Path(tmp))) fs.delete(new Path(tmp), true) // stale crash leftover
+    // 0. FINISH any interrupted cleanup first (round-4 review: a crash
+    //    during step 3 of a PREVIOUS compaction leaves its retired dirs
+    //    on disk, excluded only by the current pointer; writing a new
+    //    pointer below would drop that exclusion and resurrect them as
+    //    live segments). The pointer's retired set is out-of-catalog by
+    //    definition while its live segment exists, so deleting it here
+    //    is exactly the cleanup the crashed run owed.
+    SegmentCatalog.readPointer(fs, indexDir).foreach { ptr =>
+      if (fs.exists(new Path(s"$indexDir/${ptr.live}")))
+        ptr.retired.foreach(nm => fs.delete(new Path(s"$indexDir/$nm"), true))
+    }
     val liveBefore = SegmentCatalog.liveSegments(fs, indexDir)
-    val tombDir = new Path(Tombstones.dir(indexDir))
     val report = compact(spark, indexDir, tmp)
     val target = SegmentCatalog.nextCompactedName(fs, indexDir)
     // 1. retire the inputs in one atomic pointer write — ignored by
     //    readers until the live segment exists
     SegmentCatalog.writePointer(fs, indexDir, SegmentCatalog.Pointer(
       target, liveBefore.map(s => new Path(s).getName).toSet))
-    // 2. the flip: tmp becomes the live segment
-    fs.rename(new Path(tmp), new Path(s"$indexDir/$target"))
-    // 3. cleanup (crash here leaves retired dirs on disk, out of catalog)
+    // 2. the flip: tmp becomes the live segment (rename failure must not
+    //    proceed to cleanup — the old segments are still authoritative)
+    require(fs.rename(new Path(tmp), new Path(s"$indexDir/$target")),
+      s"rename $tmp -> $indexDir/$target failed; old segments remain authoritative")
+    // 3. cleanup (crash here leaves retired dirs on disk, out of
+    //    catalog; step 0 of the NEXT compaction removes them). Only the
+    //    tombstone files the compaction actually consumed are deleted —
+    //    files appended by concurrent ingest stay (their docIds were NOT
+    //    dropped by this merge and must remain excluded).
     liveBefore.foreach(s => fs.delete(new Path(s), true))
-    if (fs.exists(tombDir)) fs.delete(tombDir, true)
+    Tombstones.clearFiles(spark, indexDir, report.consumedTombstones)
     report
   }
 }

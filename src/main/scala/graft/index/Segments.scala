@@ -54,7 +54,12 @@ object SegmentCatalog {
     catch { case _: Exception => None }
   }
 
-  /** One tmp-write + rename (atomic on HDFS/posix semantics). */
+  /** One tmp-write + ATOMIC overwriting rename (round-4 review: the old
+    * delete-then-rename pair had a crash window with NO pointer file,
+    * which widened the retired-dir resurrection window). FileContext
+    * rename-with-OVERWRITE is atomic on HDFS and posix local fs; any
+    * failure throws rather than proceeding silently.
+    */
   def writePointer(fs: FileSystem, indexDir: String, ptr: Pointer): Unit = {
     val p = pointerPath(indexDir)
     val tmp = new Path(indexDir, PointerName + ".tmp")
@@ -62,8 +67,9 @@ object SegmentCatalog {
     out.write(s"live=${ptr.live}\nretired=${ptr.retired.toSeq.sorted.mkString(",")}\n"
       .getBytes(StandardCharsets.UTF_8))
     out.close()
-    fs.delete(p, false)
-    fs.rename(tmp, p)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, fs.getConf)
+    fc.rename(fc.makeQualified(tmp), fc.makeQualified(p),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** The LIVE `seg-*` segment dirs under `indexDir`, sorted (determinism).
@@ -150,6 +156,50 @@ object Tombstones {
     import spark.implicits._
     if (!exists(spark, indexDir)) Array.empty
     else loadDF(spark, indexDir).as[Long].collect().sorted
+  }
+
+  /** The store's current parquet data-file paths — a compaction
+    * SNAPSHOT: every read during the compaction and the final cleanup
+    * must use this one list, so tombstones appended by ingest running
+    * concurrently with the (long) compact job are neither applied
+    * half-way (docs write vs. postings filter diverging) nor destroyed
+    * by cleanup (round-4 review).
+    */
+  def listDataFiles(spark: SparkSession, indexDir: String): Seq[String] = {
+    val p = new Path(dir(indexDir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.filter(_.isFile).map(_.getPath)
+      .filter(q => !q.getName.startsWith("_") && !q.getName.startsWith("."))
+      .map(_.toString).sorted
+  }
+
+  /** Distinct docIds from exactly `files` (a [[listDataFiles]] snapshot). */
+  def loadDF(spark: SparkSession, files: Seq[String]): DataFrame = {
+    import spark.implicits._
+    if (files.isEmpty) Seq.empty[Long].toDF("docId")
+    else spark.read.parquet(files: _*).select(col("docId")).distinct()
+  }
+
+  def loadSorted(spark: SparkSession, files: Seq[String]): Array[Long] = {
+    import spark.implicits._
+    if (files.isEmpty) Array.empty
+    else loadDF(spark, files).as[Long].collect().sorted
+  }
+
+  /** Delete exactly the snapshot `files` a compaction consumed, leaving
+    * any file appended after the snapshot in place (its docIds refer to
+    * docs the compaction did NOT drop, so they must stay excluded).
+    */
+  def clearFiles(spark: SparkSession, indexDir: String, files: Seq[String]): Unit = {
+    if (files.isEmpty) return
+    val fs = new Path(dir(indexDir)).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    files.foreach(f => fs.delete(new Path(f), false))
+    // drop the dir (and its _SUCCESS marker) only when nothing new arrived
+    val p = new Path(dir(indexDir))
+    if (fs.exists(p) && !fs.listStatus(p).exists(st =>
+        st.isFile && !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith(".")))
+      fs.delete(p, true)
   }
 
   def append(spark: SparkSession, indexDir: String, docIds: DataFrame): Unit =

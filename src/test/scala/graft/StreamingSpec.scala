@@ -351,6 +351,87 @@ class StreamingSpec extends SparkSpec {
     all.unpersist(blocking = false)
   }
 
+  test("crashed cleanup does not resurrect retired segments on the NEXT compactInPlace") {
+    // round-4 review (high): a crash during step 3 leaves retired dirs
+    // on disk, excluded only via the current pointer; the next
+    // compactInPlace writes a NEW pointer — it must first FINISH the owed
+    // cleanup or the leftovers re-enter liveSegments as duplicate docs
+    val idx = s"${TestSpark.tmpRoot}/stream-idx-resurrect"
+    val cfg = IndexConfig(numBuckets = 1, partitions = 4)
+    val all = Transcripts.generate(spark, 20L).cache()
+    StreamingIngest.appendSegment(spark, all.filter($"conv_id" < "conv-00000010"), idx, 0L, cfg)
+    StreamingIngest.appendSegment(spark, all.filter($"conv_id" >= "conv-00000010"), idx, 1L, cfg)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a compaction that crashed right before step-3 cleanup:
+    // pointer valid, compacted segment live, retired dirs STILL ON DISK
+    val tmp = s"$idx/.compact-tmp"
+    graft.index.Compaction.compact(spark, idx, tmp)
+    graft.index.SegmentCatalog.writePointer(fs, idx,
+      graft.index.SegmentCatalog.Pointer("seg-compacted-0", Set("seg-0", "seg-1")))
+    fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(s"$idx/seg-compacted-0"))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$idx/seg-0"))) // leftover
+    // ingest continues, then a SECOND compaction runs
+    val extra = Transcripts.generate(spark, 25L).filter($"conv_id" >= "conv-00000020")
+    StreamingIngest.appendSegment(spark, extra, idx, 2L, cfg)
+    graft.index.Compaction.compactInPlace(spark, idx)
+    // the leftovers are gone, the corpus is NOT doubled, queries exact
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/seg-0")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/seg-1")))
+    val multi = new graft.query.MultiSearcher(spark, idx)
+    val visible = multi.docs.cache()
+    assert(visible.count() == all.count() + extra.count())
+    assert(visible.select("conv_id", "turn_idx").distinct().count() == visible.count())
+    for (q <- Seq("the", "zanzibar quasar lattice")) {
+      val want = graft.query.Oracle.topK(visible, q, 10)
+        .as[graft.model.Scored].collect().toSeq
+      assert(multi.search(q, 10).toSeq == want, s"post-resurrection-fix '$q'")
+    }
+    visible.unpersist(blocking = false)
+    all.unpersist(blocking = false)
+  }
+
+  test("tombstones appended DURING a compaction survive its cleanup") {
+    // round-4 review (medium): cleanup must delete only the snapshot
+    // files the compaction consumed — a tombstone landing mid-compact
+    // (concurrent ingest, which Segments.scala declares safe) must stay
+    // excluded afterwards
+    val idx = s"${TestSpark.tmpRoot}/stream-idx-conc-tomb"
+    val cfg = IndexConfig(numBuckets = 1, partitions = 4)
+    val all = Transcripts.generate(spark, 20L).cache()
+    StreamingIngest.appendSegment(spark, all, idx, 0L, cfg)
+    val nConv3 = StreamingIngest.deleteConvs(spark, idx, Seq("conv-00000003"))
+    assert(nConv3 > 0)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // drive the compactInPlace protocol by hand with a delete landing
+    // between the merge job and the cleanup step
+    val tmp = s"$idx/.compact-tmp"
+    val report = graft.index.Compaction.compact(spark, idx, tmp)
+    assert(report.consumedTombstones.nonEmpty)
+    assert(StreamingIngest.deleteTurns(spark, idx, Seq(("conv-00000017", 0))) == 1L) // concurrent
+    graft.index.SegmentCatalog.writePointer(fs, idx,
+      graft.index.SegmentCatalog.Pointer("seg-compacted-0", Set("seg-0")))
+    fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(s"$idx/seg-compacted-0"))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/seg-0"), true)
+    graft.index.Tombstones.clearFiles(spark, idx, report.consumedTombstones)
+    // the mid-compact tombstone file still exists and still excludes
+    assert(graft.index.Tombstones.listDataFiles(spark, idx).nonEmpty)
+    val multi = new graft.query.MultiSearcher(spark, idx)
+    val visible = multi.docs.cache()
+    assert(visible.filter($"conv_id" === "conv-00000003").count() == 0) // physically dropped
+    assert(visible.filter($"conv_id" === "conv-00000017" && $"turn_idx" === 0).count() == 0)
+    assert(visible.count() == all.count() - nConv3 - 1)
+    assert(multi.n == visible.count())
+    // both marker turns (conv-3, physically dropped; (conv-17,0), via the
+    // surviving tombstone) are invisible
+    assert(multi.search("zanzibar quasar lattice", 10).isEmpty)
+    visible.unpersist(blocking = false)
+    all.unpersist(blocking = false)
+  }
+
   test("repeated compactInPlace rounds: bucket ids stay disjoint docId ranges") {
     val idx = s"${TestSpark.tmpRoot}/stream-idx-rounds"
     val cfg = IndexConfig(numBuckets = 2, partitions = 4)
