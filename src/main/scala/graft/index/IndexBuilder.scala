@@ -46,6 +46,42 @@ object FieldTerms {
   val Prefix = "#"
   def term(field: String, value: String): String = Prefix + field + ":" + value
 
+  /** Namespace marker of fielded ANALYZED text terms (`%field:token` —
+    * the ES multi-field analyzed mapping: the reference indexes FOUR
+    * analyzed text fields, mapping.json:12-17 catalog/volume plus
+    * dynamic-mapped name/path populated at CsvReader.java:315-328, and
+    * users query them independently or via `multi_match`). Like '#',
+    * '%' cannot appear in analyzer output, so the main-text, keyword
+    * and fielded-text namespaces are provably disjoint. The MAIN text
+    * column's terms stay un-namespaced — [[textTerm]] maps field
+    * "text" to the plain token, so `multi_match` can weight the main
+    * field alongside the others.
+    */
+  val TextPrefix = "%"
+
+  /** The dictionary term of analyzed `token` in `field` ("text" = the
+    * main un-namespaced field).
+    */
+  def textTerm(field: String, token: String): String =
+    if (field == "text") token else TextPrefix + field + ":" + token
+
+  /** The text field a dictionary term belongs to: None = the main text
+    * field (or a keyword/tier term — never scored per-field).
+    */
+  def textFieldOf(term: String): Option[String] =
+    if (!term.startsWith(TextPrefix)) None
+    else {
+      val i = term.indexOf(':')
+      if (i < 0) None else Some(term.substring(1, i))
+    }
+
+  /** Is the term in any fielded namespace (keyword '#' or text '%')?
+    * Main-TEXT expansion (prefix/wildcard/fuzzy) must skip both — ES
+    * keeps sub-fields out of analyzed-field term expansion.
+    */
+  def isNamespaced(term: String): Boolean =
+    term.startsWith(Prefix) || term.startsWith(TextPrefix)
+
   /** Zero-padded encoding for NUMERIC keyword values: range filters
     * compare values lexicographically, which is exact only for
     * fixed-width encodings — encode non-negative numerics with this at
@@ -202,7 +238,22 @@ final case class IndexConfig(
       * negative values emit nothing (such docs never match a range
       * filter — ES missing-value semantics).
       */
-    numericFieldCols: Seq[String] = Nil
+    numericFieldCols: Seq[String] = Nil,
+    /** Doc columns to index as ADDITIONAL analyzed text fields
+      * (`%field:token` terms, [[FieldTerms.textTerm]]) — the ES
+      * multi-field mapping (reference mapping.json:12-17 +
+      * CsvReader.java:315-328). Each field gets its OWN BM25
+      * statistics, exactly Lucene's per-field model: df per field
+      * term, dl = the FIELD's token count (carried in the posting
+      * payload), docCount = docs with ≥1 token in the field, avgdl =
+      * Σ field dl / docCount — persisted under `fieldstats/` and used
+      * both by the block encoder (block-max under field stats) and at
+      * query time ([[graft.query.Searcher.searchField]] /
+      * `multiMatch`). Main-text statistics and scores are UNAFFECTED
+      * (the namespaces are disjoint; corpus N/avgdl come from the docs
+      * phase alone). Default off.
+      */
+    textFieldCols: Seq[String] = Nil
 )
 
 object IndexConfig {
@@ -283,6 +334,7 @@ class IndexBuilder(
 
   def docsPath = s"$indexDir/docs"
   def statsPath = s"$indexDir/stats"
+  def fieldStatsPath = s"$indexDir/fieldstats"
   def postings0Path = s"$indexDir/postings0"
   def dict0Path = s"$indexDir/dict0"
   def blocksPath = s"$indexDir/blocks"
@@ -437,12 +489,57 @@ class IndexBuilder(
       .toDF("term", "docId", "tf", "dl", "pay")
   }
 
+  /** Analyzed postings of an ADDITIONAL text field ([[FieldTerms
+    * .textTerm]] namespace): same per-doc tf+positions map pass as the
+    * main text ([[postingsOf]]), but dl in the payload is the FIELD's
+    * token count — the per-field BM25 length norm (Lucene's per-field
+    * model). Null/empty values emit nothing (the doc is outside the
+    * field's docCount).
+    */
+  def textFieldPostingsOf(docs: DataFrame, field: String): DataFrame = {
+    val withPos = cfg.storePositions
+    val prefix = FieldTerms.textTerm(field, "")
+    docs.select(col("docId"), col(field).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val acc = new java.util.HashMap[String, PosAcc](32)
+        it.flatMap { case (id, v) =>
+          val toks = if (v == null) Array.empty[String] else Analyzer.tokenize(v)
+          if (toks.isEmpty) Iterator.empty
+          else {
+            acc.clear()
+            var i = 0
+            while (i < toks.length) {
+              val prev = acc.get(toks(i))
+              val a = if (prev == null) { val p = new PosAcc; acc.put(toks(i), p); p } else prev
+              if (withPos) a.add(i) else a.n += 1
+              i += 1
+            }
+            val fdl = toks.length
+            val out = new Array[(String, Long, Int, Int, Array[Byte])](acc.size)
+            val entries = acc.entrySet().iterator()
+            var j = 0
+            while (entries.hasNext) {
+              val e = entries.next()
+              val a = e.getValue
+              out(j) = (prefix + e.getKey, id, a.n, fdl, a.payload(fdl, withPos))
+              j += 1
+            }
+            out.iterator
+          }
+        }
+      }
+      .toDF("term", "docId", "tf", "dl", "pay")
+  }
+
   /** Text postings plus any configured fielded keyword postings. */
   def allPostingsOf(docs: DataFrame): DataFrame = {
     val withFields = cfg.fieldCols.foldLeft(postingsOf(docs))(
       (acc, f) => acc.unionByName(fieldPostingsOf(docs, f)))
-    cfg.numericFieldCols.foldLeft(withFields)(
+    val withNumeric = cfg.numericFieldCols.foldLeft(withFields)(
       (acc, f) => acc.unionByName(numericFieldPostingsOf(docs, f)))
+    cfg.textFieldCols.foldLeft(withNumeric)(
+      (acc, f) => acc.unionByName(textFieldPostingsOf(docs, f)))
   }
 
   /** Direct per-term df/cf (single hash agg — partial+final via Catalyst). */
@@ -526,6 +623,41 @@ class IndexBuilder(
     val idBound = readManifest("docs").map(_.docIdHi).getOrElse(n)
     val bucketWidth = math.max(1L, (idBound + cfg.numBuckets - 1) / cfg.numBuckets)
 
+    // Phase A2 — per-field stats of the additional analyzed text fields
+    // (docCount = docs with ≥1 token, Σ field dl): ONE narrow agg job
+    // over the column-pruned doc store, persisted so query time reads a
+    // handful of rows. The block encoder below scores field postings
+    // under THESE stats (per-field BM25 — Lucene's model).
+    if (cfg.textFieldCols.nonEmpty) phase("fieldstats") {
+      val aggs = cfg.textFieldCols.flatMap { f =>
+        val d = coalesce(Analyzer.dlCol(col(f).cast("string")), lit(0))
+        Seq(coalesce(sum(d.cast("long")), lit(0L)).as(s"sum_$f"),
+          count(when(d > lit(0), 1)).as(s"n_$f"))
+      }
+      val row = docs.agg(aggs.head, aggs.tail: _*).head()
+      cfg.textFieldCols.zipWithIndex.map { case (f, i) =>
+        (f, i + 1, row.getAs[Long](s"n_$f"), row.getAs[Long](s"sum_$f"))
+      }.toDF("field", "fieldId", "ndocs", "sumdl")
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(fieldStatsPath)
+      BuildManifest("fieldstats", -1, 0, n, snapshotId, 0, 0, "done", 0)
+    }
+    // encoder stats tables, index 0 = the main text field (corpus stats)
+    val (fieldNs, fieldAvgdls) = {
+      val ns = Array.fill(cfg.textFieldCols.length + 1)(n)
+      val ads = Array.fill(cfg.textFieldCols.length + 1)(avgdl)
+      if (cfg.textFieldCols.nonEmpty) {
+        val byField = spark.read.parquet(fieldStatsPath)
+          .select(col("fieldId"), col("ndocs"), col("sumdl"))
+          .as[(Int, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+        for (i <- 1 to cfg.textFieldCols.length) {
+          val (nf, sdl) = byField.getOrElse(i, (0L, 0L))
+          ns(i) = nf
+          ads(i) = if (nf == 0) 0.0 else sdl.toDouble / nf
+        }
+      }
+      (ns, ads)
+    }
+
     // Phase B0 — the posting stream. With per-doc tf folded into the
     // tokenize pass (postingsOf), producing postings is one narrow
     // codegen'd scan (~1-2 s/M turns measured); CACHING the ~50 rows/turn
@@ -556,6 +688,15 @@ class IndexBuilder(
     // aggregation, no extra job, no single-task stage; they are
     // materialized exactly once (this parquet write) so re-execution
     // nondeterminism cannot leak.
+    // fieldId of a term (0 = main text / keyword namespaces, i+1 = the
+    // i-th textFieldCol): derived from the term string ONCE here, so the
+    // block shuffle carries a run-constant tiny int instead of re-parsing
+    // strings, and the encoder can score each posting under its field's
+    // stats
+    val fieldIdExpr = cfg.textFieldCols.zipWithIndex.foldLeft(lit(0)) {
+      case (acc, (f, i)) =>
+        when(col("term").startsWith(lit(FieldTerms.textTerm(f, ""))), lit(i + 1)).otherwise(acc)
+    }
     phase("dict0") {
       val numShards = cfg.numShards
       val obs = org.apache.spark.sql.Observation()
@@ -564,7 +705,8 @@ class IndexBuilder(
         .map { case (t, df, cf) => (t, GraftHash.shardOf(t, numShards), df, cf) }
         .toDF("term", "shard", "df", "cf")
         .withColumn("termId", monotonically_increasing_id())
-        .select(col("term"), col("termId"), col("shard"), col("df"), col("cf"))
+        .withColumn("fieldId", fieldIdExpr)
+        .select(col("term"), col("termId"), col("shard"), col("df"), col("cf"), col("fieldId"))
         // vocab + total postings ride the write job (Observation) — the
         // block phase needs Σdf for its hot-term threshold, and reading
         // it back from the manifest costs zero jobs on resume too
@@ -575,7 +717,11 @@ class IndexBuilder(
       // vocab is recorded by the finalize cell
       BuildManifest("dict0", -1, 0, n, snapshotId, totalPostings, 0, "done", 0)
     }
-    val dict0 = spark.read.parquet(dict0Path)
+    val dict0 = {
+      val d = spark.read.parquet(dict0Path)
+      // resume over a dict0 cell written by a pre-fieldId build
+      if (d.columns.contains("fieldId")) d else d.withColumn("fieldId", fieldIdExpr)
+    }
     val totalPostings = readManifest("dict0").map(_.postingsEmitted).getOrElse(0L)
 
     // Phase C — compressed blocks per bucket (contiguous docId range).
@@ -643,8 +789,10 @@ class IndexBuilder(
         // nothing but (termId, shard, docId, df, pay) enters the
         // shuffle/sort.
         val scored = postings0
-          .join(dict0.select(col("term"), col("termId"), col("shard"), col("df")), Seq("term"))
-          .select(col("termId"), col("shard"), col("docId"), col("df"), col("pay"))
+          .join(dict0.select(col("term"), col("termId"), col("shard"), col("df"),
+            col("fieldId")), Seq("term"))
+          .select(col("termId"), col("shard"), col("docId"), col("df"), col("pay"),
+            col("fieldId"))
         val bucketExpr = least(floor(col("docId") / lit(bucketWidth)), lit(cfg.numBuckets - 1L))
         val slicePid = least(
           floor((col("docId") - bucketExpr * lit(bucketWidth)) / lit(subWidth)),
@@ -654,10 +802,12 @@ class IndexBuilder(
             .otherwise(pmod(hash(col("termId")), lit(partsPerBucket)))
         val nBuckets = cfg.numBuckets // local copy: the closure must not capture `this`
         val bw = bucketWidth
+        val fNs = fieldNs
+        val fAds = fieldAvgdls
         val blocks = DirectPartition.byComputedPid(scored, pid, numParts)
           .sortWithinPartitions(col("termId"), col("docId"))
-          .as[(Long, Int, Long, Long, Array[Byte])]
-          .mapPartitions(rows => BlockEncoder.encodeFused(rows, blockSize, n, avgdl,
+          .as[(Long, Int, Long, Long, Array[Byte], Int)]
+          .mapPartitions(rows => BlockEncoder.encodeFused(rows, blockSize, fNs, fAds,
             bw, nBuckets))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         blocks.write.partitionBy("bucket", "shard")
@@ -691,8 +841,10 @@ class IndexBuilder(
       val hi = math.min(idBound, lo + bucketWidth)
       phase(s"bucket=$b") {
         val scored = postings0.filter(col("bucket") === lit(b))
-          .join(dict0.select(col("term"), col("termId"), col("shard"), col("df")), Seq("term"))
-          .select(col("termId"), col("shard"), col("docId"), col("df"), col("pay"))
+          .join(dict0.select(col("term"), col("termId"), col("shard"), col("df"),
+            col("fieldId")), Seq("term"))
+          .select(col("termId"), col("shard"), col("docId"), col("df"), col("pay"),
+            col("fieldId"))
         // same sample-free df-aware routing + sort-memory partition
         // sizing as the fused path (per-bucket share of the postings)
         val perBucketPostings = math.max(1L, totalPostings / cfg.numBuckets)
@@ -705,10 +857,12 @@ class IndexBuilder(
         val pid = when(col("df") >= lit(hotDf),
             least(floor((col("docId") - lit(lo)) / lit(subWidth)), lit(nParts - 1L)))
           .otherwise(pmod(hash(col("termId")), lit(nParts)))
+        val fNs = fieldNs
+        val fAds = fieldAvgdls
         val blocks = DirectPartition.byComputedPid(scored, pid, nParts)
           .sortWithinPartitions(col("termId"), col("docId"))
-          .as[(Long, Int, Long, Long, Array[Byte])]
-          .mapPartitions(rows => BlockEncoder.encode(rows, b, blockSize, n, avgdl))
+          .as[(Long, Int, Long, Long, Array[Byte], Int)]
+          .mapPartitions(rows => BlockEncoder.encode(rows, b, blockSize, fNs, fAds))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         blocks.drop("bucket").write.partitionBy("shard")
           .mode(SaveMode.Overwrite).parquet(s"$blocksPath/bucket=$b")
@@ -805,8 +959,13 @@ private[index] final class PosAcc {
   */
 object BlockEncoder {
 
-  /** One shuffled posting row: (termId, shard, docId, df, pay). */
-  type Row = (Long, Int, Long, Long, Array[Byte])
+  /** One shuffled posting row: (termId, shard, docId, df, pay,
+    * fieldId). fieldId (run-constant per term — lz4s to ~nothing in the
+    * sorted shuffle) selects which (n, avgdl) pair scores the posting:
+    * index 0 = the main text / corpus stats, i ≥ 1 = the i-th
+    * additional analyzed text field's own stats (per-field BM25).
+    */
+  type Row = (Long, Int, Long, Long, Array[Byte], Int)
 
   /** Fused-mode encoder: rows sorted by (termId, docId). The bucket is
     * NOT carried in the rows — it is re-derived from docId (buckets are
@@ -817,8 +976,8 @@ object BlockEncoder {
   def encodeFused(
       rows: Iterator[Row],
       blockSize: Int,
-      n: Long,
-      avgdl: Double,
+      fieldNs: Array[Long],
+      fieldAvgdls: Array[Double],
       bucketWidth: Long,
       numBuckets: Int
   ): Iterator[PostingBlock] = {
@@ -833,7 +992,7 @@ object BlockEncoder {
         val run = new scala.collection.mutable.ArrayBuffer[Row]()
         while (it.hasNext && it.head._1 == termId && bucketOf(it.head._3) == bucket)
           run += it.next()
-        encode(run.iterator, bucket, blockSize, n, avgdl)
+        encode(run.iterator, bucket, blockSize, fieldNs, fieldAvgdls)
       }
     }
     grouped.flatten
@@ -843,8 +1002,8 @@ object BlockEncoder {
       rows: Iterator[Row],
       bucket: Int,
       blockSize: Int,
-      n: Long,
-      avgdl: Double
+      fieldNs: Array[Long],
+      fieldAvgdls: Array[Double]
   ): Iterator[PostingBlock] = new Iterator[PostingBlock] {
     private val it = rows.buffered
     private var out: Iterator[PostingBlock] = Iterator.empty
@@ -870,8 +1029,9 @@ object BlockEncoder {
         while (it.hasNext && it.head._1 == termId) {
           val r = it.next()
           val (tf, dl, pos) = Codec.unpackPayload(r._5)
+          val fid = if (r._6 >= 0 && r._6 < fieldNs.length) r._6 else 0
           ids += r._3; tfs += tf; dls += dl; pss += pos
-          scs += Bm25.score(tf, r._4, dl, n, avgdl)
+          scs += Bm25.score(tf, r._4, dl, fieldNs(fid), fieldAvgdls(fid))
           if (ids.length == blockSize) flush()
         }
         flush()

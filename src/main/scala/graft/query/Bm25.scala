@@ -14,9 +14,16 @@ object Bm25 {
   val K1 = 1.2
   val B = 0.75
 
-  /** Scala-side score of one (term, doc) posting. */
+  /** Scala-side score of one (term, doc) posting. The idf ln is
+    * `StrictMath.log`, NOT `math.log`/`Math.log`: Catalyst's `LOG`
+    * expression evaluates StrictMath.log, and the intrinsified Math.log
+    * may differ in the last ulp at some inputs (a round-5 per-field
+    * test caught the divergence at idf argument ≈ 5.16) — both twins
+    * must take the deterministic fdlibm path to stay bit-identical.
+    */
   def score(tf: Int, df: Long, dl: Int, n: Long, avgdl: Double): Double =
-    math.log(1.0 + (n - df + 0.5) / (df + 0.5)) * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    StrictMath.log(1.0 + (n - df + 0.5) / (df + 0.5)) * (tf * 2.2) /
+      (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
 
   /** Catalyst-side score with the same operation order/types.
     * tf: int col, df: long col, dl: int col; n, avgdl: literals.

@@ -41,7 +41,11 @@ private[query] final case class SearchMode(
     shouldTerms: Seq[String] = Nil,
     minShould: Int = 0,
     after: Scored = null,
-    slop: Int = 0)
+    slop: Int = 0,
+    /** Per-term score multipliers (ES `multi_match` field boosts, keyed
+      * by the namespaced term); absent terms score with boost 1.
+      */
+    boosts: Map[String, Double] = Map.empty)
 
 /** One query of a batched `_msearch`-style request
   * ([[Searcher.searchManyBool]]): the full bool surface minus
@@ -100,14 +104,24 @@ private[query] object Searcher {
       mode: SearchMode,
       k: Int,
       n: Long,
-      avgdl: Double
+      avgdl: Double,
+      /** Per-field (docCount, avgdl) of the additional analyzed text
+        * fields (`IndexConfig.textFieldCols`) — a `%field:token` term
+        * scores under ITS field's stats (per-field BM25).
+        */
+      fieldStats: Map[String, (Long, Double)] = Map.empty
   ): Iterator[Scored] = {
     val fSet = mode.filterClauses.flatten.toSet
     val eSet = mode.excludeTerms.toSet
     val sSet = mode.shouldTerms.toSet
     val byName = entries.toMap
     def iterOf(t: String, s: TermStats): Option[Wand.TermIterator] =
-      byTerm.get(s.termId).map(bs => new Wand.TermIterator(t, bs, s.maxScore, s.df, n, avgdl))
+      byTerm.get(s.termId).map { bs =>
+        val (nn, ad) = graft.index.FieldTerms.textFieldOf(t)
+          .flatMap(fieldStats.get).getOrElse((n, avgdl))
+        val boost = mode.boosts.getOrElse(t, 1.0)
+        new Wand.TermIterator(t, bs, boost * s.maxScore, s.df, nn, ad, boost = boost)
+      }
     val scoredEntries = entries.filter { case (t, _) =>
       !fSet.contains(t) && !eSet.contains(t) && !sSet.contains(t) }
     val scored = scoredEntries.flatMap { case (t, s) => iterOf(t, s) }
@@ -148,6 +162,21 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
 
   lazy val stats: IndexStats =
     spark.read.parquet(s"$indexDir/stats").as[IndexStats].head()
+
+  /** Per-field (docCount, avgdl) of the additional analyzed text fields
+    * — a handful of rows, read once (empty for indexes built without
+    * `textFieldCols`).
+    */
+  lazy val fieldStatsMap: Map[String, (Long, Double)] = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/fieldstats")
+    val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!hfs.exists(p)) Map.empty
+    else spark.read.parquet(s"$indexDir/fieldstats")
+      .select(col("field"), col("ndocs"), col("sumdl"))
+      .as[(String, Long, Long)].collect()
+      .map { case (f, nf, sdl) => f -> (nf, if (nf == 0) 0.0 else sdl.toDouble / nf) }
+      .toMap
+  }
   private lazy val dict = spark.read.parquet(s"$indexDir/dict")
   private lazy val blocks = spark.read.parquet(s"$indexDir/blocks")
   lazy val docs: DataFrame = spark.read.parquet(s"$indexDir/docs")
@@ -237,9 +266,10 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
     import scala.concurrent.ExecutionContext.Implicits.global
     val n = stats.n
     val avgdl = stats.avgdl
+    val fStats = fieldStatsMap
     val foundSeq = found.toSeq
     val perBucket = localIdx.toSeq.map { case (_, byTerm) =>
-      Future(Searcher.runBucket(byTerm, foundSeq, mode, k, n, avgdl).toArray)
+      Future(Searcher.runBucket(byTerm, foundSeq, mode, k, n, avgdl, fStats).toArray)
     }
     val out = Await.result(Future.sequence(perBucket),
       scala.concurrent.duration.Duration.Inf).flatten.toArray
@@ -266,15 +296,17 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
     if (localIdx != null) return runLocal(found, k, mode)
     val n = stats.n
     val avgdl = stats.avgdl
+    val fStats = fieldStatsMap
     val foundSeq = found.toSeq
     val md = mode
     // Searcher.runBucket is a companion method — the task closure
-    // captures only (foundSeq, md, k, n, avgdl), never this Searcher
+    // captures only (foundSeq, md, k, n, avgdl, fStats), never this
+    // Searcher
     val perBucket = selectBlocks(found.values)
       .as[PostingBlock]
       .groupByKey(_.bucket)
       .flatMapGroups { (_, it) =>
-        Searcher.runBucket(it.toArray.groupBy(_.termId), foundSeq, md, k, n, avgdl)
+        Searcher.runBucket(it.toArray.groupBy(_.termId), foundSeq, md, k, n, avgdl, fStats)
       }
     // per-bucket heaps (≤ k each) → global top-k merge: Catalyst plans
     // TakeOrderedAndProject (per-partition heap + driver merge).
@@ -418,6 +450,7 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
       }
     val nG = stats.n
     val avgdlG = stats.avgdl
+    val fStats = fieldStatsMap
     val work: Seq[(Int, Seq[(String, TermStats)], SearchMode)] =
       resolved.zipWithIndex.collect { case (Some((f, m)), i) => (i, f, m) }
     val allStats = work.flatMap(_._2.map(_._2)).groupBy(_.termId).map(_._2.head)
@@ -427,7 +460,7 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
       .flatMapGroups { (_, it) =>
         val byTerm = it.toArray.groupBy(_.termId)
         work.iterator.flatMap { case (i, foundSeq, mode) =>
-          Searcher.runBucket(byTerm, foundSeq, mode, k, nG, avgdlG)
+          Searcher.runBucket(byTerm, foundSeq, mode, k, nG, avgdlG, fStats)
             .map(s => (i, s.docId, s.score))
         }
       }
@@ -439,6 +472,48 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
         .sortBy(s => (-s.score, s.docId))
         .take(k)
     }
+  }
+
+  /** Fielded `match` (ES `{"match": {"<field>": ...}}`): BM25 top-k over
+    * ONE analyzed text field of an index built with
+    * `IndexConfig.textFieldCols`. Scores use the FIELD's own statistics
+    * — df per `%field:token` term, the field's dl in every posting,
+    * (docCount, avgdl) from `fieldstats/` — exactly Lucene's per-field
+    * model, so a doc's score depends only on that field's content.
+    * `field = "text"` is the main field (≡ [[search]]). `phrase` matches
+    * the tokens adjacently within the field (positions are per-field).
+    */
+  def searchField(field: String, query: String, k: Int,
+      conjunctive: Boolean = false, phrase: Boolean = false,
+      from: Int = 0, slop: Int = 0): Array[Scored] = {
+    val toks = Analyzer.tokenize(query).toSeq
+    if (toks.isEmpty) return Array.empty
+    val slots = if (phrase) toks.map(t => graft.index.FieldTerms.textTerm(field, t)) else null
+    val terms =
+      if (phrase) slots.distinct.sorted
+      else toks.distinct.sorted.map(t => graft.index.FieldTerms.textTerm(field, t))
+    val hits = runPerBucket(terms, from + k,
+      SearchMode(conjunctive, slots, slop = slop))
+    if (from == 0) hits else hits.slice(from, from + k)
+  }
+
+  /** ES `multi_match` (most_fields-style, summed): the query's terms
+    * score over EVERY listed field under that field's own statistics,
+    * scaled by the field's boost; a doc qualifies by matching ≥ 1
+    * (field, term) pair and its score is ONE sum over all matched pairs
+    * in ascending namespaced-term order (the engine-wide determinism
+    * rule). `fields` are (field, boost) with `"text"` = the main field.
+    */
+  def multiMatch(query: String, fields: Seq[(String, Double)], k: Int,
+      from: Int = 0): Array[Scored] = {
+    require(fields.map(_._1).distinct.size == fields.size, "duplicate field in multiMatch")
+    val toks = Analyzer.analyzeQuery(query).toSeq
+    if (toks.isEmpty || fields.isEmpty) return Array.empty
+    val termBoosts: Seq[(String, Double)] =
+      for ((f, b) <- fields; t <- toks) yield graft.index.FieldTerms.textTerm(f, t) -> b
+    val hits = runPerBucket(termBoosts.map(_._1).sorted, from + k,
+      SearchMode(conjunctive = false, slots = null, boosts = termBoosts.toMap))
+    if (from == 0) hits else hits.slice(from, from + k)
   }
 
   /** Conjunctive (AND) BM25 top-k. */
@@ -618,16 +693,17 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
       sqlPred: Column,
       maxExpansions: Int
   ): Map[String, TermStats] = {
-    // text-term namespace only: the fielded keyword terms ('#field:v',
-    // IndexConfig.fieldCols) share the dictionary but must never match a
-    // TEXT wildcard/fuzzy pattern — ES keeps keyword sub-fields out of
-    // analyzed-field queries; the '#' prefix cannot appear in analyzer
-    // output, so the guard is exact
-    val notField = !col("term").startsWith(graft.index.FieldTerms.Prefix)
+    // main-text namespace only: fielded keyword terms ('#field:v') AND
+    // fielded text terms ('%field:tok') share the dictionary but must
+    // never match a main-TEXT wildcard/fuzzy pattern — ES keeps
+    // sub-fields out of analyzed-field term expansion; neither prefix
+    // can appear in analyzer output, so the guard is exact
+    val notField = !col("term").startsWith(graft.index.FieldTerms.Prefix) &&
+      !col("term").startsWith(graft.index.FieldTerms.TextPrefix)
     val all =
       if (dictMap != null)
         dictMap.valuesIterator
-          .filter(ts => !ts.term.startsWith(graft.index.FieldTerms.Prefix) && scalaPred(ts.term))
+          .filter(ts => !graft.index.FieldTerms.isNamespaced(ts.term) && scalaPred(ts.term))
           .toSeq
       else dict.filter(notField && sqlPred).as[TermStats].collect().toSeq
     all.sortBy(_.term).take(maxExpansions).map(ts => ts.term -> ts).toMap
@@ -942,6 +1018,81 @@ object Oracle {
       .filter(col("nt") === lit(terms.size))
       .drop("nt")
       .join(hasPhrase, Seq("docId"), "left_semi")
+      .orderBy(col("score").desc, col("docId").asc)
+      .limit(k)
+  }
+
+  /** Per-(field, term) scored contributions of `query`'s tokens in one
+    * analyzed field, under the FIELD's own stats (docCount = docs with
+    * ≥1 token; avgdl over those docs) — the exhaustive twin of the
+    * engine's per-field BM25. Emits (docId, key, s) where `key` is the
+    * namespaced term (sum-ordering key). field "text" = the main field
+    * (corpus stats — N counts ALL docs, like [[scoredPostings]]).
+    */
+  private def fieldContribs(docs: DataFrame, field: String, toks: Seq[String],
+      boost: Double): DataFrame = {
+    if (field == "text")
+      return scoredPostings(docs, toks)
+        .select(col("docId"), col("term").as("key"), (col("s") * lit(boost)).as("s"))
+    val fcol = col(field).cast("string")
+    val dlc = coalesce(Analyzer.dlCol(fcol), lit(0))
+    val row = docs.agg(count(when(dlc > lit(0), 1)),
+      coalesce(sum(dlc.cast("long")), lit(0L))).head()
+    val nF = row.getLong(0)
+    val avgdlF = if (nF == 0) 0.0 else row.getLong(1).toDouble / nF
+    val postings = docs
+      .select(col("docId"), dlc.as("dl"), explode(Analyzer.tokensCol(fcol)).as("tok"))
+      .groupBy(col("tok"), col("docId"), col("dl"))
+      .agg(count(lit(1)).cast("int").as("tf"))
+    val dfT = postings.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    postings
+      .filter(col("tok").isin(toks: _*))
+      .join(dfT, Seq("tok"))
+      .select(col("docId"),
+        concat(lit(graft.index.FieldTerms.textTerm(field, "")), col("tok")).as("key"),
+        (Bm25.scoreCol(col("tf"), col("df"), col("dl"), nF, avgdlF) * lit(boost)).as("s"))
+  }
+
+  private def orderedKeySum: Column =
+    aggregate(
+      sort_array(collect_list(struct(col("key"), col("s")))),
+      lit(0.0),
+      (acc, x) => acc + x.getField("s")
+    )
+
+  /** Exhaustive fielded-match oracle: BM25 top-k over one analyzed
+    * field, per-field stats ([[fieldContribs]]); `conjunctive` requires
+    * every term in the field.
+    */
+  def topKField(docs: DataFrame, field: String, query: String, k: Int,
+      conjunctive: Boolean = false): DataFrame = {
+    val toks = Analyzer.analyzeQuery(query).toSeq
+    if (toks.isEmpty)
+      return docs.sparkSession.emptyDataFrame
+        .withColumn("docId", lit(0L)).withColumn("score", lit(0.0)).limit(0)
+    val g = fieldContribs(docs, field, toks, 1.0)
+      .groupBy(col("docId"))
+      .agg(orderedKeySum.as("score"), count(lit(1)).as("nt"))
+    (if (conjunctive) g.filter(col("nt") === lit(toks.size)) else g)
+      .drop("nt")
+      .orderBy(col("score").desc, col("docId").asc)
+      .limit(k)
+  }
+
+  /** Exhaustive `multi_match` oracle (most_fields, summed): every
+    * (field, term) contribution boost-scaled and summed in ascending
+    * namespaced-term order — the engine's exact rule.
+    */
+  def topKMulti(docs: DataFrame, query: String, fields: Seq[(String, Double)],
+      k: Int): DataFrame = {
+    val toks = Analyzer.analyzeQuery(query).toSeq
+    if (toks.isEmpty || fields.isEmpty)
+      return docs.sparkSession.emptyDataFrame
+        .withColumn("docId", lit(0L)).withColumn("score", lit(0.0)).limit(0)
+    fields.map { case (f, b) => fieldContribs(docs, f, toks, b) }
+      .reduce(_ unionByName _)
+      .groupBy(col("docId"))
+      .agg(orderedKeySum.as("score"))
       .orderBy(col("score").desc, col("docId").asc)
       .limit(k)
   }

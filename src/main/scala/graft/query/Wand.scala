@@ -34,7 +34,12 @@ object Wand {
       df: Long,
       n: Long,
       avgdl: Double,
-      staleBlockMax: Boolean = false
+      staleBlockMax: Boolean = false,
+      /** Score multiplier (ES per-field boost — `multi_match` weights).
+        * Scales `score` AND both block-max bounds, so pruning stays
+        * sound; callers must pass a pre-scaled `ub`.
+        */
+      boost: Double = 1.0
   ) extends DocCursor {
     private val blocks = blocksIn.sortBy(b => (b.firstDocId, b.lastDocId))
     private var bi = 0
@@ -75,8 +80,8 @@ object Wand {
       */
     def blockMax: Double =
       if (bi >= blocks.length) 0.0
-      else if (staleBlockMax) Bm25.score(blocks(bi).maxTf, df, 0, n, avgdl)
-      else blocks(bi).maxScore
+      else if (staleBlockMax) boost * Bm25.score(blocks(bi).maxTf, df, 0, n, avgdl)
+      else boost * blocks(bi).maxScore
 
     /** Last docId of the current block (skip horizon). */
     def blockLast: Long = if (bi >= blocks.length) Long.MaxValue else blocks(bi).lastDocId
@@ -105,8 +110,8 @@ object Wand {
 
     def advancePast(doc: Long): Unit = nextGEQ(doc + 1)
 
-    /** Exact BM25 contribution at the current position. */
-    def score: Double = Bm25.score(dec.tfs(pos), df, dec.dls(pos), n, avgdl)
+    /** Exact (boost-scaled) BM25 contribution at the current position. */
+    def score: Double = boost * Bm25.score(dec.tfs(pos), df, dec.dls(pos), n, avgdl)
   }
 
   /** Membership-only cursor over a sorted docId stream — what filter /

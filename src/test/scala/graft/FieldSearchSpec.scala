@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.analysis.Analyzer
+import graft.corpus.Transcripts
+import graft.index.{DocIds, FieldTerms, IndexBuilder, IndexConfig}
+import graft.model.Scored
+import graft.query.{Oracle, Searcher}
+
+/** Per-field fulltext (round-5): additional analyzed text fields
+  * (`IndexConfig.textFieldCols`, `%field:token` namespace) with
+  * per-field BM25 statistics, `searchField` and `multi_match` — each
+  * pinned rank-identical (docIds AND scores) to the exhaustive
+  * per-field oracle, plus the invariance rule that field indexing never
+  * perturbs main-text scores.
+  */
+class FieldSearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val nConvs = 300L
+  private lazy val indexDir = s"${TestSpark.tmpRoot}/index-fields"
+  private lazy val plainDir = s"${TestSpark.tmpRoot}/index-fields-plain"
+  private lazy val cfg = IndexConfig(numBuckets = 2, numShards = 8, blockSize = 32,
+    partitions = 8, fieldCols = Seq("role"), textFieldCols = Seq("title"))
+
+  /** Transcript docs + a derived `title` field: the first (docId % 7)
+    * tokens of the text — variable field length incl. EMPTY titles
+    * (docId % 7 == 0), so docCount < N and per-field avgdl differ from
+    * the corpus values.
+    */
+  private lazy val docsDF: DataFrame = {
+    val base = DocIds.assign(DocIds.dedup(Transcripts.generate(spark, nConvs)), 8).toDF()
+    base.withColumn("title",
+      array_join(slice(Analyzer.tokensCol(col("text")), lit(1),
+        pmod(col("docId"), lit(7)).cast("int")), " "))
+      .cache()
+  }
+
+  private lazy val built: graft.index.BuildReport = {
+    docsDF.count()
+    new IndexBuilder(spark, indexDir, "snap-fields-1", cfg).buildFrom(docsDF)
+  }
+  private lazy val searcher = { built; new Searcher(spark, indexDir, cfg.numShards) }
+  private lazy val warmed = {
+    built
+    new Searcher(spark, indexDir, cfg.numShards).warm(maxLocalBlockBytes = 1L << 30)
+  }
+
+  private def scored(df: DataFrame): Seq[Scored] = df.as[Scored].collect().toSeq
+
+  private val queries = Seq("the", "the a of", "one have t999", "zanzibar quasar lattice",
+    "definitely-notavocab-word")
+
+  test("fieldstats: docCount and avgdl are the field's own, not the corpus's") {
+    built
+    val fs = searcher.fieldStatsMap
+    assert(fs.contains("title"))
+    val (nF, avgdlF) = fs("title")
+    val want = docsDF.agg(
+      count(when(Analyzer.dlCol(col("title")) > lit(0), 1)),
+      sum(Analyzer.dlCol(col("title")).cast("long"))).head()
+    assert(nF == want.getLong(0))
+    assert(nF < searcher.stats.n) // empty titles exist
+    assert(math.abs(avgdlF - want.getLong(1).toDouble / nF) < 1e-12)
+    assert(math.abs(avgdlF - searcher.stats.avgdl) > 0.5) // genuinely different norm
+  }
+
+  test("searchField(title) ≡ exhaustive per-field oracle (docIds AND scores)") {
+    for (q <- queries) {
+      val want = scored(Oracle.topKField(docsDF, "title", q, 10))
+      val got = searcher.searchField("title", q, 10).toSeq
+      assert(got == want, s"field query '$q':\n got=$got\n want=$want")
+      assert(warmed.searchField("title", q, 10).toSeq == want, s"warm field '$q'")
+    }
+    // field 'text' routes to the main index — identical to plain search
+    for (q <- Seq("the a of", "one have t999"))
+      assert(searcher.searchField("text", q, 10).toSeq == searcher.search(q, 10).toSeq)
+  }
+
+  test("searchField conjunctive + phrase: field-local semantics") {
+    val want = scored(Oracle.topKField(docsDF, "title", "the a", 10, conjunctive = true))
+    assert(searcher.searchField("title", "the a", 10, conjunctive = true).toSeq == want)
+    // phrase within the field: adjacency over the FIELD's positions —
+    // oracle = conjunctive field scoring ∩ title contains the bigram
+    val stream = concat(lit(" "),
+      array_join(Analyzer.tokensCol(col("title")), " "), lit(" "))
+    val hasPhrase = docsDF.filter(instr(stream, " the a ") > lit(0)).select(col("docId"))
+    val phraseWant = Oracle.topKField(docsDF, "title", "the a", Int.MaxValue,
+        conjunctive = true)
+      .join(hasPhrase, Seq("docId"), "left_semi")
+      .orderBy(col("score").desc, col("docId").asc).limit(10)
+    assert(searcher.searchField("title", "the a", 10, phrase = true).toSeq
+      == scored(phraseWant))
+  }
+
+  test("multiMatch ≡ exhaustive multi-field oracle; boosts scale per field") {
+    val fields = Seq("text" -> 1.0, "title" -> 2.0)
+    for (q <- Seq("the", "the a of", "one have t999", "zanzibar quasar lattice")) {
+      val want = scored(Oracle.topKMulti(docsDF, q, fields, 10))
+      val got = searcher.multiMatch(q, fields, 10).toSeq
+      assert(got == want, s"multiMatch '$q':\n got=$got\n want=$want")
+      assert(warmed.multiMatch(q, fields, 10).toSeq == want, s"warm multiMatch '$q'")
+    }
+    // single-field multiMatch over the main text with boost 1 ≡ search
+    assert(searcher.multiMatch("the a of", Seq("text" -> 1.0), 10).toSeq
+      == searcher.search("the a of", 10).toSeq)
+    // a pure title match is boost-linear: boost 3 triples every score
+    val b1 = searcher.multiMatch("was", Seq("title" -> 1.0), 10)
+    val b3 = searcher.multiMatch("was", Seq("title" -> 3.0), 10)
+    assert(b1.nonEmpty)
+    assert(b3.map(_.docId).toSeq == b1.map(_.docId).toSeq)
+    for ((x, y) <- b1.zip(b3)) assert(math.abs(y.score - 3.0 * x.score) < 1e-12)
+  }
+
+  test("field indexing leaves main-text scores bit-identical; expansion skips % terms") {
+    built
+    new IndexBuilder(spark, plainDir, "snap-fields-plain",
+      cfg.copy(fieldCols = Nil, textFieldCols = Nil)).buildFrom(docsDF)
+    val plain = new Searcher(spark, plainDir, cfg.numShards)
+    for (q <- Seq("the a of", "one have t999", "zanzibar quasar lattice")) {
+      assert(searcher.search(q, 10).toSeq == plain.search(q, 10).toSeq, s"invariance '$q'")
+      assert(searcher.searchConjunctive(q, 10).toSeq == plain.searchConjunctive(q, 10).toSeq)
+    }
+    // prefix/wildcard/fuzzy expansion must never surface '%title:…' (or
+    // '#role:…') terms: identical hits on the fielded and plain indexes
+    assert(searcher.searchPrefix("t9", 10).toSeq == plain.searchPrefix("t9", 10).toSeq)
+    assert(searcher.searchWildcard("t9*", 10).toSeq == plain.searchWildcard("t9*", 10).toSeq)
+    assert(searcher.searchFuzzy("t999", 10).toSeq == plain.searchFuzzy("t999", 10).toSeq)
+  }
+
+  test("namespaces: textTerm/textFieldOf round-trip and stay disjoint") {
+    assert(FieldTerms.textTerm("text", "foo") == "foo")
+    assert(FieldTerms.textTerm("title", "foo") == "%title:foo")
+    assert(FieldTerms.textFieldOf("%title:foo").contains("title"))
+    assert(FieldTerms.textFieldOf("foo").isEmpty)
+    assert(FieldTerms.textFieldOf("#role:user").isEmpty)
+    assert(FieldTerms.isNamespaced("#role:user"))
+    assert(FieldTerms.isNamespaced("%title:foo"))
+    assert(!FieldTerms.isNamespaced("plain"))
+  }
+}
