@@ -76,6 +76,13 @@ object SparkEntry {
       }
       .toDF("docId", "conv_id", "turn_idx", "role", "text", "tool", "ts", "dl",
         "lang", "source", "n_chars")
+      // a second ANALYZED text field (the reference's multi-field
+      // mapping): deterministic derivation — the first (doc_id % 7)
+      // tokens of the text — reproducible in DuckDB via list slicing,
+      // with variable field length incl. empty titles (docCount < N)
+      .withColumn("title",
+        array_join(slice(Analyzer.tokensCol(col("text")), lit(1),
+          pmod(col("docId"), lit(7)).cast("int")), " "))
   }
 
   private def documentsIndex(spark: SparkSession, dir: String): String =
@@ -89,7 +96,7 @@ object SparkEntry {
       // BM25 scores are unaffected
       val cfg = IndexConfig.sized(docs.count(), spark.sparkContext.defaultParallelism)
         .copy(numShards = 8, fieldCols = Seq("lang", "source"),
-          numericFieldCols = Seq("n_chars"))
+          numericFieldCols = Seq("n_chars"), textFieldCols = Seq("title"))
       new IndexBuilder(spark, out, s"docs:$dir", cfg).buildFrom(docs)
       out
     })
@@ -162,6 +169,68 @@ scored AS (
 SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
        doc_id, round(score, 4) AS score
 FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k$page"""
+  }
+
+  /** CTEs of the derived 'title' analyzed field (first doc_id % 7 text
+    * tokens, exactly documentsDocsDF's derivation — DuckDB list slicing
+    * arr[1:k] ≡ Spark slice(arr, 1, k)) with the engine's per-field
+    * statistics: docCount = docs with a non-empty title, avgdl over
+    * those docs.
+    */
+  private def titleCtes: String =
+    s"""arrs AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '$SqlTokRegex'), x -> x <> '') AS arr FROM documents),
+ttl AS (SELECT doc_id, arr[1:CAST(doc_id % 7 AS INT)] AS farr FROM arrs),
+fdl AS (SELECT doc_id, len(farr) AS fdl FROM ttl),
+fst AS (SELECT count(*) FILTER (fdl > 0) AS n, CAST(sum(fdl) AS DOUBLE) / (count(*) FILTER (fdl > 0)) AS avgdl FROM fdl),
+ftok AS (SELECT doc_id, unnest(farr) AS term FROM ttl),
+ftf AS (SELECT term, doc_id, count(*) AS tf FROM ftok GROUP BY 1, 2),
+fdf AS (SELECT term, count(*) AS df FROM ftf GROUP BY 1)"""
+
+  /** Per-field BM25 twin ([[graft.query.Searcher.searchField]] on
+    * 'title'): the FIELD's df/dl/docCount/avgdl, summed in ascending
+    * term order.
+    */
+  private def fieldBm25Sql(terms: Seq[String], k: Int): String = {
+    val score = Bm25.scoreSql("ftf.tf", "fdf.df", "fdl.fdl", "fst.n", "fst.avgdl")
+    s"""WITH $titleCtes,
+scored AS (
+  SELECT ftf.doc_id, sum($score ORDER BY ftf.term ASC) AS score
+  FROM ftf JOIN fdf USING (term) JOIN fdl USING (doc_id) CROSS JOIN fst
+  WHERE ftf.term IN ${inList(terms)}
+  GROUP BY ftf.doc_id)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, round(score, 4) AS score
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
+  }
+
+  /** multi_match twin (most_fields, text×bText + title×bTitle): every
+    * (field, term) contribution boost-scaled and summed in ascending
+    * NAMESPACED-key order ('%title:…' sorts before plain tokens — the
+    * engine's merged-iterator order).
+    */
+  private def multiMatchSql(terms: Seq[String], bText: Double, bTitle: Double,
+      k: Int): String = {
+    val sText = Bm25.scoreSql("tf.tf", "df.df", "dl.dl", "st.n", "st.avgdl")
+    val sTitle = Bm25.scoreSql("ftf.tf", "fdf.df", "fdl.fdl", "fst.n", "fst.avgdl")
+    s"""${toksCte("documents", "doc_id")},
+dl AS (SELECT d.doc_id, coalesce(t.n, 0) AS dl FROM documents d
+       LEFT JOIN (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id) t ON d.doc_id = t.doc_id),
+st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+$titleCtes,
+contrib AS (
+  SELECT tf.doc_id, tf.term AS key, ($sText) * $bText AS s
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE tf.term IN ${inList(terms)}
+  UNION ALL
+  SELECT ftf.doc_id, '%title:' || ftf.term AS key, ($sTitle) * $bTitle AS s
+  FROM ftf JOIN fdf USING (term) JOIN fdl USING (doc_id) CROSS JOIN fst
+  WHERE ftf.term IN ${inList(terms)}),
+scored AS (SELECT doc_id, sum(s ORDER BY key ASC) AS score FROM contrib GROUP BY doc_id)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, round(score, 4) AS score
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
   }
 
   private val Bm25Query = "spark query window merge"
@@ -332,6 +401,19 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k$page"""
       // trie cells, never one dictionary term per distinct value
       rankHits(s, new Searcher(s, documentsIndex(s, dir), 8)
         .searchBool(Bm25Query, 10, numericRangeFilters = Seq(("n_chars", 137L, 2741L))))
+    }),
+    "q_bm25_field" -> ((s, dir) => {
+      // fielded match (ES {"match": {"title": ...}}): BM25 over the
+      // 'title' analyzed field under the FIELD's own stats — df per
+      // %title term, field dl, (docCount, avgdl) from fieldstats/
+      rankHits(s, new Searcher(s, documentsIndex(s, dir), 8)
+        .searchField("title", Bm25Query, 10))
+    }),
+    "q_bm25_multimatch" -> ((s, dir) => {
+      // ES multi_match (most_fields): text×1 + title×2, every matched
+      // (field, term) contribution boost-scaled, one ascending-key sum
+      rankHits(s, new Searcher(s, documentsIndex(s, dir), 8)
+        .multiMatch("spark query", Seq("text" -> 1.0, "title" -> 2.0), 10))
     }),
     "q_bm25_should" -> ((s, dir) => {
       // ES bool should: optional scoring clause — matched should terms
@@ -703,6 +785,9 @@ GROUP BY 1 ORDER BY 1""",
       // range, so the twin is the plain numeric BETWEEN predicate
       "q_bm25_range_numeric" -> bm25Sql(Analyzer.analyzeQuery(Bm25Query).toSeq, 10,
         conjunctive = false, docPred = "n_chars BETWEEN 137 AND 2741"),
+      "q_bm25_field" -> fieldBm25Sql(Analyzer.analyzeQuery(Bm25Query).toSeq, 10),
+      "q_bm25_multimatch" ->
+        multiMatchSql(Analyzer.analyzeQuery("spark query").toSeq, 1.0, 2.0, 10),
       // should semantics: score over must ∪ should matched terms, doc
       // qualifies via >=1 must; minShouldMatch counts distinct should
       // terms (tf has one row per (term, doc), so FILTER counts terms)

@@ -145,22 +145,49 @@ object Compaction {
     val tombBc = spark.sparkContext.broadcast(tomb)
     val tombDF = Tombstones.loadDF(spark, tombFiles)
 
+    // additional analyzed text fields present in the inputs (union of
+    // the segments' fieldstats) — their merged (docCount, Σdl) must be
+    // recomputed EXACTLY over the survivors, like N / Σdl
+    val hfs = new Path(indexDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fieldNames: Seq[String] = segments.flatMap { s =>
+      val p = new Path(s"$s/fieldstats")
+      if (!hfs.exists(p)) Nil
+      else spark.read.parquet(s"$s/fieldstats").select(col("field")).as[String].collect().toSeq
+    }.distinct.sorted
+
     // surviving doc store union (docIds globally unique already); stats
-    // ride the write job — Σdl is exact (integer-valued dl per doc)
+    // ride the write job — Σdl is exact (integer-valued dl per doc), and
+    // the per-field (docCount, Σdl) aggregates ride the SAME job (one
+    // narrow tokenize of the short field columns, no extra pass)
     val obs = org.apache.spark.sql.Observation()
     val docsUnion = segments.map(s => spark.read.parquet(s"$s/docs")).reduce(_ unionByName _)
     val living =
       if (tomb.isEmpty) docsUnion
       else docsUnion.join(tombDF, Seq("docId"), "left_anti")
+    val baseAggs = Seq(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("sumdl"),
+      coalesce(max(col("docId")), lit(-1L)).as("mx"))
+    val fieldAggs = fieldNames.flatMap { f =>
+      val d = coalesce(graft.analysis.Analyzer.dlCol(col(f).cast("string")), lit(0))
+      Seq(count(when(d > lit(0), 1)).as(s"fn_$f"),
+        coalesce(sum(d.cast("long")), lit(0L)).as(s"fs_$f"))
+    }
     living
-      .observe(obs, count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("sumdl"),
-        coalesce(max(col("docId")), lit(-1L)).as("mx"))
+      .observe(obs, baseAggs.head, (baseAggs.tail ++ fieldAggs): _*)
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/docs")
     val row = obs.get
     val n = row("n").asInstanceOf[Long]
     val sumDl = row("sumdl").asInstanceOf[Long]
     val maxDocId = row("mx").asInstanceOf[Long]
     val avgdl = if (n == 0) 0.0 else sumDl.toDouble / n
+    // merged field stats (fieldId re-assigned in sorted field order) —
+    // persisted like a built index's, and fed to the rescore below
+    val mergedFieldStats: Seq[(String, Int, Long, Long)] =
+      fieldNames.zipWithIndex.map { case (f, i) =>
+        (f, i + 1, row(s"fn_$f").asInstanceOf[Long], row(s"fs_$f").asInstanceOf[Long])
+      }
+    if (fieldNames.nonEmpty)
+      mergedFieldStats.toDF("field", "fieldId", "ndocs", "sumdl")
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$outDir/fieldstats")
     // an all-deleted corpus would compact to an index with no block
     // files (unreadable by Searcher — same as IndexBuilder's n=0 early
     // return); refuse loudly rather than swap in a broken index
@@ -234,20 +261,29 @@ object Compaction {
       .groupBy(col("termId"))
       .agg(sum(col("dfb")).as("df"), sum(col("cfb")).as("cf"))
 
-    // phase 2 — rescore block-max EXACTLY under the merged (N, Σdl, df):
-    // dict-sized join (AQE-broadcast), decode, rescore; payloads pass
-    // through untouched
-    val nG = n
-    val avgdlG = avgdl
+    // phase 2 — rescore block-max EXACTLY under the merged (N, Σdl, df)
+    // — per-FIELD stats for `%field:` terms (their fieldId is re-derived
+    // from the merged dictionary's term strings): dict-sized join
+    // (AQE-broadcast), decode, rescore; payloads pass through untouched
+    val fieldIdExpr = fieldNames.zipWithIndex.foldLeft(lit(0)) { case (acc, (f, i)) =>
+      when(col("term").startsWith(lit(FieldTerms.textTerm(f, ""))), lit(i + 1)).otherwise(acc)
+    }
+    val dfcfF = dfcf.join(gdict.select(col("termId"), fieldIdExpr.as("fieldId")), Seq("termId"))
+    val fNs: Array[Long] = (n +: mergedFieldStats.map(_._3)).toArray
+    val fAds: Array[Double] = (avgdl +: mergedFieldStats.map { case (_, _, nf, sdl) =>
+      if (nf == 0) 0.0 else sdl.toDouble / nf
+    }).toArray
     val rescored = rewritten
-      .joinWith(dfcf, rewritten("termId") === dfcf("termId"))
+      .joinWith(dfcfF, rewritten("termId") === dfcfF("termId"))
       .map { case (blk, dfRow) =>
         val df = dfRow.getLong(1)
+        val fid0 = dfRow.getInt(3)
+        val fid = if (fid0 >= 0 && fid0 < fNs.length) fid0 else 0
         val dec = Codec.decodeBlock(blk)
         var mx = Double.NegativeInfinity
         var i = 0
         while (i < dec.docIds.length) {
-          val sc = Bm25.score(dec.tfs(i), df, dec.dls(i), nG, avgdlG)
+          val sc = Bm25.score(dec.tfs(i), df, dec.dls(i), fNs(fid), fAds(fid))
           if (sc > mx) mx = sc
           i += 1
         }

@@ -105,6 +105,25 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
   private val rawN: Long = segStats.map(_.n).sum
   private val rawSumDl: Long = segStats.map(st => math.round(st.avgdl * st.n)).sum
 
+  /** Per-field (docCount, Σdl) of the additional analyzed text fields,
+    * summed over segments (sums are associative like N / Σdl); empty for
+    * indexes whose segments carry no `fieldstats/`.
+    */
+  private val rawFieldStats: Map[String, (Long, Long)] =
+    segments.map { s =>
+      val p = new Path(s"$s/fieldstats")
+      if (!fs.exists(p)) Map.empty[String, (Long, Long)]
+      else spark.read.parquet(s"$s/fieldstats")
+        .select(col("field"), col("ndocs"), col("sumdl"))
+        .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    }.foldLeft(Map.empty[String, (Long, Long)]) { (acc, m) =>
+      m.foldLeft(acc) { case (a, (f, (n1, s1))) =>
+        val (n0, s0) = a.getOrElse(f, (0L, 0L))
+        a.updated(f, (n0 + n1, s0 + s1))
+      }
+    }
+  private val fieldNames: Seq[String] = rawFieldStats.keys.toSeq.sorted
+
   /** Tombstoned docIds, sorted (bounded by the updates since the last
     * compaction — see [[Tombstones]]); broadcast once per searcher.
     */
@@ -123,8 +142,12 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
     * The df map's vocabulary is the tombstoned docs' own — driver-
     * bounded by the same compaction-cadence argument as the docId list.
     */
-  private lazy val removedStats: (Long, Long, Map[String, Long]) = {
-    if (tombBc.value.isEmpty) (0L, 0L, Map.empty[String, Long])
+  private final case class RemovedStats(n: Long, sumDl: Long, df: Map[String, Long],
+      fieldN: Map[String, Long], fieldSumDl: Map[String, Long])
+
+  private lazy val removedStats: RemovedStats = {
+    if (tombBc.value.isEmpty)
+      RemovedStats(0L, 0L, Map.empty, Map.empty, Map.empty)
     else {
       // docId-range prefilter: tombstones cluster in the segments whose
       // keys were superseded, and doc stores are docId-ordered — the
@@ -133,26 +156,57 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
       // unaffected segments is never read
       val lo = tombBc.value.head
       val hi = tombBc.value.last
-      val union = segDocs.map(_.select(col("docId"), col("dl"), col("text"))
-        .filter(col("docId") >= lit(lo) && col("docId") <= lit(hi)))
-        .reduce(_ unionByName _)
+      def toksOf(c: org.apache.spark.sql.Column) =
+        coalesce(Analyzer.tokensCol(c), array().cast("array<string>"))
+      val union = segDocs.map { d =>
+        val fcols = fieldNames.map { f =>
+          (if (d.columns.contains(f)) col(f).cast("string")
+           else lit(null).cast("string")).as(s"__f_$f")
+        }
+        d.select(Seq(col("docId"), col("dl"), col("text")) ++ fcols: _*)
+          .filter(col("docId") >= lit(lo) && col("docId") <= lit(hi))
+      }.reduce(_ unionByName _)
+      // the dead docs' DISTINCT terms per namespace: main-text tokens
+      // plus each field's tokens namespaced — all roles whose merged df
+      // must be corrected exactly
+      val termsExpr = fieldNames.foldLeft(array_distinct(toksOf(col("text")))) { (acc, f) =>
+        concat(acc, transform(array_distinct(toksOf(col(s"__f_$f"))),
+          t => concat(lit(FieldTerms.textTerm(f, "")), t)))
+      }
+      val aggCols = Seq(count(lit(1)).as("__c"), coalesce(sum(col("dl")), lit(0L)).as("__s")) ++
+        fieldNames.flatMap { f =>
+          val d = coalesce(Analyzer.dlCol(col(s"__f_$f")), lit(0))
+          Seq(count(when(d > lit(0), 1)).as(s"__n_$f"),
+            coalesce(sum(d.cast("long")), lit(0L)).as(s"__s_$f"))
+        }
       val dead = union.join(tombDF, Seq("docId"), "left_semi")
-        .select(col("dl"), Analyzer.tokensCol(col("text")).as("toks"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val row = dead.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
+      val row = dead.agg(aggCols.head, aggCols.tail: _*).head()
       val dfRemoved = dead
-        .select(explode(array_distinct(col("toks"))).as("term"))
+        .select(explode(termsExpr).as("term"))
         .groupBy(col("term")).agg(count(lit(1)).as("c"))
         .as[(String, Long)].collect().toMap
       dead.unpersist(blocking = false)
-      (row.getLong(0), row.getLong(1), dfRemoved)
+      RemovedStats(row.getAs[Long]("__c"), row.getAs[Long]("__s"), dfRemoved,
+        fieldNames.map(f => f -> row.getAs[Long](s"__n_$f")).toMap,
+        fieldNames.map(f => f -> row.getAs[Long](s"__s_$f")).toMap)
     }
   }
 
   /** Global corpus stats over the LWW-visible union of all segments. */
-  lazy val n: Long = rawN - removedStats._1
-  lazy val sumDl: Long = rawSumDl - removedStats._2
+  lazy val n: Long = rawN - removedStats.n
+  lazy val sumDl: Long = rawSumDl - removedStats.sumDl
   lazy val avgdl: Double = if (n == 0) 0.0 else sumDl.toDouble / n
+
+  /** Merged per-field (docCount, avgdl) over the LWW-visible union —
+    * the same exact-subtraction rule as N / avgdl.
+    */
+  lazy val fieldStatsMap: Map[String, (Long, Double)] =
+    rawFieldStats.map { case (f, (n0, s0)) =>
+      val nf = n0 - removedStats.fieldN.getOrElse(f, 0L)
+      val sf = s0 - removedStats.fieldSumDl.getOrElse(f, 0L)
+      f -> (nf, if (nf == 0) 0.0 else sf.toDouble / nf)
+    }
 
   /** Per-segment dictionary rows for the query terms + merged global df.
     * Returns (globalDf by term, per-segment termId by (segIdx, term)).
@@ -175,7 +229,7 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
     // living ONLY in superseded docs vanishes (absent from the visible
     // corpus — conjunctive queries on it must return empty, expansion
     // must not propose it)
-    val dfRemoved = removedStats._3
+    val dfRemoved = removedStats.df
     val dfGlobal = perSeg.toSeq.groupBy(_._1._2)
       .map { case (t, xs) => t -> (xs.map(_._2.df).sum - dfRemoved.getOrElse(t, 0L)) }
       .filter(_._2 > 0L)
@@ -189,7 +243,8 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
       shouldTerms: Seq[String] = Nil,
       minShould: Int = 0,
       after: Scored = null,
-      slop: Int = 0): Array[Scored] = {
+      slop: Int = 0,
+      boosts: Map[String, Double] = Map.empty): Array[Scored] = {
     val distinctTerms = terms.distinct.sorted
     if ((distinctTerms.isEmpty && shouldTerms.isEmpty) || k <= 0) return Array.empty
     val (dfGlobal, perSeg) =
@@ -210,6 +265,8 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
     val sSet = shouldFound.toSet
     val nG = n
     val avgdlG = avgdl
+    val fsMap = fieldStatsMap
+    val bst = boosts
     val tb = tombBc
     // termId is segment-local: key block groups by (segIdx, termId);
     // terms whose visible df fell to zero are pruned from the scan
@@ -247,13 +304,16 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
         // EVERY role gets a FRESH iterator per membership (cursors are
         // mutable; round-3 review flagged the shared-by-name reuse):
         // scored/should iterators carry the maxTf-derived bound, filter/
-        // exclude cursors never read bounds
+        // exclude cursors never read bounds. A `%field:` term scores
+        // under its field's merged (docCount, avgdl), boost-scaled.
         def iterOf(t: String, scored: Boolean): Option[Wand.TermIterator] =
           byTerm.get(t).map { case (bs, df) =>
+            val (nn, ad) = FieldTerms.textFieldOf(t).flatMap(fsMap.get).getOrElse((nG, avgdlG))
+            val boost = bst.getOrElse(t, 1.0)
             val ub =
-              if (scored) bs.iterator.map(b => Bm25.score(b.maxTf, df, 0, nG, avgdlG)).max
+              if (scored) boost * bs.iterator.map(b => Bm25.score(b.maxTf, df, 0, nn, ad)).max
               else 0.0
-            new Wand.TermIterator(t, bs, ub, df, nG, avgdlG, staleBlockMax = true)
+            new Wand.TermIterator(t, bs, ub, df, nn, ad, staleBlockMax = true, boost = boost)
           }
         val iters = byTerm.keysIterator
           .filter(t => !fSet.contains(t) && !eSet.contains(t) && !sSet.contains(t))
@@ -304,6 +364,39 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
   /** ES `search_after` continuation over the union of all segments. */
   def searchAfter(query: String, k: Int, after: Scored): Array[Scored] =
     run(Analyzer.analyzeQuery(query).toSeq, k, conjunctive = false, after = after)
+
+  /** Fielded `match` over the union of all segments: per-field BM25
+    * under the MERGED field statistics (per-seg `fieldstats/` sums with
+    * exact tombstone subtraction) — same semantics as
+    * [[Searcher.searchField]] on a compacted index.
+    */
+  def searchField(field: String, query: String, k: Int,
+      conjunctive: Boolean = false, phrase: Boolean = false,
+      from: Int = 0, slop: Int = 0): Array[Scored] = {
+    val toks = Analyzer.tokenize(query).toSeq
+    if (toks.isEmpty) return Array.empty
+    val slots = if (phrase) toks.map(t => FieldTerms.textTerm(field, t)) else null
+    val terms =
+      if (phrase) slots.distinct.sorted
+      else toks.distinct.sorted.map(t => FieldTerms.textTerm(field, t))
+    val hits = run(terms, from + k, conjunctive, slots, slop = slop)
+    if (from == 0) hits else hits.slice(from, from + k)
+  }
+
+  /** ES `multi_match` (most_fields, summed) over the union of all
+    * segments — same semantics as [[Searcher.multiMatch]].
+    */
+  def multiMatch(query: String, fields: Seq[(String, Double)], k: Int,
+      from: Int = 0): Array[Scored] = {
+    require(fields.map(_._1).distinct.size == fields.size, "duplicate field in multiMatch")
+    val toks = Analyzer.analyzeQuery(query).toSeq
+    if (toks.isEmpty || fields.isEmpty) return Array.empty
+    val termBoosts: Seq[(String, Double)] =
+      for ((f, b) <- fields; t <- toks) yield FieldTerms.textTerm(f, t) -> b
+    val hits = run(termBoosts.map(_._1).sorted, from + k, conjunctive = false,
+      boosts = termBoosts.toMap)
+    if (from == 0) hits else hits.slice(from, from + k)
+  }
 
   /** Conjunctive (AND) BM25 top-k over the union of all segments. */
   def searchConjunctive(query: String, k: Int, from: Int = 0): Array[Scored] = {
@@ -441,6 +534,7 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
       .as[(Int, Int, PostingBlock)]
     val nG = n
     val avgdlG = avgdl
+    val fsMap = fieldStatsMap
     val tb = tombBc
     val ws = active
     val rows = all
@@ -455,10 +549,11 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
           }
         def iterOf(t: String, scored: Boolean): Option[Wand.TermIterator] =
           byTerm.get(t).map { case (bs, df) =>
+            val (nn, ad) = FieldTerms.textFieldOf(t).flatMap(fsMap.get).getOrElse((nG, avgdlG))
             val ub =
-              if (scored) bs.iterator.map(b => Bm25.score(b.maxTf, df, 0, nG, avgdlG)).max
+              if (scored) bs.iterator.map(b => Bm25.score(b.maxTf, df, 0, nn, ad)).max
               else 0.0
-            new Wand.TermIterator(t, bs, ub, df, nG, avgdlG, staleBlockMax = true)
+            new Wand.TermIterator(t, bs, ub, df, nn, ad, staleBlockMax = true)
           }
         ws.iterator.flatMap { w =>
           val iters = w.scored.flatMap(t => iterOf(t, scored = true))
@@ -523,7 +618,8 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
     * a compacted index answers identically. ONE unioned dict scan.
     */
   private def expand(sqlPred: org.apache.spark.sql.Column, maxExpansions: Int): Seq[String] = {
-    val notField = !col("term").startsWith(FieldTerms.Prefix)
+    val notField = !col("term").startsWith(FieldTerms.Prefix) &&
+      !col("term").startsWith(FieldTerms.TextPrefix)
     segDicts.map { d =>
       d.filter(notField && sqlPred).select(col("term"))
     }.reduce(_ unionByName _).distinct()

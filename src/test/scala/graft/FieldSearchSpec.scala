@@ -130,6 +130,55 @@ class FieldSearchSpec extends SparkSpec {
     assert(searcher.searchFuzzy("t999", 10).toSeq == plain.searchFuzzy("t999", 10).toSeq)
   }
 
+  test("cross-segment fields: merged stats, LWW deletes, compaction all ≡ oracle") {
+    built
+    val idx = s"${TestSpark.tmpRoot}/index-fields-segs"
+    val mid = docsDF.agg(expr("percentile_approx(docId, 0.5)")).head().get(0)
+      .toString.toDouble.toLong
+    new IndexBuilder(spark, s"$idx/seg-0", "fseg-0", cfg)
+      .buildFrom(docsDF.filter(col("docId") < mid))
+    new IndexBuilder(spark, s"$idx/seg-1", "fseg-1", cfg)
+      .buildFrom(docsDF.filter(col("docId") >= mid))
+    val multi = new graft.query.MultiSearcher(spark, idx)
+    // merged field stats over 2 segments == the single-index build's
+    assert(multi.fieldStatsMap == searcher.fieldStatsMap)
+    for (q <- Seq("the", "the a of", "one have t999")) {
+      assert(multi.searchField("title", q, 10).toSeq
+        == scored(Oracle.topKField(docsDF, "title", q, 10)), s"multi field '$q'")
+      assert(multi.multiMatch(q, Seq("text" -> 1.0, "title" -> 2.0), 10).toSeq
+        == scored(Oracle.topKMulti(docsDF, q, Seq("text" -> 1.0, "title" -> 2.0), 10)),
+        s"multi multiMatch '$q'")
+    }
+    // LWW delete: field stats subtract the dead docs' field contributions
+    // EXACTLY — post-delete queries match the oracle over the visible set
+    val nDel = graft.streaming.StreamingIngest.deleteConvs(spark, idx,
+      Seq("conv-00000003", "conv-00000042"))
+    assert(nDel > 0)
+    val multi2 = new graft.query.MultiSearcher(spark, idx)
+    val visible = multi2.docs.cache()
+    assert(visible.count() == docsDF.count() - nDel)
+    for (q <- Seq("the", "the a of")) {
+      assert(multi2.searchField("title", q, 10).toSeq
+        == scored(Oracle.topKField(visible, "title", q, 10)), s"post-delete field '$q'")
+      assert(multi2.multiMatch(q, Seq("text" -> 1.0, "title" -> 2.0), 10).toSeq
+        == scored(Oracle.topKMulti(visible, q, Seq("text" -> 1.0, "title" -> 2.0), 10)),
+        s"post-delete multiMatch '$q'")
+    }
+    // compaction: field postings merge, fieldstats recompute over the
+    // survivors, per-field block maxima rescore — a plain Searcher agrees
+    val compacted = s"${TestSpark.tmpRoot}/index-fields-compacted"
+    graft.index.Compaction.compact(spark, idx, compacted)
+    val single = new Searcher(spark, compacted, cfg.numShards)
+    assert(single.fieldStatsMap == multi2.fieldStatsMap)
+    for (q <- Seq("the", "the a of")) {
+      assert(single.searchField("title", q, 10).toSeq
+        == scored(Oracle.topKField(visible, "title", q, 10)), s"compacted field '$q'")
+      assert(single.multiMatch(q, Seq("text" -> 1.0, "title" -> 2.0), 10).toSeq
+        == multi2.multiMatch(q, Seq("text" -> 1.0, "title" -> 2.0), 10).toSeq)
+    }
+    visible.unpersist(blocking = false)
+  }
+
   test("namespaces: textTerm/textFieldOf round-trip and stay disjoint") {
     assert(FieldTerms.textTerm("text", "foo") == "foo")
     assert(FieldTerms.textTerm("title", "foo") == "%title:foo")
