@@ -121,15 +121,15 @@ object SegmentCatalog {
   *
   * Layout: parquet under `$indexDir/tombstones/`, appended per
   * micro-batch / delete call (duplicates are fine — readers take the
-  * distinct set). Queries subtract tombstones like a `must_not` list
-  * ([[graft.query.Wand.SortedArrayCursor]]); `Compaction` physically
-  * drops tombstoned docs and their postings, then removes the consumed
-  * files — so the store's size is bounded by the updates BETWEEN
-  * compactions, not corpus size, which is what makes the driver-side
-  * sorted array + broadcast representation sound at scale (a deployment
-  * re-ingesting whole petabytes between compactions would compact
-  * first; the anti-join form used by the doc-store paths has no such
-  * bound and is the fallback everywhere a DataFrame is available).
+  * distinct set). Queries subtract tombstones like a `must_not` list:
+  * `MultiSearcher` derives per-(segment, bucket) delta-encoded
+  * exclusion BLOCKS that ride its pruned block scans (round-5 — no
+  * query-path structure scales with tombstone volume on the driver),
+  * and the doc-store paths anti-join the distinct frame. `Compaction`
+  * physically drops tombstoned docs and their postings, then removes
+  * the consumed files — the one remaining driver-side sorted array
+  * ([[loadSorted]]) is compaction's own postings filter, bounded by the
+  * very update volume the compaction is consuming.
   */
 object Tombstones {
   def dir(indexDir: String): String = s"$indexDir/tombstones"
@@ -147,15 +147,6 @@ object Tombstones {
     import spark.implicits._
     if (!exists(spark, indexDir)) Seq.empty[Long].toDF("docId")
     else spark.read.parquet(dir(indexDir)).select(col("docId")).distinct()
-  }
-
-  /** Sorted distinct tombstoned docIds on the driver (bounded by the
-    * update volume since the last compaction — see object doc).
-    */
-  def loadSorted(spark: SparkSession, indexDir: String): Array[Long] = {
-    import spark.implicits._
-    if (!exists(spark, indexDir)) Array.empty
-    else loadDF(spark, indexDir).as[Long].collect().sorted
   }
 
   /** The store's current parquet data-file paths — a compaction

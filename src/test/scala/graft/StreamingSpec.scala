@@ -306,6 +306,54 @@ class StreamingSpec extends SparkSpec {
     all.unpersist(blocking = false)
   }
 
+  test("scale-safe tombstones: driver cache disabled ≡ oracle (blocks-ride-the-scan path)") {
+    // round-5: tombstone exclusion = per-(seg, bucket) delta blocks in
+    // the pruned scan; df corrections = a distributed frame. Forcing the
+    // driver cache OFF (cap 0) exercises the pure executor-side path a
+    // heavy-churn store would take — results must stay oracle-exact.
+    val idx = s"${TestSpark.tmpRoot}/stream-idx-bigtomb"
+    val cfg = IndexConfig(numBuckets = 2, partitions = 4, fieldCols = Seq("role"))
+    val all = Transcripts.generate(spark, 40L).cache()
+    StreamingIngest.appendSegment(spark, all.filter($"conv_id" < "conv-00000020"), idx, 0L, cfg)
+    StreamingIngest.appendSegment(spark, all.filter($"conv_id" >= "conv-00000020"), idx, 1L, cfg)
+    // churn: delete a QUARTER of the corpus (every conv ending 0 or 5)
+    val doomed = (0 until 40).filter(c => c % 10 == 0 || c % 10 == 5).map(c => f"conv-$c%08d")
+    val nDel = StreamingIngest.deleteConvs(spark, idx, doomed)
+    assert(nDel > all.count() / 10)
+    val multi = new graft.query.MultiSearcher(spark, idx)
+    multi.maxDriverRemovedTerms = 0 // force the distributed corrections path
+    val visible = multi.docs.cache()
+    assert(visible.count() == all.count() - nDel)
+    assert(multi.n == visible.count())
+    for (q <- Seq("the", "zanzibar quasar lattice", "one have t999", "the zanzibar")) {
+      val want = graft.query.Oracle.topK(visible, q, 10)
+        .as[graft.model.Scored].collect().toSeq
+      assert(multi.search(q, 10).toSeq == want, s"big-tomb '$q'")
+    }
+    // phrase + bool + batched msearch all run through the block-exclude
+    // cursor; conv-3 (marker holder) is deleted, conv-17 survives
+    val phWant = graft.query.Oracle.topKPhrase(visible, "zanzibar quasar", 10)
+      .as[graft.model.Scored].collect().toSeq
+    assert(multi.searchPhrase("zanzibar quasar", 10).toSeq == phWant)
+    val fWant = graft.query.Oracle.topK(visible, "the", Int.MaxValue)
+      .join(visible.filter($"role" === "user").select("docId"), Seq("docId"), "left_semi")
+      .orderBy($"score".desc, $"docId".asc).limit(10)
+      .as[graft.model.Scored].collect().toSeq
+    assert(multi.searchBool("the", 10, filters = Seq("role" -> "user")).toSeq == fWant)
+    val batched = multi.searchManyBool(Seq(
+      graft.query.BoolQuerySpec(query = "the"),
+      graft.query.BoolQuerySpec(query = "the", filters = Seq("role" -> "user")),
+      graft.query.BoolQuerySpec(query = "zanzibar quasar", phrase = true)), 10)
+    assert(batched(0).toSeq == multi.search("the", 10).toSeq)
+    assert(batched(1).toSeq == fWant)
+    assert(batched(2).toSeq == phWant)
+    // match-set surfaces agree
+    assert(multi.matchCount("the") ==
+      graft.query.Oracle.topK(visible, "the", Int.MaxValue).count())
+    visible.unpersist(blocking = false)
+    all.unpersist(blocking = false)
+  }
+
   test("crash-atomic compactInPlace: every interruption state serves the same corpus") {
     val idx = s"${TestSpark.tmpRoot}/stream-idx-crash"
     val cfg = IndexConfig(numBuckets = 1, partitions = 4)
