@@ -8,7 +8,25 @@ import graft.model.{BuildManifest, IndexStats, PostingBlock, TermStats}
 import graft.query.Bm25
 
 final case class CompactionReport(segments: Int, n: Long, vocab: Long, buckets: Int,
-  consumedTombstones: Seq[String] = Nil)
+  consumedTombstones: Seq[String] = Nil, mergedSegments: Seq[String] = Nil)
+
+/** Tiered auto-compaction policy (ES merges segments continuously in
+  * the background — the reference's append runs rely on it,
+  * NeoFinderToES.java:184-192; always-merge-ALL is O(total index) per
+  * invocation and wrong at scale):
+  *   - `maxSegments`: when the live segment count exceeds it, merge the
+  *     `mergeFactor` SMALLEST segments (size-tiered selection — the big
+  *     compacted segment is left alone, so each merge costs ∝ the small
+  *     inputs, and a segment is rewritten O(log corpus) times over its
+  *     life, the classic LSM amortization);
+  *   - `tombstoneRatio`: when tombstoned docs exceed this fraction of
+  *     the corpus, run a FULL merge (the only merge kind that drops
+  *     every tombstone and re-tightens all statistics bounds).
+  */
+final case class CompactionPolicy(
+    maxSegments: Int = 8,
+    mergeFactor: Int = 8,
+    tombstoneRatio: Double = 0.2)
 
 /** Segment compaction: merge the LIVE `seg-*` sub-indexes under an index
   * dir into ONE ordinary index (readable by a single `Searcher`),
@@ -127,11 +145,21 @@ object Compaction {
   }
 
   /** Merge `indexDir`'s live seg-* (minus tombstoned docs) into a
-    * self-contained index at `outDir`.
+    * self-contained index at `outDir`. `only` restricts the merge to a
+    * SUBSET of the live segments (size-tiered partial compaction —
+    * [[maybeCompact]]); null/empty = all live.
     */
-  def compact(spark: SparkSession, indexDir: String, outDir: String): CompactionReport = {
+  def compact(spark: SparkSession, indexDir: String, outDir: String,
+      only: Seq[String] = null): CompactionReport = {
     import spark.implicits._
-    val segments = SegmentCatalog.liveSegments(spark, indexDir)
+    val live = SegmentCatalog.liveSegments(spark, indexDir)
+    val segments =
+      if (only == null || only.isEmpty) live
+      else {
+        require(only.forall(live.contains),
+          s"compact subset contains non-live segments: ${only.filterNot(live.contains)}")
+        only.sorted
+      }
     require(segments.nonEmpty, s"no live seg-* sub-indexes under $indexDir")
     val snap = s"compact:${segments.map(_.split('/').last).mkString(",")}"
     // ONE tombstone snapshot drives the whole compaction (round-4
@@ -333,7 +361,7 @@ object Compaction {
     // key bloom for the merged segment: future appends prune their
     // upsert key-lookup against it like any built segment's
     Tombstones.writeKeyBloom(spark, outDir, spark.read.parquet(s"$outDir/docs"), n)
-    CompactionReport(segments.size, n, nVocab, nBuckets, tombFiles)
+    CompactionReport(segments.size, n, nVocab, nBuckets, tombFiles, segments)
   }
 
   /** Compact in place: merge the live seg-* into `$indexDir/
@@ -345,7 +373,9 @@ object Compaction {
     * (with tombstones) or the compacted one — never neither, never
     * both.
     */
-  def compactInPlace(spark: SparkSession, indexDir: String): CompactionReport = {
+  def compactInPlace(spark: SparkSession, indexDir: String,
+      only: Seq[String] = null): CompactionReport = {
+    import spark.implicits._
     val fs = new Path(indexDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = s"$indexDir/.compact-tmp"
     if (fs.exists(new Path(tmp))) fs.delete(new Path(tmp), true) // stale crash leftover
@@ -361,12 +391,30 @@ object Compaction {
         ptr.retired.foreach(nm => fs.delete(new Path(s"$indexDir/$nm"), true))
     }
     val liveBefore = SegmentCatalog.liveSegments(fs, indexDir)
-    val report = compact(spark, indexDir, tmp)
+    val report = compact(spark, indexDir, tmp, only)
+    val inputs = report.mergedSegments
+    val partial = inputs.size < liveBefore.size
+    // PARTIAL merge: a consumed tombstone is dropped only if its doc
+    // lived in a MERGED segment — docIds of un-merged segments must
+    // stay excluded. Compute the survivors from the snapshot BEFORE the
+    // inputs are deleted, re-append them, then delete the snapshot
+    // files (append-first: a crash in between leaves harmless
+    // duplicates, never a resurrection).
+    val surviving: Option[DataFrame] =
+      if (!partial || report.consumedTombstones.isEmpty) None
+      else {
+        val mergedDocs = inputs.map(s =>
+          spark.read.parquet(s"$s/docs").select(col("docId"))).reduce(_ unionByName _)
+        val surv = Tombstones.loadDF(spark, report.consumedTombstones)
+          .join(mergedDocs, Seq("docId"), "left_anti")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        if (surv.count() == 0) { surv.unpersist(blocking = false); None } else Some(surv)
+      }
     val target = SegmentCatalog.nextCompactedName(fs, indexDir)
     // 1. retire the inputs in one atomic pointer write — ignored by
     //    readers until the live segment exists
     SegmentCatalog.writePointer(fs, indexDir, SegmentCatalog.Pointer(
-      target, liveBefore.map(s => new Path(s).getName).toSet))
+      target, inputs.map(s => new Path(s).getName).toSet))
     // 2. the flip: tmp becomes the live segment (rename failure must not
     //    proceed to cleanup — the old segments are still authoritative)
     require(fs.rename(new Path(tmp), new Path(s"$indexDir/$target")),
@@ -376,8 +424,39 @@ object Compaction {
     //    tombstone files the compaction actually consumed are deleted —
     //    files appended by concurrent ingest stay (their docIds were NOT
     //    dropped by this merge and must remain excluded).
-    liveBefore.foreach(s => fs.delete(new Path(s), true))
+    inputs.foreach(s => fs.delete(new Path(s), true))
+    surviving.foreach { surv =>
+      Tombstones.append(spark, indexDir, surv)
+      surv.unpersist(blocking = false)
+    }
     Tombstones.clearFiles(spark, indexDir, report.consumedTombstones)
     report
+  }
+
+  /** Policy-driven incremental compaction: returns None when nothing is
+    * due. Triggers and selection per [[CompactionPolicy]]; segment sizes
+    * come from the docs manifest cells (zero Spark jobs), the tombstone
+    * ratio from one count over the (small) tombstone store.
+    */
+  def maybeCompact(spark: SparkSession, indexDir: String,
+      policy: CompactionPolicy = CompactionPolicy()): Option[CompactionReport] = {
+    val segs = SegmentCatalog.liveSegments(spark, indexDir)
+    if (segs.isEmpty) return None
+    val sizes: Seq[(String, Long)] = segs.map { s =>
+      val n = new IndexBuilder(spark, s, "", IndexConfig()).readManifest("docs")
+        .map(_.postingsEmitted)
+        .getOrElse(spark.read.parquet(s"$s/docs").count())
+      s -> n
+    }
+    val totalN = math.max(1L, sizes.map(_._2).sum)
+    val tombN =
+      if (!Tombstones.exists(spark, indexDir)) 0L
+      else Tombstones.loadDF(spark, indexDir).count()
+    if (tombN.toDouble / totalN >= policy.tombstoneRatio && segs.nonEmpty)
+      Some(compactInPlace(spark, indexDir)) // full: drops every tombstone
+    else if (segs.size > policy.maxSegments) {
+      val smallest = sizes.sortBy(_._2).take(math.max(2, policy.mergeFactor)).map(_._1)
+      Some(compactInPlace(spark, indexDir, smallest))
+    } else None
   }
 }

@@ -518,6 +518,85 @@ class StreamingSpec extends SparkSpec {
     all.unpersist(blocking = false)
   }
 
+  test("tiered auto-compaction: policy merges keep segment count bounded, partial merges preserve foreign tombstones") {
+    import graft.index.{Compaction, CompactionPolicy, SegmentCatalog, Tombstones}
+    val idx = s"${TestSpark.tmpRoot}/stream-idx-tiered"
+    val cfg = IndexConfig(numBuckets = 1, partitions = 4)
+    val all = Transcripts.generate(spark, 80L).cache()
+    val policy = CompactionPolicy(maxSegments = 3, mergeFactor = 3, tombstoneRatio = 0.15)
+    def liveCount = SegmentCatalog.liveSegments(spark, idx).size
+    // 8 appends; the policy keeps the live segment count ≤ maxSegments+1
+    // and each triggered merge touches exactly mergeFactor inputs
+    for (b <- 0 until 8) {
+      val lo = f"conv-${b * 10}%08d"
+      val hi = f"conv-${(b + 1) * 10}%08d"
+      StreamingIngest.appendSegment(spark,
+        all.filter($"conv_id" >= lo && $"conv_id" < hi), idx, b.toLong, cfg)
+      Compaction.maybeCompact(spark, idx, policy).foreach { rep =>
+        assert(rep.segments == 3, s"merge touched ${rep.segments} inputs, want mergeFactor")
+      }
+      assert(liveCount <= policy.maxSegments + 1, s"round $b: $liveCount live segments")
+    }
+    // two extra small segments so the partial-merge phase below has
+    // inputs that do NOT hold conv-5
+    val extra = Transcripts.generate(spark, 100L).filter($"conv_id" >= "conv-00000080").cache()
+    StreamingIngest.appendSegment(spark,
+      extra.filter($"conv_id" < "conv-00000090"), idx, 100L, cfg)
+    StreamingIngest.appendSegment(spark,
+      extra.filter($"conv_id" >= "conv-00000090"), idx, 101L, cfg)
+    val corpusN = all.count() + extra.count()
+    val multi = new graft.query.MultiSearcher(spark, idx)
+    assert(multi.docs.count() == corpusN)
+    for (q <- Seq("the", "zanzibar quasar lattice", "one have t999")) {
+      val want = graft.query.Oracle.topK(multi.docs, q, 10)
+        .as[graft.model.Scored].collect().toSeq
+      assert(multi.search(q, 10).toSeq == want, s"tiered '$q'")
+    }
+    // PARTIAL-merge tombstone survival: delete a conv, then merge only
+    // segments that do NOT hold it — its tombstone must survive the
+    // cleanup and keep excluding
+    val nDel = StreamingIngest.deleteConvs(spark, idx, Seq("conv-00000005"))
+    assert(nDel > 0)
+    val segs = SegmentCatalog.liveSegments(spark, idx)
+    val without = segs.filter { s =>
+      spark.read.parquet(s"$s/docs").filter($"conv_id" === "conv-00000005").isEmpty
+    }
+    assert(without.size >= 2, s"fixture needs ≥2 segments without the conv (got $without)")
+    val rep = Compaction.compactInPlace(spark, idx, without.take(2))
+    assert(rep.mergedSegments.size == 2)
+    assert(Tombstones.exists(spark, idx), "partial merge destroyed a foreign tombstone")
+    val multi2 = new graft.query.MultiSearcher(spark, idx)
+    val visible = multi2.docs.cache()
+    assert(visible.filter($"conv_id" === "conv-00000005").count() == 0)
+    assert(visible.count() == corpusN - nDel)
+    for (q <- Seq("the", "one have t999")) {
+      val want = graft.query.Oracle.topK(visible, q, 10)
+        .as[graft.model.Scored].collect().toSeq
+      assert(multi2.search(q, 10).toSeq == want, s"post-partial '$q'")
+    }
+    // tombstone-ratio trigger: heavy deletes make maybeCompact run the
+    // FULL merge, which consumes every tombstone and drops the docs
+    StreamingIngest.deleteConvs(spark, idx, (10 until 30).map(c => f"conv-$c%08d"))
+    val fullRep = Compaction.maybeCompact(spark, idx, policy)
+    assert(fullRep.isDefined, "ratio trigger did not fire")
+    assert(!Tombstones.exists(spark, idx), "full merge must consume all tombstones")
+    assert(SegmentCatalog.liveSegments(spark, idx).size == 1)
+    val single = new Searcher(spark,
+      SegmentCatalog.liveSegments(spark, idx).head, cfg.numShards)
+    val multi3 = new graft.query.MultiSearcher(spark, idx)
+    val vis3 = multi3.docs.cache()
+    assert(vis3.filter($"conv_id" === "conv-00000015").count() == 0)
+    for (q <- Seq("the", "one have t999")) {
+      val want = graft.query.Oracle.topK(vis3, q, 10)
+        .as[graft.model.Scored].collect().toSeq
+      assert(multi3.search(q, 10).toSeq == want, s"post-ratio-full '$q'")
+      assert(single.search(q, 10).toSeq == want, s"post-ratio-full single '$q'")
+    }
+    vis3.unpersist(blocking = false)
+    visible.unpersist(blocking = false)
+    all.unpersist(blocking = false)
+  }
+
   test("appendSegment is idempotent per batchId (foreachBatch retry semantics)") {
     val idx = s"${TestSpark.tmpRoot}/stream-idx-retry"
     val cfg = IndexConfig(numBuckets = 1, partitions = 4)
