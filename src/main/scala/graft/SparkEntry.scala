@@ -124,15 +124,16 @@ object SparkEntry {
     * contains the phrase adjacently (substring of the space-joined
     * stream — exact, tokens cannot contain spaces).
     */
-  /** 2-term ordered-proximity membership subquery (the engine's slop
-    * semantics for a bigram: b after a with gap ≤ slop): DuckDB
-    * positional token table via the 2-arg list_transform lambda.
+  /** 2-term SLOPPY-phrase membership subquery (the engine's Lucene
+    * slop semantics for the bigram "a b": adjusted-position width
+    * |p_b − p_a − 1| ≤ slop, so TRANSPOSED terms match from slop ≥ 2):
+    * DuckDB positional token table via the 2-arg list_transform lambda.
     */
   private def proximitySubquery(a: String, b: String, slop: Int): String =
     s"""WITH arrs AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '$SqlTokRegex'), x -> x <> '') AS arr FROM documents),
   pe AS (SELECT doc_id, tp.term AS term, tp.p AS p FROM (SELECT doc_id, unnest(list_transform(arr, (t, i) -> {'term': t, 'p': i})) AS tp FROM arrs))
   SELECT DISTINCT pa.doc_id FROM pe pa JOIN pe pb USING (doc_id)
-  WHERE pa.term = '$a' AND pb.term = '$b' AND pb.p > pa.p AND pb.p - pa.p <= ${slop + 1}"""
+  WHERE pa.term = '$a' AND pb.term = '$b' AND abs(pb.p - pa.p - 1) <= $slop"""
 
   private def bm25Sql(terms: Seq[String], k: Int, conjunctive: Boolean,
       phrase: Seq[String] = null, termPred: String = null,
@@ -428,9 +429,10 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
         .searchBool("", 10, should = Bm25Query, minShouldMatch = 2))
     }),
     "q_bm25_proximity" -> ((s, dir) =>
-      // ordered proximity (ES slop, order-preserving): 'merge' then
-      // 'sort' within 2 extra token gaps — positional postings +
-      // greedy minimal-chain window check, conjunctive BM25 scoring
+      // sloppy phrase (full ES slop semantics): 'merge sort' within 2
+      // positional moves — INCLUDING the transposed 'sort merge'
+      // (width 2) — via positional postings + the Lucene width model,
+      // conjunctive BM25 scoring
       rankHits(s, new Searcher(s, documentsIndex(s, dir), 8)
         .searchPhrase(PhraseQuery, 10, slop = 2))),
     "q_bm25_page2" -> ((s, dir) => {

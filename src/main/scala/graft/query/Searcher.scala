@@ -328,8 +328,9 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
     * with storePositions (default).
     */
   def searchPhrase(query: String, k: Int, from: Int = 0,
-      /** Ordered proximity window (ES `slop`, order-preserving): extra
-        * token gaps allowed between consecutive phrase slots; 0 = exact
+      /** ES `slop` — full Lucene sloppy-phrase semantics: positional
+        * moves over offset-adjusted positions, so reordered terms match
+        * from slop ≥ 2 (a transposed bigram has width 2); 0 = exact
         * adjacency.
         */
       slop: Int = 0): Array[Scored] = {
@@ -583,7 +584,9 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
         * after the cursor).
         */
       after: Scored = null,
-      /** Proximity window for `phrase = true` (ordered slop). */
+      /** ES `slop` for `phrase = true` (full sloppy semantics —
+        * reordered terms match from slop ≥ 2).
+        */
       phraseSlop: Int = 0
   ): Array[Scored] = {
     val slots = if (phrase) Analyzer.tokenize(query).toSeq else null

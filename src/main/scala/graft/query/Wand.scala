@@ -374,35 +374,48 @@ object Wand {
       shoulds: Seq[TermIterator] = Nil,
       minShould: Int = 0,
       after: Scored = null,
-      /** Ordered proximity window (ES `slop`, order-preserving): total
-        * extra token gaps allowed between consecutive phrase slots;
-        * 0 = exact adjacency. See [[phraseAt]].
+      /** ES `slop` — full Lucene sloppy-phrase semantics (positional
+        * moves; reordered terms match from slop ≥ 2); 0 = exact
+        * adjacency. See [[phraseAt]].
         */
       slop: Int = 0): Array[Scored] = {
     if (phrase == null || phrase.isEmpty) return Array.empty
     intersectTopK(lists, k, phrase, filters, excludes, shoulds, minShould, after, slop)
   }
 
-  /** Does the phrase occur at the current (aligned) doc within `slop`
-    * extra token gaps? slots(j) is the iterator of phrase position j;
-    * all slots sit on the same doc. Semantics: ORDERED proximity —
-    * strictly increasing positions p_0 < p_1 < … < p_{m-1}, one per
-    * slot, with total gap Σ(p_i − p_{i−1} − 1) = span − (m−1) ≤ slop.
-    * slop = 0 is exact adjacency (`match_phrase`); slop > 0 is the
-    * ordered ES `slop` shape (ES additionally permits REORDERING moves
-    * at slop ≥ 2 — this implementation keeps order, documented).
-    *
-    * Greedy minimal-chain check: for each start in slot 0, extend each
-    * later slot to its MINIMAL position past the previous slot. The
-    * greedy chain has the minimal span for that start (each choice is a
-    * lower bound for any valid chain), so testing span ≤ m−1+slop is
-    * exact; pointers only move forward across starts (starts increase ⇒
-    * minimal chains increase), giving O(Σ positions) total.
+  /** Does the phrase occur at the current (aligned) doc within `slop`?
+    * slots(j) is the iterator of phrase position j; all slots sit on
+    * the same doc. Semantics: the Lucene/ES SLOPPY-PHRASE model —
+    * there exist DISTINCT token positions p_0 … p_{m−1}, one per slot,
+    * whose offset-ADJUSTED positions q_i = p_i − i satisfy
+    * max(q) − min(q) ≤ slop (each unit of slop is one positional move;
+    * REORDERED terms match from slop ≥ 2 — a transposed bigram has
+    * width 2). slop = 0 forces all q equal = exact in-order adjacency
+    * (`match_phrase`), answered by the O(Σ positions) greedy
+    * minimal-chain scan.
     */
   private def phraseAt(slots: Array[TermIterator], slop: Int): Boolean = {
+    val m = slots.length
+    if (m == 1) return slots(0).positions.length > 0
+    if (slop == 0) return adjacentAt(slots)
+    var hasRepeat = false
+    var i = 0
+    while (i < m && !hasRepeat) {
+      var j = i + 1
+      while (j < m && !hasRepeat) { if (slots(i) eq slots(j)) hasRepeat = true; j += 1 }
+      i += 1
+    }
+    if (!hasRepeat) sloppyDistinctAt(slots, slop) else sloppyRepeatsAt(slots, slop)
+  }
+
+  /** Exact in-order adjacency (slop = 0): greedy minimal chain — for
+    * each start in slot 0, extend each later slot to its minimal
+    * position past the previous; pointers only move forward across
+    * starts, O(Σ positions) total.
+    */
+  private def adjacentAt(slots: Array[TermIterator]): Boolean = {
     val pos = slots.map(_.positions)
     val m = slots.length
-    if (m == 1) return pos(0).length > 0
     val ptr = new Array[Int](m)
     var s = 0
     while (s < pos(0).length) {
@@ -416,10 +429,80 @@ object Wand {
         prev = pj(ptr(j))
         j += 1
       }
-      if (prev - start - (m - 1) <= slop) return true
+      if (prev - start == m - 1) return true
       s += 1
     }
     false
+  }
+
+  /** Sloppy match, all slots DISTINCT terms: the classic k-list minimal
+    * range scan over the adjusted position lists — hold one pointer per
+    * list, test the current window, advance the list holding the
+    * minimum. Finds the minimal achievable width (positions across
+    * different terms are distinct by construction), O(Σ positions · m).
+    */
+  private def sloppyDistinctAt(slots: Array[TermIterator], slop: Int): Boolean = {
+    val pos = slots.map(_.positions)
+    val m = slots.length
+    val ptr = new Array[Int](m)
+    var running = true
+    while (running) {
+      var mn = Int.MaxValue
+      var mx = Int.MinValue
+      var mnI = 0
+      var i = 0
+      while (i < m) {
+        val v = pos(i)(ptr(i)) - i
+        if (v < mn) { mn = v; mnI = i }
+        if (v > mx) mx = v
+        i += 1
+      }
+      if (mx - mn <= slop) return true
+      ptr(mnI) += 1
+      if (ptr(mnI) >= pos(mnI).length) running = false
+    }
+    false
+  }
+
+  /** Sloppy match with REPEATED phrase terms (rare): distinctness of
+    * the chosen positions inside a repeated term's slot group matters.
+    * Try every candidate window origin w ∈ {p − slot offset}; within
+    * [w, w + slop] each term group's constraint is a staircase of
+    * intervals [w+o, w+slop+o] over ascending offsets o, for which the
+    * ascending greedy assignment (smallest unused feasible position per
+    * offset) is exact. O(candidates × Σ positions).
+    */
+  private def sloppyRepeatsAt(slots: Array[TermIterator], slop: Int): Boolean = {
+    val m = slots.length
+    val groups: Array[(Array[Int], Array[Int])] = {
+      val seen = scala.collection.mutable.ArrayBuffer[(TermIterator, scala.collection.mutable.ArrayBuffer[Int])]()
+      var i = 0
+      while (i < m) {
+        seen.find(_._1 eq slots(i)) match {
+          case Some((_, offs)) => offs += i
+          case None => seen += ((slots(i), scala.collection.mutable.ArrayBuffer(i)))
+        }
+        i += 1
+      }
+      seen.map { case (it, offs) => (it.positions, offs.toArray) }.toArray
+    }
+    val candidates = scala.collection.mutable.SortedSet[Int]()
+    var i = 0
+    while (i < m) {
+      val ps = slots(i).positions
+      var j = 0
+      while (j < ps.length) { candidates += ps(j) - i; j += 1 }
+      i += 1
+    }
+    candidates.exists { w =>
+      groups.forall { case (ps, offs) =>
+        var pi = 0
+        offs.forall { o =>
+          while (pi < ps.length && ps(pi) < w + o) pi += 1
+          if (pi < ps.length && ps(pi) <= w + slop + o) { pi += 1; true } else false
+        }
+      }
+    }
   }
 
   private def intersectTopK(

@@ -225,31 +225,29 @@ class WandSpec extends AnyFunSuite {
     }
   }
 
-  /** Does `doc` contain the phrase terms in order with total extra gap
-    * ≤ slop? Exhaustive DFS over position tuples — the proximity brute.
+  /** Does `doc` sloppy-match the phrase (Lucene/ES model)? Exhaustive
+    * DFS over DISTINCT position choices: exist p_0…p_{m−1}, one per
+    * slot, pairwise distinct, with max(p_i − i) − min(p_i − i) ≤ slop.
+    * slop = 0 degenerates to exact in-order adjacency; reordered terms
+    * match from slop ≥ 2 (a transposed bigram has width 2).
     */
   private def proximityMatch(doc: Array[String], phrase: Seq[String], slop: Int): Boolean = {
-    def go(slot: Int, from: Int, start: Int): Boolean = {
-      if (slot == phrase.length) return true
-      var p = from
-      while (p < doc.length) {
-        if (doc(p) == phrase(slot)) {
-          if (slot == phrase.length - 1) {
-            if (p - start - (phrase.length - 1) <= slop) return true
-          } else if (go(slot + 1, p + 1, start)) return true
-          // positions beyond can only grow the span for the LAST slot,
-          // but intermediate slots may still enable later chains — keep
-          // scanning (exhaustive)
+    val m = phrase.length
+    def go(slot: Int, used: Set[Int], mn: Int, mx: Int): Boolean = {
+      if (slot == m) return true
+      doc.indices.exists { p =>
+        doc(p) == phrase(slot) && !used(p) && {
+          val a = p - slot
+          val nmn = if (slot == 0) a else math.min(mn, a)
+          val nmx = if (slot == 0) a else math.max(mx, a)
+          nmx - nmn <= slop && go(slot + 1, used + p, nmn, nmx)
         }
-        p += 1
       }
-      false
     }
-    (0 until doc.length).exists(s0 =>
-      doc(s0) == phrase(0) && go(1, s0 + 1, s0))
+    go(0, Set.empty, 0, 0)
   }
 
-  test("ordered proximity (slop) ≡ exhaustive DFS on 150 random cases; slop=0 ≡ adjacency") {
+  test("sloppy phrase (slop) ≡ exhaustive DFS on 150 random cases; slop=0 ≡ adjacency") {
     for (i <- 1 to 150) {
       val vocab = 2 + rnd.nextInt(6) // small vocab → real near-misses
       val nDocs = 10 + rnd.nextInt(200)
@@ -274,6 +272,21 @@ class WandSpec extends AnyFunSuite {
       assert(got.toSeq == brute,
         s"proximity mismatch: phrase=$phrase slop=$slop\n got=${got.toSeq}\n want=$brute")
     }
+  }
+
+  test("transposed bigram: slop thresholds follow the Lucene width model") {
+    // phrase "a b": "a b" = width 0; "b a" = width 2 (transposition);
+    // "b x a" = width 3
+    val corpus = Array(Array("b", "a"), Array("a", "b"), Array("b", "x", "a"))
+    val phrase = Seq("a", "b")
+    def run(slop: Int): Set[Long] = {
+      val (iters, _, _, _) = buildIters(corpus, phrase.distinct.sorted, 16)
+      Wand.topKPhrase(iters, phrase, 10, slop = slop).map(_.docId).toSet
+    }
+    assert(run(0) == Set(1L))
+    assert(run(1) == Set(1L))
+    assert(run(2) == Set(0L, 1L))
+    assert(run(3) == Set(0L, 1L, 2L))
   }
 
   /** Brute oracle with should semantics: score = BM25 sum over matched
