@@ -460,6 +460,14 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
         .select(col("n_docs"), col("min").cast("long").as("min"),
           col("max").cast("long").as("max"), round(col("avg"), 6).as("avg"),
           col("sum").cast("long").as("sum"))),
+    "q_facet_stats" -> ((s, dir) =>
+      // ES sub-aggregation: terms buckets over lang with nested stats of
+      // n_chars per bucket — one groupBy on the match-set join
+      new Searcher(s, documentsIndex(s, dir), 8)
+        .facetStats(Bm25Query, "lang", "n_chars")
+        .select(col("value"), col("n_docs"), col("min").cast("long").as("min"),
+          col("max").cast("long").as("max"), round(col("avg"), 6).as("avg"),
+          col("sum").cast("long").as("sum"))),
     "q_facet_filtered" -> ((s, dir) =>
       // ES aggs run over the FULL bool query: facet restricted by a
       // filter clause (semi-join of the clause's posting docIds — no
@@ -828,6 +836,15 @@ SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(min(n_chars) AS BIGINT) AS "min"
 FROM documents
 WHERE doc_id IN (SELECT DISTINCT doc_id FROM tok
                  WHERE term IN ${inList(Analyzer.analyzeQuery(Bm25Query).toSeq)})""",
+      "q_facet_stats" ->
+        s"""${toksCte("documents", "doc_id")}
+SELECT d.lang AS value, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(n_chars) AS BIGINT) AS "min", CAST(max(n_chars) AS BIGINT) AS "max",
+       round(avg(n_chars), 6) AS "avg", CAST(sum(n_chars) AS BIGINT) AS "sum"
+FROM documents d
+WHERE d.doc_id IN (SELECT DISTINCT doc_id FROM tok
+                   WHERE term IN ${inList(Analyzer.analyzeQuery(Bm25Query).toSeq)})
+GROUP BY 1 ORDER BY 1""",
       "q_facet_filtered" ->
         s"""${toksCte("documents", "doc_id")}
 SELECT d.lang AS value, CAST(count(*) AS BIGINT) AS n_docs

@@ -127,7 +127,9 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
     */
   def warm(): this.type = {
     (segDicts ++ segBlocks).foreach { df =>
-      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count()
     }
     this
   }
@@ -643,6 +645,9 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
     * exact LWW statistics.
     */
   def searchManyBool(specs: Seq[BoolQuerySpec], k: Int): Seq[Array[Scored]] = {
+    // ALL specs' lexicographic ranges expand in ONE batched unioned scan
+    val rangeExp: Map[(String, String, String), Seq[String]] =
+      expandFieldRanges(specs.flatMap(_.rangeFilters).distinct)
     val preps = specs.map { sp =>
       val slots = if (sp.phrase) Analyzer.tokenize(sp.query).toSeq else null
       val scoredTerms =
@@ -653,7 +658,8 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
         sp.filters.map { case (f, v) => Seq(FieldTerms.term(f, v)) } ++
           sp.anyFilters.map { case (f, vs) =>
             vs.distinct.map(v => FieldTerms.term(f, v)) } ++
-          sp.numericRangeFilters.map { case (f, lo, hi) => FieldTerms.trieRangeTerms(f, lo, hi) }
+          sp.numericRangeFilters.map { case (f, lo, hi) => FieldTerms.trieRangeTerms(f, lo, hi) } ++
+          sp.rangeFilters.map(rangeExp)
       (slots, scoredTerms, shouldTerms, clauses,
         sp.mustNot.map { case (f, v) => FieldTerms.term(f, v) }.distinct)
     }
@@ -778,6 +784,31 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
     }.reduce(_ unionByName _).distinct().as[String].collect().toSeq.sorted
   }
 
+  /** Batched variant for `searchManyBool`: every spec's ranges expand
+    * off ONE unioned dictionary scan (OR of the per-range predicates),
+    * partitioned back per range on the driver.
+    */
+  private def expandFieldRanges(ranges: Seq[(String, String, String)])
+      : Map[(String, String, String), Seq[String]] = {
+    val distinct = ranges.distinct
+    if (distinct.isEmpty) return Map.empty
+    val preds = distinct.map { case (f, lo, hi) =>
+      val prefix = FieldTerms.term(f, "")
+      val valueCol = col("term").substr(lit(prefix.length + 1), lit(Int.MaxValue))
+      col("term").startsWith(prefix) && valueCol >= lit(lo) && valueCol <= lit(hi)
+    }
+    val terms = segDicts.map(_.filter(preds.reduce(_ || _)).select(col("term")))
+      .reduce(_ unionByName _).distinct().as[String].collect().toSeq
+    def matches(r: (String, String, String), term: String): Boolean = {
+      val prefix = FieldTerms.term(r._1, "")
+      term.startsWith(prefix) && {
+        val v = term.substring(prefix.length)
+        r._2 <= v && v <= r._3
+      }
+    }
+    distinct.map(r => r -> terms.filter(matches(r, _)).sorted).toMap
+  }
+
   // --- term-expansion queries (ES prefix / wildcard / fuzzy) --------------
 
   /** Matching TEXT dictionary terms across all segments: ascending term
@@ -886,7 +917,7 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
       filters: Seq[(String, String)] = Nil,
       mustNot: Seq[(String, String)] = Nil,
       numericRangeFilters: Seq[(String, Long, Long)] = Nil): DataFrame =
-    docs.select(col("docId"), col(field).as("value"))
+    rawDocs.select(col("docId"), col(field).as("value"))
       .join(matchingOrEmpty(query, filters, mustNot, numericRangeFilters), Seq("docId"))
       .groupBy(col("value")).agg(count(lit(1)).as("n_docs"))
       .orderBy(col("value"))
@@ -910,16 +941,43 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
         * plans as TakeOrderedAndProject with limit+offset — still
         * per-partition heaps, never a global sort.
         */
-      from: Int = 0): DataFrame = {
+      from: Int = 0,
+      /** ES `search_after` on the FIELD ordering — (fieldValue, docId)
+        * cursor; deep pages cost k per partition heap, not from + k.
+        */
+      after: Option[(Any, Long)] = None): DataFrame = {
     val ord =
       if (descending) Seq(col(field).desc, col("docId").asc)
       else Seq(col(field).asc, col("docId").asc)
-    docs.select(col("docId"), col(field))
+    val base = rawDocs.select(col("docId"), col(field))
       .join(matchingOrEmpty(query, filters, mustNot, numericRangeFilters), Seq("docId"))
-      .orderBy(ord: _*)
-      .offset(from)
-      .limit(k)
+    val paged = after match {
+      case None => base
+      case Some((v, d)) =>
+        val cur =
+          if (descending) col(field) < lit(v) || (col(field) === lit(v) && col("docId") > lit(d))
+          else col(field) > lit(v) || (col(field) === lit(v) && col("docId") > lit(d))
+        base.filter(cur)
+    }
+    paged.orderBy(ord: _*).offset(from).limit(k)
   }
+
+  /** ES sub-aggregation over the cross-segment match set: `terms`
+    * buckets over `bucketField` with a nested `stats` of `statField`
+    * per bucket (same plan shape as [[facetCounts]], one extra agg
+    * column set).
+    */
+  def facetStats(query: String, bucketField: String, statField: String,
+      filters: Seq[(String, String)] = Nil,
+      mustNot: Seq[(String, String)] = Nil,
+      numericRangeFilters: Seq[(String, Long, Long)] = Nil): DataFrame =
+    rawDocs.select(col("docId"), col(bucketField).as("value"), col(statField))
+      .join(matchingOrEmpty(query, filters, mustNot, numericRangeFilters), Seq("docId"))
+      .groupBy(col("value"))
+      .agg(count(lit(1)).as("n_docs"), min(col(statField)).as("min"),
+        max(col(statField)).as("max"), avg(col(statField)).as("avg"),
+        sum(col(statField)).as("sum"))
+      .orderBy(col("value"))
 
   /** ES `histogram` aggregation over the cross-segment match set. */
   def numericHistogram(query: String, field: String, width: Long,
@@ -927,7 +985,7 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
       mustNot: Seq[(String, String)] = Nil,
       numericRangeFilters: Seq[(String, Long, Long)] = Nil): DataFrame = {
     require(width > 0, "histogram width must be positive")
-    docs.select(col("docId"), col(field))
+    rawDocs.select(col("docId"), col(field))
       .join(matchingOrEmpty(query, filters, mustNot, numericRangeFilters), Seq("docId"))
       .groupBy((floor(col(field) / lit(width)) * lit(width)).cast("long").as("bucket"))
       .agg(count(lit(1)).as("n_docs"))
@@ -939,7 +997,7 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
       filters: Seq[(String, String)] = Nil,
       mustNot: Seq[(String, String)] = Nil,
       numericRangeFilters: Seq[(String, Long, Long)] = Nil): DataFrame =
-    docs.select(col("docId"), col(field))
+    rawDocs.select(col("docId"), col(field))
       .join(matchingOrEmpty(query, filters, mustNot, numericRangeFilters), Seq("docId"))
       .groupBy(date_trunc(interval, col(field)).as("bucket"))
       .agg(count(lit(1)).as("n_docs"))
@@ -950,7 +1008,7 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
       filters: Seq[(String, String)] = Nil,
       mustNot: Seq[(String, String)] = Nil,
       numericRangeFilters: Seq[(String, Long, Long)] = Nil): DataFrame =
-    docs.select(col("docId"), col(field))
+    rawDocs.select(col("docId"), col(field))
       .join(matchingOrEmpty(query, filters, mustNot, numericRangeFilters), Seq("docId"))
       .agg(count(lit(1)).as("n_docs"), min(col(field)).as("min"),
         max(col(field)).as("max"), avg(col(field)).as("avg"),
@@ -960,10 +1018,11 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
     * against the live doc store).
     */
   def searchResolved(query: String, k: Int): DataFrame = {
+    // hits are already tombstone-excluded — resolve against the raw union
     val hits = search(query, k)
     val hitsDF = hits.toSeq.zipWithIndex
       .map { case (s, i) => (s.docId, s.score, i + 1) }.toDF("docId", "score", "rank")
-    docs.join(broadcast(hitsDF), Seq("docId"))
+    rawDocs.join(broadcast(hitsDF), Seq("docId"))
       .select(col("rank"), col("docId"), col("score"), col("conv_id"), col("turn_idx"),
         col("role"), col("text"))
       .orderBy(col("rank"))
@@ -982,8 +1041,15 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
     * unique; tombstoned docs excluded — the LWW-visible corpus).
     */
   def docs: DataFrame = {
-    val union = segDocs.reduce(_ unionByName _)
+    val union = rawDocs
     if (Tombstones.exists(spark, indexDir)) union.join(tombDF, Seq("docId"), "left_anti")
     else union
   }
+
+  /** Segment doc stores unioned WITHOUT the tombstone anti-join — for
+    * docId joins against sets that are already tombstone-filtered (the
+    * match set; resolved top-k hits): one anti-join per query, not two
+    * (round-4 review "What's wrong #2").
+    */
+  private def rawDocs: DataFrame = segDocs.reduce(_ unionByName _)
 }

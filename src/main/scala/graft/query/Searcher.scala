@@ -48,9 +48,9 @@ private[query] final case class SearchMode(
     boosts: Map[String, Double] = Map.empty)
 
 /** One query of a batched `_msearch`-style request
-  * ([[Searcher.searchManyBool]]): the full bool surface minus
-  * lexicographic `rangeFilters` (whose dictionary expansion is
-  * per-query — use the trie `numericRangeFilters`).
+  * ([[Searcher.searchManyBool]]): the FULL bool surface, including
+  * lexicographic `rangeFilters` (all specs' ranges expand in ONE
+  * batched dictionary scan — the one-job contract holds).
   */
 final case class BoolQuerySpec(
     query: String = "",
@@ -60,6 +60,10 @@ final case class BoolQuerySpec(
     mustNot: Seq[(String, String)] = Nil,
     anyFilters: Seq[(String, Seq[String])] = Nil,
     numericRangeFilters: Seq[(String, Long, Long)] = Nil,
+    /** ES `range` clauses on keyword fields (lexicographic, inclusive —
+      * same semantics as the standalone `searchBool` parameter).
+      */
+    rangeFilters: Seq[(String, String, String)] = Nil,
     should: String = "",
     minShouldMatch: Int = 0,
     phraseSlop: Int = 0)
@@ -211,10 +215,18 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
     */
   def warm(maxDriverDictTerms: Long = 5_000_000L,
       maxLocalBlockBytes: Long = 1L << 30): this.type = {
-    blocks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
+    // idempotent persist: a second searcher over the same dir (or a
+    // re-warm) must not re-ask the CacheManager (noisy WARN, no-op)
+    if (blocks.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      blocks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    blocks.count()
     if (dict.count() <= maxDriverDictTerms)
       dictMap = dict.as[TermStats].collect().map(t => t.term -> t).toMap
-    else dict.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
+    else {
+      if (dict.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        dict.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      dict.count()
+    }
     if (maxLocalBlockBytes > 0) {
       val bytes = blocks
         .agg(coalesce(sum((length(col("docs")) + length(col("tfs")) + length(col("dls"))
@@ -397,12 +409,13 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
     * through the same [[Searcher.runBucket]] dispatch as its standalone
     * API, so results are identical to issuing the specs one at a time
     * (test-pinned). Warm searchers answer each spec in-process with
-    * zero jobs. (Lexicographic `rangeFilters` are not batchable — their
-    * dictionary expansion is per-query; use `numericRangeFilters`.)
+    * zero jobs. Lexicographic `rangeFilters` batch too: every spec's
+    * ranges expand off ONE OR-predicate dictionary scan.
     */
   def searchManyBool(specs: Seq[BoolQuerySpec], k: Int): Seq[Array[Scored]] = {
     final case class Prep(scoredTerms: Seq[String], slots: Seq[String],
-        clauses: Seq[Seq[String]], excludeTerms: Seq[String], shouldTerms: Seq[String])
+        clauses: Seq[Seq[String]], excludeTerms: Seq[String], shouldTerms: Seq[String],
+        ranges: Seq[(String, String, String)])
     val preps = specs.map { sp =>
       val slots = if (sp.phrase) Analyzer.tokenize(sp.query).toSeq else null
       val scoredTerms =
@@ -417,16 +430,20 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
             graft.index.FieldTerms.trieRangeTerms(f, lo, hi) }
       Prep(scoredTerms, slots, clauses,
         sp.mustNot.map { case (f, v) => graft.index.FieldTerms.term(f, v) }.distinct,
-        shouldTerms)
+        shouldTerms, sp.rangeFilters)
     }
+    // ALL specs' lexicographic ranges expand in ONE batched dict scan
+    val rangeExp: Map[(String, String, String), Map[String, TermStats]] =
+      expandFieldRanges(preps.flatMap(_.ranges).distinct)
     val allTerms = preps.flatMap(p =>
       p.scoredTerms ++ p.shouldTerms ++ p.clauses.flatten ++ p.excludeTerms).distinct.sorted
-    val found = lookupTerms(allTerms)
+    val found = lookupTerms(allTerms) ++ rangeExp.valuesIterator.flatten
     // per-spec resolution mirrors searchBool's early-empty rules exactly
     val resolved: Seq[Option[(Seq[(String, TermStats)], SearchMode)]] =
       preps.zip(specs).map { case (p, sp) =>
         val needAll = sp.conjunctive || sp.phrase
-        val foundClauses = p.clauses.map(_.filter(found.contains))
+        val foundClauses = p.clauses.map(_.filter(found.contains)) ++
+          p.ranges.map(r => rangeExp(r).keys.toSeq.sorted)
         val shouldFound = p.shouldTerms.filter(found.contains)
         if ((p.scoredTerms.isEmpty && p.shouldTerms.isEmpty) ||
           (sp.phrase && (p.slots == null || p.slots.isEmpty)) ||
@@ -658,6 +675,36 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
           valueCol >= lit(lo) && valueCol <= lit(hi))
         .as[TermStats].collect().map(ts => ts.term -> ts).toMap
     }
+  }
+
+  /** Batched variant for `searchManyBool`: EVERY range expands off one
+    * dictionary scan (OR of the per-range predicates), partitioned back
+    * per range on the driver — the batch keeps its one-job contract.
+    */
+  private def expandFieldRanges(ranges: Seq[(String, String, String)])
+      : Map[(String, String, String), Map[String, TermStats]] = {
+    val distinct = ranges.distinct
+    if (distinct.isEmpty) return Map.empty
+    def matches(r: (String, String, String), term: String): Boolean = {
+      val prefix = graft.index.FieldTerms.term(r._1, "")
+      term.startsWith(prefix) && {
+        val v = term.substring(prefix.length)
+        r._2 <= v && v <= r._3
+      }
+    }
+    val rows: Seq[TermStats] =
+      if (dictMap != null)
+        dictMap.valuesIterator.filter(ts => distinct.exists(matches(_, ts.term))).toSeq
+      else {
+        val preds = distinct.map { case (f, lo, hi) =>
+          val prefix = graft.index.FieldTerms.term(f, "")
+          val valueCol = col("term").substr(lit(prefix.length + 1), lit(Int.MaxValue))
+          col("term").startsWith(prefix) && valueCol >= lit(lo) && valueCol <= lit(hi)
+        }
+        dict.filter(preds.reduce(_ || _)).as[TermStats].collect().toSeq
+      }
+    distinct.map(r =>
+      r -> rows.filter(ts => matches(r, ts.term)).map(ts => ts.term -> ts).toMap).toMap
   }
 
   // --- term-expansion queries (ES prefix / wildcard / fuzzy) --------------
@@ -923,20 +970,50 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
         * plans as TakeOrderedAndProject with limit+offset — still
         * per-partition heaps, never a global sort.
         */
-      from: Int = 0): DataFrame = {
+      from: Int = 0,
+      /** ES `search_after` on the FIELD ordering: the (fieldValue,
+        * docId) sort key of the previous page's last hit — only rows
+        * strictly after it are returned, so deep pages cost k (not
+        * from + k) per partition heap. Composes with `from` (applied
+        * after the cursor). Same offer-guard soundness as the
+        * score-ranked cursor: the predicate only REMOVES candidates.
+        */
+      after: Option[(Any, Long)] = None): DataFrame = {
     val ord =
       if (descending) Seq(col(field).desc, col("docId").asc)
       else Seq(col(field).asc, col("docId").asc)
     matchSet(query, filters, mustNot, Nil, numericRangeFilters) match {
       case None => docs.select(col("docId"), col(field)).limit(0)
       case Some(matching) =>
-        docs.select(col("docId"), col(field))
-          .join(matching, Seq("docId"))
-          .orderBy(ord: _*)
-          .offset(from)
-          .limit(k)
+        val base = docs.select(col("docId"), col(field)).join(matching, Seq("docId"))
+        val paged = after match {
+          case None => base
+          case Some((v, d)) =>
+            val cur =
+              if (descending) col(field) < lit(v) || (col(field) === lit(v) && col("docId") > lit(d))
+              else col(field) > lit(v) || (col(field) === lit(v) && col("docId") > lit(d))
+            base.filter(cur)
+        }
+        paged.orderBy(ord: _*).offset(from).limit(k)
     }
   }
+
+  /** ES sub-aggregation: `terms` buckets over `bucketField` with a
+    * nested `stats` over `statField` per bucket — one extra groupBy on
+    * the same match-set join as [[facetCounts]] (the match set never
+    * touches the driver; both fields are column-pruned at the scan).
+    */
+  def facetStats(query: String, bucketField: String, statField: String,
+      filters: Seq[(String, String)] = Nil,
+      mustNot: Seq[(String, String)] = Nil,
+      numericRangeFilters: Seq[(String, Long, Long)] = Nil): DataFrame =
+    docs.select(col("docId"), col(bucketField).as("value"), col(statField))
+      .join(matchingOrEmpty(query, filters, mustNot, numericRangeFilters), Seq("docId"))
+      .groupBy(col("value"))
+      .agg(count(lit(1)).as("n_docs"), min(col(statField)).as("min"),
+        max(col(statField)).as("max"), avg(col(statField)).as("avg"),
+        sum(col(statField)).as("sum"))
+      .orderBy(col("value"))
 
   /** Top-k resolved back to turn metadata + text (SURVEY.md J4): the k
     * hits are broadcast against the doc store.

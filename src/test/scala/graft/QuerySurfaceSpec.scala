@@ -298,6 +298,60 @@ class QuerySurfaceSpec extends SparkSpec {
     assert(gotWarm == wantCold, "warm batch differs from standalone")
   }
 
+  test("round-5 surface: field-sort search_after, sub-aggregations, batched range filters") {
+    // field-sort search_after: (fieldValue, docId) cursor pages ≡ the
+    // contiguous from-pages, ascending AND descending
+    for (desc <- Seq(true, false)) {
+      val pages = (0 until 3).map(p => searcher.searchSortedBy("the", "dl", 10,
+        descending = desc, from = p * 10).as[(Long, Int)].collect().toSeq)
+      assert(pages.forall(_.nonEmpty))
+      val c1 = pages(0).last
+      val after2 = searcher.searchSortedBy("the", "dl", 10, descending = desc,
+        after = Some((c1._2, c1._1))).as[(Long, Int)].collect().toSeq
+      assert(after2 == pages(1), s"desc=$desc cursor page 2")
+      val c2 = after2.last
+      val after3 = searcher.searchSortedBy("the", "dl", 10, descending = desc,
+        after = Some((c2._2, c2._1))).as[(Long, Int)].collect().toSeq
+      assert(after3 == pages(2), s"desc=$desc cursor page 3")
+    }
+    // sub-aggregation (terms bucket → stats per bucket) ≡ direct groupBy
+    val terms = Analyzer.analyzeQuery("the").toSeq
+    val matching = docsDF
+      .join(tok.filter(col("term").isin(terms: _*)).select("docId").distinct(), Seq("docId"))
+    val want = matching.groupBy(col("role").as("value"))
+      .agg(count(lit(1)).as("n_docs"), min(col("dl")).as("min"), max(col("dl")).as("max"),
+        avg(col("dl")).as("avg"), sum(col("dl")).as("sum"))
+      .orderBy(col("value"))
+      .as[(String, Long, Int, Int, Double, Long)].collect().toSeq
+    val got = searcher.facetStats("the", "role", "dl")
+      .as[(String, Long, Int, Int, Double, Long)].collect().toSeq
+    assert(got == want && got.size == 3)
+    // filtered sub-aggregation runs over the FILTERED match set
+    val gotF = searcher.facetStats("the", "role", "dl",
+      numericRangeFilters = Seq(("dl", 30L, 80L)))
+      .as[(String, Long, Int, Int, Double, Long)].collect().toSeq
+    val wantF = matching.filter(col("dl") >= lit(30) && col("dl") <= lit(80))
+      .groupBy(col("role").as("value"))
+      .agg(count(lit(1)).as("n_docs"), min(col("dl")).as("min"), max(col("dl")).as("max"),
+        avg(col("dl")).as("avg"), sum(col("dl")).as("sum"))
+      .orderBy(col("value"))
+      .as[(String, Long, Int, Int, Double, Long)].collect().toSeq
+    assert(gotF == wantF && gotF.nonEmpty)
+    // batched lexicographic rangeFilters ≡ standalone (one expansion job)
+    import graft.query.BoolQuerySpec
+    val specs = Seq(
+      BoolQuerySpec("the", rangeFilters = Seq(("role", "a", "u"))),
+      BoolQuerySpec("the zanzibar"),
+      BoolQuerySpec("the", rangeFilters = Seq(("role", "zz", "zzz")))) // empty range
+    val wantBatch = Seq(
+      searcher.searchBool("the", 10, rangeFilters = Seq(("role", "a", "u"))).toSeq,
+      searcher.search("the zanzibar", 10).toSeq,
+      Seq.empty[Scored])
+    assert(searcher.searchManyBool(specs, 10).map(_.toSeq) == wantBatch)
+    assert(wantBatch(0).nonEmpty)
+    assert(warmed.searchManyBool(specs, 10).map(_.toSeq) == wantBatch)
+  }
+
   test("cross-segment parity: MultiSearcher answers the full surface like the compacted index") {
     val segIdx = s"${TestSpark.tmpRoot}/surface-segmented"
     val all = Transcripts.generate(spark, 120L).cache()
@@ -380,6 +434,23 @@ class QuerySurfaceSpec extends SparkSpec {
     assert(mBatch == single.searchManyBool(batch, 10).map(_.toSeq),
       "cross-segment batch differs from compacted batch")
     assert(mBatch.take(5).forall(_.nonEmpty))
+
+    // round-5 surface parity: field-sort search_after, sub-aggregation,
+    // batched lexicographic range filters
+    val sa = multi.searchSortedBy("the", "dl", 10).as[(Long, Int)].collect().toSeq
+    val cur = sa.last
+    assert(multi.searchSortedBy("the", "dl", 10, after = Some((cur._2, cur._1)))
+        .as[(Long, Int)].collect().toSeq
+      == single.searchSortedBy("the", "dl", 10, after = Some((cur._2, cur._1)))
+        .as[(Long, Int)].collect().toSeq)
+    assert(multi.facetStats("the", "role", "dl").collect().toSeq
+      == single.facetStats("the", "role", "dl").collect().toSeq)
+    val rfSpecs = Seq(graft.query.BoolQuerySpec("the", rangeFilters = Seq(("role", "a", "u"))))
+    assert(multi.searchManyBool(rfSpecs, 10).head.toSeq
+      == multi.searchBool("the", 10, rangeFilters = Seq(("role", "a", "u"))).toSeq)
+    assert(multi.searchManyBool(rfSpecs, 10).head.toSeq
+      == single.searchManyBool(rfSpecs, 10).head.toSeq)
+    assert(multi.searchManyBool(rfSpecs, 10).head.nonEmpty)
 
     // warm() pins the segment frames; results identical on every path
     val warmMulti = new graft.query.MultiSearcher(spark, segIdx).warm()
