@@ -159,6 +159,45 @@ object Bench {
     results("transcript_index_build") = buildSec
     results("transcript_bm25_all20") = percentile(runs.map(_.lat.sum), 0.5)
 
+    // 1b) CROSS-SEGMENT serving (pre-compaction shape): a 2-segment
+    // streaming index served by the warm in-process MultiSearcher —
+    // the cross-segment counterpart of bm25_batch_qps / bm25_p50_ms
+    // (round-4 review "What's missing #6").
+    var msWarmQps = 0.0
+    var msWarmP50Ms = 0.0
+    try {
+      import org.apache.spark.sql.functions.col
+      val msIdx = sys.props.get("graft.bench.dir") match {
+        case Some(base) => java.nio.file.Files.createTempDirectory(
+          java.nio.file.Paths.get(base), "graft-bench-msidx").toString
+        case None => java.nio.file.Files.createTempDirectory("graft-bench-msidx").toString
+      }
+      val msConvs = math.max(2000L, nConvs / 5)
+      val half = f"conv-${msConvs / 2}%08d"
+      val cfgMs = graft.index.IndexConfig(numBuckets = 2, partitions = cpus.toInt)
+      val corpus = Transcripts.generate(spark, msConvs)
+      graft.streaming.StreamingIngest.appendSegment(spark,
+        corpus.filter(col("conv_id") < half), msIdx, 0L, cfgMs)
+      graft.streaming.StreamingIngest.appendSegment(spark,
+        corpus.filter(col("conv_id") >= half), msIdx, 1L, cfgMs)
+      val ms = new graft.query.MultiSearcher(spark, msIdx)
+        .warm(maxLocalBlockBytes = 4L << 30)
+      val specs = transcriptQueries.map(q => graft.query.BoolQuerySpec(query = q))
+      ms.searchManyBool(specs, 10) // warmup
+      val tq0 = System.nanoTime()
+      val msRounds = 3
+      for (_ <- 1 to msRounds) ms.searchManyBool(specs, 10)
+      msWarmQps = msRounds * specs.size / ((System.nanoTime() - tq0) / 1e9)
+      val msLat = transcriptQueries.map { q =>
+        val t1 = System.nanoTime()
+        ms.search(q, 10)
+        (System.nanoTime() - t1) / 1e9
+      }
+      msWarmP50Ms = percentile(msLat, 0.5) * 1000
+      System.err.println(f"[bench] cross-segment warm: $msWarmQps%.1f qps batched, " +
+        f"p50 $msWarmP50Ms%.2f ms (${msConvs} convs, 2 segments)")
+    } catch { case e: Throwable => System.err.println(s"[bench] ms-warm failed: $e") }
+
     // 2) engine + representative ops over the driver's sf tables.
     // q_bm25_topk/q_bm25_and measure QUERY cost: the documents index they
     // share is built once here, outside any timed region (round-1 bench
@@ -191,6 +230,7 @@ object Bench {
       s""","bm25_p50_ms":$p50ms,"bm25_p95_ms":$p95ms""" +
       s""","bm25_batch_qps":${percentile(runs.map(_.batchQps), 0.5)}""" +
       s""","bm25_distributed_qps":${percentile(runs.map(_.distributedQps), 0.5)}""" +
+      s""","ms_warm_qps":$msWarmQps,"ms_warm_p50_ms":$msWarmP50Ms""" +
       s""","cores":$cpus}"""
     // Belt and braces for the harness: the JSON goes to stdout (forked,
     // unprefixed — build.sbt outputStrategy) AND to a well-known file.

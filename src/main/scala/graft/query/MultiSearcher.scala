@@ -84,6 +84,65 @@ private[query] object MultiSearcherOps {
   def tombCursorOf(blocks: Array[PostingBlock]): Seq[Wand.DocCursor] =
     if (blocks.isEmpty) Nil
     else Seq(new Wand.TermIterator("", blocks, 0.0, 1L, 1L, 1.0))
+
+  /** One (segment, bucket) group's WAND dispatch — THE shared execution
+    * body of every cross-segment query path (distributed flatMapGroups
+    * closures AND the warm in-process path), so the two are identical
+    * by construction. `byTerm` maps each present query term to its
+    * blocks + merged LWW df; every role gets a FRESH iterator (cursors
+    * are mutable); `%field:` terms score under their field's merged
+    * stats; bounds derive from the stats-independent maxTf.
+    */
+  def runGroup(
+      byTerm: Map[String, (Array[PostingBlock], Long)],
+      tombBlks: Array[PostingBlock],
+      w: MsSpecWork,
+      k: Int,
+      nG: Long,
+      avgdlG: Double,
+      fsMap: Map[String, (Long, Double)],
+      boosts: Map[String, Double],
+      after: Scored
+  ): Iterator[Scored] = {
+    def iterOf(t: String, scored: Boolean): Option[Wand.TermIterator] =
+      byTerm.get(t).map { case (bs, df) =>
+        val (nn, ad) = FieldTerms.textFieldOf(t).flatMap(fsMap.get).getOrElse((nG, avgdlG))
+        val boost = boosts.getOrElse(t, 1.0)
+        val ub =
+          if (scored) boost * bs.iterator.map(b => Bm25.score(b.maxTf, df, 0, nn, ad)).max
+          else 0.0
+        new Wand.TermIterator(t, bs, ub, df, nn, ad, staleBlockMax = true, boost = boost)
+      }
+    val iters = w.scored.flatMap(t => iterOf(t, scored = true))
+    val shoulds = w.shoulds.flatMap(t => iterOf(t, scored = true))
+    val clauseCursors: Seq[Option[Wand.DocCursor]] = w.clauses.map { clause =>
+      val members = clause.flatMap(t => iterOf(t, scored = false))
+      if (members.isEmpty) None
+      else if (members.size == 1) Some(members.head)
+      else Some(new Wand.UnionCursor(members))
+    }
+    val filters = clauseCursors.flatten
+    val excludes: Seq[Wand.DocCursor] =
+      w.excludes.flatMap(t => iterOf(t, scored = false)) ++ tombCursorOf(tombBlks)
+    // AND/phrase: every scored term must be present; filter context: a
+    // group where a clause has NO member value has no matching docs; a
+    // required-group term present globally but absent here ⇒ no hits
+    if ((w.scored.nonEmpty && iters.isEmpty) ||
+      (iters.isEmpty && shoulds.isEmpty) ||
+      ((w.conjunctive || w.slots != null) && iters.size < w.scored.size) ||
+      shoulds.size < w.minShould ||
+      clauseCursors.exists(_.isEmpty)) Iterator.empty
+    else {
+      val top =
+        if (w.slots != null)
+          Wand.topKPhrase(iters, w.slots, k, filters, excludes, shoulds, w.minShould,
+            after, w.slop)
+        else if (w.conjunctive)
+          Wand.topKConjunctive(iters, k, filters, excludes, shoulds, w.minShould, after)
+        else Wand.topK(iters, k, filters, excludes, shoulds, w.minShould, after)
+      top.iterator
+    }
+  }
 }
 
 private[query] final case class MsSpecWork(
@@ -120,17 +179,61 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
   private val segDocs: Seq[DataFrame] =
     segments.map(s => spark.read.parquet(s"$s/docs"))
 
+  // driver-local in-process serving state (populated by warm() when the
+  // index fits the byte/term budgets — mirrors Searcher.localIdx, so a
+  // PRE-COMPACTION stream serves at the same ~1-2 ms p50 instead of the
+  // per-query Spark job floor; round-4 review "What's missing #6"):
+  // (segIdx, bucket) → (termId → blocks, that group's tombstone blocks)
+  @volatile private var localSegs
+      : Map[(Int, Int), (Map[Long, Array[PostingBlock]], Array[PostingBlock])] = _
+  // term → per-segment dictionary rows (driver lookup, zero jobs)
+  @volatile private var localDict: Map[String, Seq[(Int, TermStats)]] = _
+
+  /** Same conservative encoded-bytes → heap expansion factor as the
+    * single-index searcher.
+    */
+  private val LocalHeapExpansion = 4L
+
   /** Pin every segment's dictionary and blocks in executor memory (the
     * warm serving state for a streaming dir that is queried repeatedly
-    * between compactions — spills to disk if larger than memory).
-    * Results are identical either way (same frames, same plans).
+    * between compactions — spills to disk if larger than memory), and —
+    * when the whole index fits `maxLocalBlockBytes` (estimated heap) —
+    * additionally collect blocks + tombstone blocks + dictionaries to
+    * the driver so queries run fully in-process with ZERO Spark jobs.
+    * Results are identical on every path (runGroup is shared verbatim;
+    * test-pinned).
     */
-  def warm(): this.type = {
+  def warm(maxDriverDictTerms: Long = 5_000_000L,
+      maxLocalBlockBytes: Long = 1L << 30): this.type = {
     (segDicts ++ segBlocks).foreach { df =>
       if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
         df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       df.count()
     }
+    if (maxLocalBlockBytes > 0) {
+      val bytes = segBlocks.map(_.agg(coalesce(sum(
+        (length(col("docs")) + length(col("tfs")) + length(col("dls"))
+          + length(col("poss")) + lit(64)) * lit(LocalHeapExpansion)), lit(0L)))
+        .head().getLong(0)).sum
+      if (bytes <= maxLocalBlockBytes) {
+        val postByGroup: Map[(Int, Int), Map[Long, Array[PostingBlock]]] =
+          segBlocks.zipWithIndex.flatMap { case (b, i) =>
+            b.as[PostingBlock].collect().map(pb => (i, pb))
+          }.groupBy { case (i, pb) => (i, pb.bucket) }
+            .view.mapValues(xs => xs.map(_._2).toArray.groupBy(_.termId)).toMap
+        val tombByGroup: Map[(Int, Int), Array[PostingBlock]] =
+          tombBlocks.map(_.collect().groupBy(r => (r._1, r._2))
+            .view.mapValues(_.map(_._3)).toMap).getOrElse(Map.empty)
+        localSegs = (postByGroup.keySet ++ tombByGroup.keySet).map { gk =>
+          gk -> (postByGroup.getOrElse(gk, Map.empty[Long, Array[PostingBlock]]),
+            tombByGroup.getOrElse(gk, Array.empty[PostingBlock]))
+        }.toMap
+      }
+    }
+    if (segDicts.map(_.count()).sum <= maxDriverDictTerms)
+      localDict = segDicts.zipWithIndex.flatMap { case (d, i) =>
+        d.as[TermStats].collect().map(ts => (i, ts))
+      }.groupBy(_._2.term).view.mapValues(_.toSeq).toMap
     this
   }
 
@@ -377,15 +480,20 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
     */
   private def lookup(terms: Seq[String]): (Map[String, Long], Map[(Int, String), TermStats]) = {
     if (terms.isEmpty) return (Map.empty, Map.empty)
-    val unioned = segDicts.zipWithIndex.map { case (d, i) =>
-      d.filter(col("term").isin(terms: _*))
-        .select(lit(i).as("seg"), col("term"), col("termId"), col("shard"),
-          col("df"), col("cf"), col("maxScore"))
-    }.reduce(_ unionByName _)
-    val perSeg = unioned
-      .as[(Int, String, Long, Int, Long, Long, Double)].collect()
-      .map { case (i, t, tid, sh, df, cf, ms) => (i, t) -> TermStats(t, tid, sh, df, cf, ms) }
-      .toMap
+    val perSeg: Map[(Int, String), TermStats] =
+      if (localDict != null)
+        terms.flatMap(t => localDict.getOrElse(t, Nil).map { case (i, ts) => (i, t) -> ts }).toMap
+      else {
+        val unioned = segDicts.zipWithIndex.map { case (d, i) =>
+          d.filter(col("term").isin(terms: _*))
+            .select(lit(i).as("seg"), col("term"), col("termId"), col("shard"),
+              col("df"), col("cf"), col("maxScore"))
+        }.reduce(_ unionByName _)
+        unioned
+          .as[(Int, String, Long, Int, Long, Long, Double)].collect()
+          .map { case (i, t, tid, sh, df, cf, ms) => (i, t) -> TermStats(t, tid, sh, df, cf, ms) }
+          .toMap
+      }
     // exact LWW df: subtract the tombstoned docs' contribution; a term
     // living ONLY in superseded docs vanishes (absent from the visible
     // corpus — conjunctive queries on it must return empty, expansion
@@ -422,14 +530,19 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
       return Array.empty
     val shouldFound = shouldTerms.filter(dfGlobal.contains)
     if (shouldFound.size < minShould) return Array.empty
-    val nTerms = distinctTerms.count(dfGlobal.contains)
-    val fSet = clauses.flatten.toSet
-    val eSet = excludeTerms.toSet
-    val sSet = shouldFound.toSet
     val nG = n
     val avgdlG = avgdl
     val fsMap = fieldStatsMap
     val bst = boosts
+    val aft = after
+    // ONE resolved work unit — the same shape the batched path uses, so
+    // runGroup is shared verbatim (scored terms never overlap clause /
+    // exclude terms: those live in the '#'/'%' namespaces)
+    val w = MsSpecWork(0, distinctTerms.filter(dfGlobal.contains), shouldFound,
+      clauses, excludeTerms.distinct.sorted.filter(dfGlobal.contains),
+      conjunctive, slots, minShould, slop)
+    if (localSegs != null)
+      return runLocal(Seq((w, aft)), k, perSeg, dfGlobal, nG, avgdlG, fsMap, bst).head
     // termId is segment-local: key block groups by (segIdx, termId);
     // terms whose visible df fell to zero are pruned from the scan
     val idToTerm: Map[(Int, Long), (String, Long)] =
@@ -448,74 +561,66 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
       .select(col("seg").as("_1"), col("bucket").as("_2"),
         struct(all_block_cols: _*).as("_3"))
       .as[(Int, Int, PostingBlock)])
-    val sl = slots
-    val cl = clauses
-    val msh = minShould
-    val aft = after
-    val slp = slop
     val perGroup = all
       .groupByKey { case (seg, bucket, _) => (seg, bucket) }
       .flatMapGroups { (_, it) =>
         val (tombBlks, rows) = MultiSearcherOps.splitTomb(it.toArray)
         if (rows.isEmpty) Iterator.empty
         else {
-        val tombCursor = MultiSearcherOps.tombCursorOf(tombBlks)
-        val segIdx = rows.head._1
-        val byTerm: Map[String, (Array[PostingBlock], Long)] =
-          rows.map(_._3).groupBy(_.termId).map { case (tid, bs) =>
-            val (t, df) = idToTerm((segIdx, tid))
-            t -> (bs, df)
-          }
-        // EVERY role gets a FRESH iterator per membership (cursors are
-        // mutable; round-3 review flagged the shared-by-name reuse):
-        // scored/should iterators carry the maxTf-derived bound, filter/
-        // exclude cursors never read bounds. A `%field:` term scores
-        // under its field's merged (docCount, avgdl), boost-scaled.
-        def iterOf(t: String, scored: Boolean): Option[Wand.TermIterator] =
-          byTerm.get(t).map { case (bs, df) =>
-            val (nn, ad) = FieldTerms.textFieldOf(t).flatMap(fsMap.get).getOrElse((nG, avgdlG))
-            val boost = bst.getOrElse(t, 1.0)
-            val ub =
-              if (scored) boost * bs.iterator.map(b => Bm25.score(b.maxTf, df, 0, nn, ad)).max
-              else 0.0
-            new Wand.TermIterator(t, bs, ub, df, nn, ad, staleBlockMax = true, boost = boost)
-          }
-        val iters = byTerm.keysIterator
-          .filter(t => !fSet.contains(t) && !eSet.contains(t) && !sSet.contains(t))
-          .toSeq.sorted.flatMap(t => iterOf(t, scored = true))
-        val shoulds = sSet.toSeq.sorted.flatMap(t => iterOf(t, scored = true))
-        val clauseCursors: Seq[Option[Wand.DocCursor]] = cl.map { clause =>
-          val members = clause.flatMap(t => iterOf(t, scored = false))
-          if (members.isEmpty) None
-          else if (members.size == 1) Some(members.head)
-          else Some(new Wand.UnionCursor(members))
-        }
-        val filters = clauseCursors.flatten
-        // tombstone exclusion rides the scan as blocks (splitTomb above)
-        // — never a driver array
-        val excludes: Seq[Wand.DocCursor] =
-          eSet.toSeq.sorted.flatMap(t => iterOf(t, scored = false)) ++ tombCursor
-        // AND/phrase: every scored term must be present; filter context:
-        // a (segment, bucket) where a clause has NO member value has no
-        // matching docs; a required-group term present globally but
-        // absent here ⇒ no hits in this group
-        if ((nTerms > 0 && iters.isEmpty) ||
-          (iters.isEmpty && shoulds.isEmpty) ||
-          ((conjunctive || sl != null) && iters.size < nTerms) ||
-          shoulds.size < msh ||
-          clauseCursors.exists(_.isEmpty)) Iterator.empty
-        else {
-          val top =
-            if (sl != null)
-              Wand.topKPhrase(iters, sl, k, filters, excludes, shoulds, msh, aft, slp)
-            else if (conjunctive)
-              Wand.topKConjunctive(iters, k, filters, excludes, shoulds, msh, aft)
-            else Wand.topK(iters, k, filters, excludes, shoulds, msh, aft)
-          top.iterator
-        }
+          val segIdx = rows.head._1
+          val byTerm: Map[String, (Array[PostingBlock], Long)] =
+            rows.map(_._3).groupBy(_.termId).map { case (tid, bs) =>
+              val (t, df) = idToTerm((segIdx, tid))
+              t -> (bs, df)
+            }
+          MultiSearcherOps.runGroup(byTerm, tombBlks, w, k, nG, avgdlG, fsMap, bst, aft)
         }
       }
     perGroup.orderBy(col("score").desc, col("docId").asc).limit(k).collect()
+  }
+
+  /** In-process execution of resolved work units over the driver-local
+    * segment blocks (zero Spark jobs — the warm cross-segment serving
+    * path, mirroring `Searcher.runLocal`): every (segment, bucket)
+    * group runs [[MultiSearcherOps.runGroup]] concurrently, results
+    * merge with the same top-k rule as the distributed path.
+    */
+  private def runLocal(
+      work: Seq[(MsSpecWork, Scored)],
+      k: Int,
+      perSeg: Map[(Int, String), TermStats],
+      dfGlobal: Map[String, Long],
+      nG: Long,
+      avgdlG: Double,
+      fsMap: Map[String, (Long, Double)],
+      boosts: Map[String, Double]
+  ): Seq[Array[Scored]] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // per-segment term resolution (termId → (term, merged df)) once
+    val bySegTerm: Map[Int, Map[Long, (String, Long)]] =
+      perSeg.toSeq.groupBy(_._1._1).map { case (seg, xs) =>
+        seg -> xs.flatMap { case ((_, t), ts) =>
+          dfGlobal.get(t).map(df => ts.termId -> (t, df))
+        }.toMap
+      }
+    val perGroup = localSegs.toSeq.map { case ((segIdx, _), (byTermId, tombBlks)) =>
+      Future {
+        val idOf = bySegTerm.getOrElse(segIdx, Map.empty)
+        val byTerm: Map[String, (Array[PostingBlock], Long)] =
+          byTermId.flatMap { case (tid, bs) => idOf.get(tid).map { case (t, df) => t -> (bs, df) } }
+        work.map { case (w, aft) =>
+          if (byTerm.isEmpty && tombBlks.isEmpty) Array.empty[Scored]
+          else MultiSearcherOps.runGroup(byTerm, tombBlks, w, k, nG, avgdlG, fsMap,
+            boosts, aft).toArray
+        }
+      }
+    }
+    val collected = Await.result(Future.sequence(perGroup),
+      scala.concurrent.duration.Duration.Inf)
+    work.indices.map { i =>
+      collected.flatMap(_(i)).toArray.sortBy(s => (-s.score, s.docId)).take(k)
+    }
   }
 
   private def all_block_cols: Seq[org.apache.spark.sql.Column] =
@@ -683,6 +788,13 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
       }
     val active = works.flatten
     if (active.isEmpty) return specs.map(_ => Array.empty[Scored])
+    if (localSegs != null) {
+      // warm in-process batch: every spec over every local group, zero jobs
+      val res = runLocal(active.map(w => (w, null: Scored)), k, perSeg, dfGlobal,
+        n, avgdl, fieldStatsMap, Map.empty)
+      val byIdx = active.map(_.idx).zip(res).toMap
+      return specs.indices.map(i => byIdx.getOrElse(i, Array.empty[Scored]))
+    }
     val needed = active.flatMap(w =>
       w.scored ++ w.shoulds ++ w.clauses.flatten ++ w.excludes).toSet
     val idToTerm: Map[(Int, Long), (String, Long)] =
@@ -713,50 +825,16 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
         val (tombBlks, grp) = MultiSearcherOps.splitTomb(it.toArray)
         if (grp.isEmpty) Iterator.empty
         else {
-        val segIdx = grp.head._1
-        val byTerm: Map[String, (Array[PostingBlock], Long)] =
-          grp.map(_._3).groupBy(_.termId).map { case (tid, bs) =>
-            val (t, df) = idToTerm((segIdx, tid))
-            t -> (bs, df)
+          val segIdx = grp.head._1
+          val byTerm: Map[String, (Array[PostingBlock], Long)] =
+            grp.map(_._3).groupBy(_.termId).map { case (tid, bs) =>
+              val (t, df) = idToTerm((segIdx, tid))
+              t -> (bs, df)
+            }
+          ws.iterator.flatMap { w =>
+            MultiSearcherOps.runGroup(byTerm, tombBlks, w, k, nG, avgdlG, fsMap,
+              Map.empty, null).map(s => (w.idx, s.docId, s.score))
           }
-        def iterOf(t: String, scored: Boolean): Option[Wand.TermIterator] =
-          byTerm.get(t).map { case (bs, df) =>
-            val (nn, ad) = FieldTerms.textFieldOf(t).flatMap(fsMap.get).getOrElse((nG, avgdlG))
-            val ub =
-              if (scored) bs.iterator.map(b => Bm25.score(b.maxTf, df, 0, nn, ad)).max
-              else 0.0
-            new Wand.TermIterator(t, bs, ub, df, nn, ad, staleBlockMax = true)
-          }
-        ws.iterator.flatMap { w =>
-          val iters = w.scored.flatMap(t => iterOf(t, scored = true))
-          val shoulds = w.shoulds.flatMap(t => iterOf(t, scored = true))
-          val clauseCursors: Seq[Option[Wand.DocCursor]] = w.clauses.map { clause =>
-            val members = clause.flatMap(t => iterOf(t, scored = false))
-            if (members.isEmpty) None
-            else if (members.size == 1) Some(members.head)
-            else Some(new Wand.UnionCursor(members))
-          }
-          val filters = clauseCursors.flatten
-          // fresh exclude cursor PER SPEC — cursors are mutable
-          val excludes: Seq[Wand.DocCursor] =
-            w.excludes.flatMap(t => iterOf(t, scored = false)) ++
-              MultiSearcherOps.tombCursorOf(tombBlks)
-          if ((w.scored.nonEmpty && iters.isEmpty) ||
-            (iters.isEmpty && shoulds.isEmpty) ||
-            ((w.conjunctive || w.slots != null) && iters.size < w.scored.size) ||
-            shoulds.size < w.minShould ||
-            clauseCursors.exists(_.isEmpty)) Iterator.empty
-          else {
-            val top =
-              if (w.slots != null)
-                Wand.topKPhrase(iters, w.slots, k, filters, excludes, shoulds, w.minShould,
-                  null, w.slop)
-              else if (w.conjunctive)
-                Wand.topKConjunctive(iters, k, filters, excludes, shoulds, w.minShould)
-              else Wand.topK(iters, k, filters, excludes, shoulds, w.minShould)
-            top.iterator.map(s => (w.idx, s.docId, s.score))
-          }
-        }
         }
       }
       .collect()

@@ -350,6 +350,18 @@ class StreamingSpec extends SparkSpec {
     // match-set surfaces agree
     assert(multi.matchCount("the") ==
       graft.query.Oracle.topK(visible, "the", Int.MaxValue).count())
+    // warm IN-PROCESS path (driver-local blocks + tombstone blocks +
+    // dict): identical results with zero Spark jobs per query
+    val warmLocal = new graft.query.MultiSearcher(spark, idx).warm()
+    for (q <- Seq("the", "zanzibar quasar lattice", "one have t999"))
+      assert(warmLocal.search(q, 10).toSeq == multi.search(q, 10).toSeq, s"warm-local '$q'")
+    assert(warmLocal.searchPhrase("zanzibar quasar", 10).toSeq == phWant)
+    assert(warmLocal.searchBool("the", 10, filters = Seq("role" -> "user")).toSeq == fWant)
+    assert(warmLocal.searchManyBool(Seq(
+      graft.query.BoolQuerySpec(query = "the"),
+      graft.query.BoolQuerySpec(query = "the", filters = Seq("role" -> "user")),
+      graft.query.BoolQuerySpec(query = "zanzibar quasar", phrase = true)), 10)
+      .map(_.toSeq) == batched.map(_.toSeq))
     visible.unpersist(blocking = false)
     all.unpersist(blocking = false)
   }
