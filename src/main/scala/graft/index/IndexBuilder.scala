@@ -788,11 +788,16 @@ class IndexBuilder(
         // docId/bucketWidth. The routing key is a bare expression too —
         // nothing but (termId, shard, docId, df, pay) enters the
         // shuffle/sort.
+        // fieldId rides the shuffle ONLY when extra text fields exist:
+        // a plain build re-derives the constant 0 AFTER the exchange
+        // (projected above the sort), so its shuffle bytes/turn stay
+        // exactly the round-4 shape (bench-tracked)
+        val hasTextFields = cfg.textFieldCols.nonEmpty
         val scored = postings0
-          .join(dict0.select(col("term"), col("termId"), col("shard"), col("df"),
-            col("fieldId")), Seq("term"))
-          .select(col("termId"), col("shard"), col("docId"), col("df"), col("pay"),
-            col("fieldId"))
+          .join(dict0.select(Seq(col("term"), col("termId"), col("shard"), col("df")) ++
+            (if (hasTextFields) Seq(col("fieldId")) else Nil): _*), Seq("term"))
+          .select(Seq(col("termId"), col("shard"), col("docId"), col("df"), col("pay")) ++
+            (if (hasTextFields) Seq(col("fieldId")) else Nil): _*)
         val bucketExpr = least(floor(col("docId") / lit(bucketWidth)), lit(cfg.numBuckets - 1L))
         val slicePid = least(
           floor((col("docId") - bucketExpr * lit(bucketWidth)) / lit(subWidth)),
@@ -804,8 +809,10 @@ class IndexBuilder(
         val bw = bucketWidth
         val fNs = fieldNs
         val fAds = fieldAvgdls
-        val blocks = DirectPartition.byComputedPid(scored, pid, numParts)
+        val shuffled = DirectPartition.byComputedPid(scored, pid, numParts)
           .sortWithinPartitions(col("termId"), col("docId"))
+        val blocks = (if (hasTextFields) shuffled
+          else shuffled.withColumn("fieldId", lit(0)))
           .as[(Long, Int, Long, Long, Array[Byte], Int)]
           .mapPartitions(rows => BlockEncoder.encodeFused(rows, blockSize, fNs, fAds,
             bw, nBuckets))
