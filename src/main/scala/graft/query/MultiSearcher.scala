@@ -102,16 +102,24 @@ private[query] object MultiSearcherOps {
       avgdlG: Double,
       fsMap: Map[String, (Long, Double)],
       boosts: Map[String, Double],
-      after: Scored
+      after: Scored,
+      /** true when the blocks' stored maxScore was RE-DERIVED under the
+        * merged stats (the warm-local path rescores at collect time) —
+        * pruning then uses the tight exact bounds a compacted index
+        * enjoys instead of the loose maxTf/dl=0 fallback.
+        */
+      exactBounds: Boolean = false
   ): Iterator[Scored] = {
     def iterOf(t: String, scored: Boolean): Option[Wand.TermIterator] =
       byTerm.get(t).map { case (bs, df) =>
         val (nn, ad) = FieldTerms.textFieldOf(t).flatMap(fsMap.get).getOrElse((nG, avgdlG))
         val boost = boosts.getOrElse(t, 1.0)
         val ub =
-          if (scored) boost * bs.iterator.map(b => Bm25.score(b.maxTf, df, 0, nn, ad)).max
-          else 0.0
-        new Wand.TermIterator(t, bs, ub, df, nn, ad, staleBlockMax = true, boost = boost)
+          if (!scored) 0.0
+          else if (exactBounds) boost * bs.iterator.map(_.maxScore).max
+          else boost * bs.iterator.map(b => Bm25.score(b.maxTf, df, 0, nn, ad)).max
+        new Wand.TermIterator(t, bs, ub, df, nn, ad,
+          staleBlockMax = !exactBounds, boost = boost)
       }
     val iters = w.scored.flatMap(t => iterOf(t, scored = true))
     val shoulds = w.shoulds.flatMap(t => iterOf(t, scored = true))
@@ -234,7 +242,63 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
       localDict = segDicts.zipWithIndex.flatMap { case (d, i) =>
         d.as[TermStats].collect().map(ts => (i, ts))
       }.groupBy(_._2.term).view.mapValues(_.toSeq).toMap
+    rescoreLocalBounds()
     this
+  }
+
+  /** Whether the warm-local blocks carry EXACT per-block maxima under
+    * the merged stats (set by [[rescoreLocalBounds]]); false keeps the
+    * sound-but-loose maxTf-derived fallback.
+    */
+  @volatile private var localExactBounds: Boolean = false
+
+  /** One decode pass over the collected warm-local blocks re-deriving
+    * each block's maxScore EXACTLY under the merged LWW statistics
+    * (global or per-field) — the warm path then prunes as tightly as a
+    * compacted index, instead of the maxTf/dl=0 fallback bounds that
+    * make cross-segment WAND decode more blocks (measured: the
+    * ms_warm_p50 gap vs single-index serving). Requires the driver
+    * dictionary and (under tombstones) the bounded removed-df cache;
+    * skipped otherwise — results are identical either way, only
+    * pruning differs. The rescored bound ranges over tombstoned
+    * postings too, which only loosens it — still sound.
+    */
+  private def rescoreLocalBounds(): Unit = {
+    if (localSegs == null || localDict == null) return
+    if (hasTombstones && removedDfSmall.isEmpty) return
+    val rm = removedDfSmall.getOrElse(Map.empty)
+    val mergedDf: Map[String, Long] = localDict.map { case (t, xs) =>
+      t -> (xs.map(_._2.df).sum - rm.getOrElse(t, 0L))
+    }.filter(_._2 > 0L)
+    val tidToTerm: Map[Int, Map[Long, String]] = localDict.toSeq
+      .flatMap { case (t, xs) => xs.map { case (i, ts) => (i, ts.termId, t) } }
+      .groupBy(_._1)
+      .map { case (i, xs) => i -> xs.map(x => x._2 -> x._3).toMap }
+    val nG = n
+    val adG = avgdl
+    val fs = fieldStatsMap
+    localSegs = localSegs.map { case (gk @ (segIdx, _), (byTerm, tomb)) =>
+      val t2t = tidToTerm.getOrElse(segIdx, Map.empty)
+      val rescored = byTerm.map { case (tid, bs) =>
+        val exact = for { t <- t2t.get(tid); df <- mergedDf.get(t) } yield {
+          val (nn, ad) = FieldTerms.textFieldOf(t).flatMap(fs.get).getOrElse((nG, adG))
+          bs.map { b =>
+            val dec = Codec.decodeBlock(b)
+            var mx = Double.NegativeInfinity
+            var i = 0
+            while (i < dec.docIds.length) {
+              val s = Bm25.score(dec.tfs(i), df, dec.dls(i), nn, ad)
+              if (s > mx) mx = s
+              i += 1
+            }
+            b.copy(maxScore = mx)
+          }
+        }
+        tid -> exact.getOrElse(bs)
+      }
+      gk -> (rescored, tomb)
+    }
+    localExactBounds = true
   }
 
   private val rawN: Long = segStats.map(_.n).sum
@@ -604,15 +668,19 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
           dfGlobal.get(t).map(df => ts.termId -> (t, df))
         }.toMap
       }
+    val exact = localExactBounds
     val perGroup = localSegs.toSeq.map { case ((segIdx, _), (byTermId, tombBlks)) =>
       Future {
-        val idOf = bySegTerm.getOrElse(segIdx, Map.empty)
+        // iterate the QUERY's terms (tiny), indexing into the group's
+        // vocabulary map — never a vocabulary-sized scan per query
         val byTerm: Map[String, (Array[PostingBlock], Long)] =
-          byTermId.flatMap { case (tid, bs) => idOf.get(tid).map { case (t, df) => t -> (bs, df) } }
+          bySegTerm.getOrElse(segIdx, Map.empty).flatMap { case (tid, (t, df)) =>
+            byTermId.get(tid).map(bs => t -> (bs, df))
+          }
         work.map { case (w, aft) =>
           if (byTerm.isEmpty && tombBlks.isEmpty) Array.empty[Scored]
           else MultiSearcherOps.runGroup(byTerm, tombBlks, w, k, nG, avgdlG, fsMap,
-            boosts, aft).toArray
+            boosts, aft, exactBounds = exact).toArray
         }
       }
     }
