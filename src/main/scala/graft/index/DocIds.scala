@@ -91,6 +91,65 @@ object DocIds {
     docs
   }
 
+  /** Frame variants of [[dedup]]/[[assign]] for corpora with EXTRA
+    * metadata columns (streaming ingest of fielded docs — the columns
+    * ride through to the doc store and become filterable /
+    * field-indexable per `IndexConfig.fieldCols` / `textFieldCols` /
+    * `numericFieldCols`). The frame must carry (conv_id, turn_idx, ts,
+    * text); `assignFrame` appends (docId, dl) with the same dense,
+    * stable, no-global-window assignment as the typed path.
+    */
+  def dedupFrame(frame: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("conv_id"), col("turn_idx"))
+      .orderBy(col("ts").desc, col("text").desc)
+    frame
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === lit(1))
+      .drop("__rn")
+  }
+
+  def assignFrame(frame: org.apache.spark.sql.DataFrame, partitions: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = frame.sparkSession
+    val sorted = frame
+      .repartitionByRange(partitions, col("conv_id"), col("turn_idx"))
+      .sortWithinPartitions(col("conv_id"), col("turn_idx"))
+      .cache()
+    val counts: Map[Int, Long] = sorted
+      .select(spark_partition_id().as("pid"))
+      .groupBy("pid").count()
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+      .toMap
+    val offsets: Map[Int, Long] = {
+      var acc = 0L
+      (0 until partitions).map { pid =>
+        val o = pid -> acc
+        acc += counts.getOrElse(pid, 0L)
+        o
+      }.toMap
+    }
+    val bc = spark.sparkContext.broadcast(offsets)
+    val textIdx = sorted.schema.fieldIndex("text")
+    val outSchema = sorted.schema
+      .add("docId", org.apache.spark.sql.types.LongType, nullable = false)
+      .add("dl", org.apache.spark.sql.types.IntegerType, nullable = false)
+    val docs = sorted.mapPartitions { it =>
+      var id = bc.value(TaskContext.getPartitionId())
+      it.map { r =>
+        val dl = Analyzer.tokenize(r.getString(textIdx)).length
+        val out = org.apache.spark.sql.Row.fromSeq(r.toSeq :+ id :+ dl)
+        id += 1
+        out
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    docs.count()
+    sorted.unpersist(blocking = false)
+    docs
+  }
+
   def assign(turns: Dataset[Turn], partitions: Int): Dataset[Doc] = {
     val spark: SparkSession = turns.sparkSession
     import spark.implicits._

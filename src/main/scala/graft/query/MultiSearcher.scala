@@ -101,7 +101,6 @@ private[query] object MultiSearcherOps {
       nG: Long,
       avgdlG: Double,
       fsMap: Map[String, (Long, Double)],
-      boosts: Map[String, Double],
       after: Scored,
       /** true when the blocks' stored maxScore was RE-DERIVED under the
         * merged stats (the warm-local path rescores at collect time) —
@@ -113,7 +112,7 @@ private[query] object MultiSearcherOps {
     def iterOf(t: String, scored: Boolean): Option[Wand.TermIterator] =
       byTerm.get(t).map { case (bs, df) =>
         val (nn, ad) = FieldTerms.textFieldOf(t).flatMap(fsMap.get).getOrElse((nG, avgdlG))
-        val boost = boosts.getOrElse(t, 1.0)
+        val boost = w.boosts.getOrElse(t, 1.0)
         val ub =
           if (!scored) 0.0
           else if (exactBounds) boost * bs.iterator.map(_.maxScore).max
@@ -162,7 +161,12 @@ private[query] final case class MsSpecWork(
     conjunctive: Boolean,
     slots: Seq[String],
     minShould: Int,
-    slop: Int)
+    slop: Int,
+    /** Per-term score multipliers (multi_match field boosts, keyed by
+      * namespaced term) — per SPEC, so heterogeneous batches mix
+      * boosted and plain queries.
+      */
+    boosts: Map[String, Double] = Map.empty)
 
 class MultiSearcher(spark: SparkSession, indexDir: String) {
   import spark.implicits._
@@ -597,16 +601,15 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
     val nG = n
     val avgdlG = avgdl
     val fsMap = fieldStatsMap
-    val bst = boosts
     val aft = after
     // ONE resolved work unit — the same shape the batched path uses, so
     // runGroup is shared verbatim (scored terms never overlap clause /
     // exclude terms: those live in the '#'/'%' namespaces)
     val w = MsSpecWork(0, distinctTerms.filter(dfGlobal.contains), shouldFound,
       clauses, excludeTerms.distinct.sorted.filter(dfGlobal.contains),
-      conjunctive, slots, minShould, slop)
+      conjunctive, slots, minShould, slop, boosts)
     if (localSegs != null)
-      return runLocal(Seq((w, aft)), k, perSeg, dfGlobal, nG, avgdlG, fsMap, bst).head
+      return runLocal(Seq((w, aft)), k, perSeg, dfGlobal, nG, avgdlG, fsMap).head
     // termId is segment-local: key block groups by (segIdx, termId);
     // terms whose visible df fell to zero are pruned from the scan
     val idToTerm: Map[(Int, Long), (String, Long)] =
@@ -637,7 +640,7 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
               val (t, df) = idToTerm((segIdx, tid))
               t -> (bs, df)
             }
-          MultiSearcherOps.runGroup(byTerm, tombBlks, w, k, nG, avgdlG, fsMap, bst, aft)
+          MultiSearcherOps.runGroup(byTerm, tombBlks, w, k, nG, avgdlG, fsMap, aft)
         }
       }
     perGroup.orderBy(col("score").desc, col("docId").asc).limit(k).collect()
@@ -656,8 +659,7 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
       dfGlobal: Map[String, Long],
       nG: Long,
       avgdlG: Double,
-      fsMap: Map[String, (Long, Double)],
-      boosts: Map[String, Double]
+      fsMap: Map[String, (Long, Double)]
   ): Seq[Array[Scored]] = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
@@ -680,7 +682,7 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
         work.map { case (w, aft) =>
           if (byTerm.isEmpty && tombBlks.isEmpty) Array.empty[Scored]
           else MultiSearcherOps.runGroup(byTerm, tombBlks, w, k, nG, avgdlG, fsMap,
-            boosts, aft, exactBounds = exact).toArray
+            aft, exactBounds = exact).toArray
         }
       }
     }
@@ -822,10 +824,21 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
     val rangeExp: Map[(String, String, String), Seq[String]] =
       expandFieldRanges(specs.flatMap(_.rangeFilters).distinct)
     val preps = specs.map { sp =>
-      val slots = if (sp.phrase) Analyzer.tokenize(sp.query).toSeq else null
+      require(sp.multiMatchFields.isEmpty || (!sp.phrase && !sp.conjunctive),
+        "multiMatchFields is OR-mode only (like multiMatch)")
+      val toks = Analyzer.tokenize(sp.query).toSeq
+      val mm = sp.multiMatchFields
+      val slots =
+        if (sp.phrase) toks.map(t => FieldTerms.textTerm(sp.field, t)) else null
       val scoredTerms =
-        if (sp.phrase) Option(slots).getOrElse(Nil).distinct.sorted
-        else Analyzer.analyzeQuery(sp.query).toSeq
+        if (mm.nonEmpty)
+          (for ((f, _) <- mm; t <- toks.distinct) yield FieldTerms.textTerm(f, t))
+            .distinct.sorted
+        else if (sp.phrase) Option(slots).getOrElse(Nil).distinct.sorted
+        else toks.distinct.sorted.map(t => FieldTerms.textTerm(sp.field, t))
+      val boosts: Map[String, Double] =
+        if (mm.isEmpty) Map.empty
+        else (for ((f, b) <- mm; t <- toks.distinct) yield FieldTerms.textTerm(f, t) -> b).toMap
       val shouldTerms = Analyzer.analyzeQuery(sp.should).filterNot(scoredTerms.contains).toSeq
       val clauses: Seq[Seq[String]] =
         sp.filters.map { case (f, v) => Seq(FieldTerms.term(f, v)) } ++
@@ -834,13 +847,13 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
           sp.numericRangeFilters.map { case (f, lo, hi) => FieldTerms.trieRangeTerms(f, lo, hi) } ++
           sp.rangeFilters.map(rangeExp)
       (slots, scoredTerms, shouldTerms, clauses,
-        sp.mustNot.map { case (f, v) => FieldTerms.term(f, v) }.distinct)
+        sp.mustNot.map { case (f, v) => FieldTerms.term(f, v) }.distinct, boosts)
     }
     val allTerms = preps.flatMap(p => p._2 ++ p._3 ++ p._4.flatten ++ p._5).distinct.sorted
     val (dfGlobal, perSeg) = lookup(allTerms)
     // per-spec resolution mirrors searchBool/run's early-empty rules
     val works: Seq[Option[MsSpecWork]] =
-      preps.zip(specs).zipWithIndex.map { case (((slots, sc, sh, cls, ex), sp), i) =>
+      preps.zip(specs).zipWithIndex.map { case (((slots, sc, sh, cls, ex, boosts), sp), i) =>
         val needAll = sp.conjunctive || sp.phrase
         val foundClauses = cls.map(_.filter(dfGlobal.contains))
         val shouldFound = sh.filter(dfGlobal.contains)
@@ -852,14 +865,14 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
           shouldFound.size < sp.minShouldMatch) None
         else Some(MsSpecWork(i, sc.filter(dfGlobal.contains), shouldFound, foundClauses,
           ex.filter(dfGlobal.contains), sp.conjunctive, slots, sp.minShouldMatch,
-          sp.phraseSlop))
+          sp.phraseSlop, boosts))
       }
     val active = works.flatten
     if (active.isEmpty) return specs.map(_ => Array.empty[Scored])
     if (localSegs != null) {
       // warm in-process batch: every spec over every local group, zero jobs
       val res = runLocal(active.map(w => (w, null: Scored)), k, perSeg, dfGlobal,
-        n, avgdl, fieldStatsMap, Map.empty)
+        n, avgdl, fieldStatsMap)
       val byIdx = active.map(_.idx).zip(res).toMap
       return specs.indices.map(i => byIdx.getOrElse(i, Array.empty[Scored]))
     }
@@ -901,7 +914,7 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
             }
           ws.iterator.flatMap { w =>
             MultiSearcherOps.runGroup(byTerm, tombBlks, w, k, nG, avgdlG, fsMap,
-              Map.empty, null).map(s => (w.idx, s.docId, s.score))
+              null).map(s => (w.idx, s.docId, s.score))
           }
         }
       }

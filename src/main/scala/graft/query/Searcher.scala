@@ -54,6 +54,16 @@ private[query] final case class SearchMode(
   */
 final case class BoolQuerySpec(
     query: String = "",
+    /** Analyzed field the `query` text matches over ("text" = the main
+      * field) — per-field BM25 stats, same as `searchField`.
+      */
+    field: String = "text",
+    /** ES `multi_match` (most_fields): when non-empty, overrides
+      * `field` — the query's terms score over every (field, boost)
+      * under that field's stats, boost-scaled (OR mode; same semantics
+      * as `multiMatch`).
+      */
+    multiMatchFields: Seq[(String, Double)] = Nil,
     conjunctive: Boolean = false,
     phrase: Boolean = false,
     filters: Seq[(String, String)] = Nil,
@@ -415,12 +425,24 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
   def searchManyBool(specs: Seq[BoolQuerySpec], k: Int): Seq[Array[Scored]] = {
     final case class Prep(scoredTerms: Seq[String], slots: Seq[String],
         clauses: Seq[Seq[String]], excludeTerms: Seq[String], shouldTerms: Seq[String],
-        ranges: Seq[(String, String, String)])
+        ranges: Seq[(String, String, String)], boosts: Map[String, Double])
     val preps = specs.map { sp =>
-      val slots = if (sp.phrase) Analyzer.tokenize(sp.query).toSeq else null
+      require(sp.multiMatchFields.isEmpty || (!sp.phrase && !sp.conjunctive),
+        "multiMatchFields is OR-mode only (like multiMatch)")
+      val toks = Analyzer.tokenize(sp.query).toSeq
+      val mm = sp.multiMatchFields
+      val slots =
+        if (sp.phrase) toks.map(t => graft.index.FieldTerms.textTerm(sp.field, t)) else null
       val scoredTerms =
-        if (sp.phrase) Option(slots).getOrElse(Nil).distinct.sorted
-        else Analyzer.analyzeQuery(sp.query).toSeq
+        if (mm.nonEmpty)
+          (for ((f, _) <- mm; t <- toks.distinct)
+            yield graft.index.FieldTerms.textTerm(f, t)).distinct.sorted
+        else if (sp.phrase) Option(slots).getOrElse(Nil).distinct.sorted
+        else toks.distinct.sorted.map(t => graft.index.FieldTerms.textTerm(sp.field, t))
+      val boosts: Map[String, Double] =
+        if (mm.isEmpty) Map.empty
+        else (for ((f, b) <- mm; t <- toks.distinct)
+          yield graft.index.FieldTerms.textTerm(f, t) -> b).toMap
       val shouldTerms = Analyzer.analyzeQuery(sp.should).filterNot(scoredTerms.contains).toSeq
       val clauses: Seq[Seq[String]] =
         sp.filters.map { case (f, v) => Seq(graft.index.FieldTerms.term(f, v)) } ++
@@ -430,7 +452,7 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
             graft.index.FieldTerms.trieRangeTerms(f, lo, hi) }
       Prep(scoredTerms, slots, clauses,
         sp.mustNot.map { case (f, v) => graft.index.FieldTerms.term(f, v) }.distinct,
-        shouldTerms, sp.rangeFilters)
+        shouldTerms, sp.rangeFilters, boosts)
     }
     // ALL specs' lexicographic ranges expand in ONE batched dict scan
     val rangeExp: Map[(String, String, String), Map[String, TermStats]] =
@@ -457,7 +479,7 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
           Some((terms.map(t => t -> found(t)),
             SearchMode(sp.conjunctive, p.slots, foundClauses,
               p.excludeTerms.filter(found.contains), shouldFound, sp.minShouldMatch,
-              null, sp.phraseSlop)))
+              null, sp.phraseSlop, p.boosts)))
         }
       }
     if (!resolved.exists(_.isDefined)) return specs.map(_ => Array.empty[Scored])

@@ -84,6 +84,35 @@ object StreamingIngest {
     docs.unpersist(blocking = false)
   }
 
+  /** Frame variant of [[appendSegment]] for batches carrying EXTRA
+    * metadata columns (must include conv_id, turn_idx, ts, text):
+    * the columns ride the doc store and are indexable per the cfg's
+    * `fieldCols` / `numericFieldCols` / `textFieldCols` — fielded
+    * streaming ingest. Same LWW upsert semantics (dedup within the
+    * batch, tombstone superseded keys in older segments AFTER the
+    * build commits).
+    */
+  def appendSegmentFrame(
+      spark: SparkSession,
+      batch: DataFrame,
+      indexDir: String,
+      batchId: Long,
+      cfg: IndexConfig
+  ): Unit = {
+    if (batch.isEmpty) return
+    val base = currentMaxDocId(spark, indexDir) + 1
+    val docs = graft.index.DocIds
+      .assignFrame(graft.index.DocIds.dedupFrame(batch), cfg.partitions)
+      .withColumn("docId", col("docId") + lit(base))
+    val segDir = s"$indexDir/seg-$batchId"
+    val report = new IndexBuilder(spark, segDir, s"stream-batch-$batchId", cfg)
+      .buildFrom(docs)
+    graft.index.Tombstones.writeKeyBloom(spark, segDir, docs, report.n)
+    supersedeOlderSegments(spark, indexDir, segDir,
+      docs.select(col("conv_id"), col("turn_idx")).distinct())
+    docs.unpersist(blocking = false)
+  }
+
   /** Tombstone docs in live segments OTHER than `exceptSegDir` whose
     * (conv_id, turn_idx) appears in `keys`. Bloom-pruned; `keys` is
     * batch-sized and broadcast into the semi-join.

@@ -179,6 +179,87 @@ class FieldSearchSpec extends SparkSpec {
     visible.unpersist(blocking = false)
   }
 
+  test("fielded STREAMING ingest: appendSegmentFrame carries extra columns, LWW-exact") {
+    import org.apache.spark.sql.functions.{length => strlen}
+    val idx = s"${TestSpark.tmpRoot}/index-fields-stream"
+    val scfg = cfg.copy(numBuckets = 1)
+    // raw turns + a derived title column — NO docId/dl (the frame append
+    // assigns them); title varies per row incl. empties
+    val raw = Transcripts.generate(spark, 80L).toDF()
+      .withColumn("title", array_join(slice(Analyzer.tokensCol(col("text")), lit(1),
+        pmod(strlen(col("text")), lit(7)).cast("int")), " "))
+      .cache()
+    graft.streaming.StreamingIngest.appendSegmentFrame(spark,
+      raw.filter(col("conv_id") < "conv-00000040"), idx, 0L, scfg)
+    // batch 1: the rest + an UPDATE of (conv-3, 1) with new text+title
+    val upd = raw.filter(col("conv_id") === "conv-00000003" && col("turn_idx") === 1)
+      .withColumn("text", lit("replacement body mentions quasar"))
+      .withColumn("title", lit("replacement headline"))
+      .withColumn("ts", (col("ts").cast("long") + 9999L).cast("timestamp"))
+    graft.streaming.StreamingIngest.appendSegmentFrame(spark,
+      raw.filter(col("conv_id") >= "conv-00000040").unionByName(upd), idx, 1L, scfg)
+    val multi = new graft.query.MultiSearcher(spark, idx)
+    val visible = multi.docs.cache()
+    // LWW: every key once; the updated row shows the NEW title
+    assert(visible.count() == raw.count())
+    assert(visible.select("conv_id", "turn_idx").distinct().count() == visible.count())
+    assert(visible.filter(col("conv_id") === "conv-00000003" && col("turn_idx") === 1)
+      .select("title").head().getString(0) == "replacement headline")
+    // fielded queries over the streamed index ≡ oracle over the visible
+    // corpus (per-field stats tombstone-adjusted, incl. the replaced title)
+    for (q <- Seq("the", "replacement headline", "the a of")) {
+      assert(multi.searchField("title", q, 10).toSeq
+        == scored(Oracle.topKField(visible, "title", q, 10)), s"stream field '$q'")
+    }
+    assert(multi.multiMatch("replacement quasar", Seq("text" -> 1.0, "title" -> 2.0), 10).toSeq
+      == scored(Oracle.topKMulti(visible, "replacement quasar",
+        Seq("text" -> 1.0, "title" -> 2.0), 10)))
+    // keyword filters on the extra 'role' column work through the frame path
+    assert(multi.searchBool("the", 10, filters = Seq("role" -> "user")).nonEmpty)
+    visible.unpersist(blocking = false)
+    raw.unpersist(blocking = false)
+  }
+
+  test("batched _msearch with fielded specs ≡ standalone (single + cross-segment + warm)") {
+    import graft.query.BoolQuerySpec
+    val specs = Seq(
+      BoolQuerySpec("the a", field = "title"),
+      BoolQuerySpec("the a", field = "title", conjunctive = true),
+      BoolQuerySpec("the a", multiMatchFields = Seq("text" -> 1.0, "title" -> 2.0)),
+      BoolQuerySpec("the a of"),
+      BoolQuerySpec("definitely-notavocab-word", field = "title"))
+    val want = Seq(
+      searcher.searchField("title", "the a", 10).toSeq,
+      searcher.searchField("title", "the a", 10, conjunctive = true).toSeq,
+      searcher.multiMatch("the a", Seq("text" -> 1.0, "title" -> 2.0), 10).toSeq,
+      searcher.search("the a of", 10).toSeq,
+      Seq.empty[Scored])
+    assert(want.take(4).forall(_.nonEmpty))
+    assert(searcher.searchManyBool(specs, 10).map(_.toSeq) == want, "cold batch")
+    assert(warmed.searchManyBool(specs, 10).map(_.toSeq) == want, "warm batch")
+    // cross-segment: fresh 2-segment copy of the same corpus
+    val idx = s"${TestSpark.tmpRoot}/index-fields-batch-segs"
+    val mid = docsDF.agg(expr("percentile_approx(docId, 0.5)")).head().get(0)
+      .toString.toDouble.toLong
+    new IndexBuilder(spark, s"$idx/seg-0", "fbseg-0", cfg)
+      .buildFrom(docsDF.filter(col("docId") < mid))
+    new IndexBuilder(spark, s"$idx/seg-1", "fbseg-1", cfg)
+      .buildFrom(docsDF.filter(col("docId") >= mid))
+    val multi = new graft.query.MultiSearcher(spark, idx)
+    val multiWant = Seq(
+      multi.searchField("title", "the a", 10).toSeq,
+      multi.searchField("title", "the a", 10, conjunctive = true).toSeq,
+      multi.multiMatch("the a", Seq("text" -> 1.0, "title" -> 2.0), 10).toSeq,
+      multi.search("the a of", 10).toSeq,
+      Seq.empty[Scored])
+    assert(multi.searchManyBool(specs, 10).map(_.toSeq) == multiWant, "cross-segment batch")
+    // segments vs single index agree (same corpus, merged stats)
+    assert(multiWant == want, "cross-segment ≠ single-index")
+    // warm in-process cross-segment batch
+    val warmMulti = new graft.query.MultiSearcher(spark, idx).warm()
+    assert(warmMulti.searchManyBool(specs, 10).map(_.toSeq) == want, "warm-local batch")
+  }
+
   test("namespaces: textTerm/textFieldOf round-trip and stay disjoint") {
     assert(FieldTerms.textTerm("text", "foo") == "foo")
     assert(FieldTerms.textTerm("title", "foo") == "%title:foo")
