@@ -26,13 +26,19 @@ object Demo {
     spark.sparkContext.setLogLevel("WARN")
 
     val indexDir = java.nio.file.Files.createTempDirectory("graft-demo-index").toString
+    // role is a keyword filter field; 'opener' (the turn's first 4
+    // tokens) is a SECOND analyzed text field with its own BM25 stats
     val cfg = IndexConfig(numBuckets = 4, numShards = 8, partitions = 8,
-      fieldCols = Seq("role"))
+      fieldCols = Seq("role"), textFieldCols = Seq("opener"))
 
     println(s"== building index over $nConvs conversations -> $indexDir")
     val t0 = System.nanoTime()
+    import org.apache.spark.sql.functions._
     val docs = DocIds.dedupAndAssign(Transcripts.generate(spark, nConvs), 8)
-    val report = new IndexBuilder(spark, indexDir, "demo-snap-1", cfg).build(docs)
+      .toDF()
+      .withColumn("opener", array_join(slice(
+        graft.analysis.Analyzer.tokensCol(col("text")), lit(1), lit(4)), " "))
+    val report = new IndexBuilder(spark, indexDir, "demo-snap-1", cfg).buildFrom(docs)
     val buildSec = (System.nanoTime() - t0) / 1e9
     println(f"== built: N=${report.n} avgdl=${report.avgdl}%.2f vocab=${report.vocab} " +
       f"postings=${report.postings} bytes=${report.bytesCompressed} " +
@@ -86,17 +92,29 @@ object Demo {
     println("== dl stats over the 'the' match set, filtered role=user:")
     searcher.fieldStats("the", "dl", filters = Seq("role" -> "user")).show(false)
 
+    // round-5 surface: per-field match, multi_match, sub-aggregation
+    println(s"== fielded match 'the' over the 'opener' field (per-field BM25 stats) -> " +
+      s"${searcher.searchField("opener", "the", 10).length} hits; " +
+      s"fieldstats = ${searcher.fieldStatsMap.map { case (f, (n, ad)) =>
+        f"$f: docCount=$n avgdl=$ad%.2f" }.mkString(", ")}")
+    val mm = searcher.multiMatch("the", Seq("text" -> 1.0, "opener" -> 2.0), 3)
+    println(s"== multi_match 'the' (text x1 + opener x2) top scores: " +
+      mm.map(h => f"${h.score}%.4f").mkString(", "))
+    println("== sub-aggregation: dl stats per role bucket of the 'the' match set:")
+    searcher.facetStats("the", "role", "dl").show(false)
+
     // cross-segment LWW upsert + delete (streaming dir; re-ingested key
     // supersedes, deleted key vanishes; crash-atomic compaction)
     println("== cross-segment upsert/delete demo:")
     val segDir = java.nio.file.Files.createTempDirectory("graft-demo-segs").toString
     import spark.implicits._
+    val cfgSeg = cfg.copy(textFieldCols = Nil) // plain Turn batches carry no 'opener'
     val base = Transcripts.generate(spark, math.min(nConvs, 100L))
-    graft.streaming.StreamingIngest.appendSegment(spark, base, segDir, 0L, cfg)
+    graft.streaming.StreamingIngest.appendSegment(spark, base, segDir, 0L, cfgSeg)
     val upd = Seq(graft.model.Turn("conv-00000003", 1, "user",
       "replacement text without any marker words", None,
       new java.sql.Timestamp(1767312000000L))).toDS()
-    graft.streaming.StreamingIngest.appendSegment(spark, upd, segDir, 1L, cfg)
+    graft.streaming.StreamingIngest.appendSegment(spark, upd, segDir, 1L, cfgSeg)
     val nDel = graft.streaming.StreamingIngest.deleteTurns(spark, segDir,
       Seq(("conv-00000017", 0)))
     val multi = new graft.query.MultiSearcher(spark, segDir)
