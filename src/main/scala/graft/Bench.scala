@@ -205,7 +205,9 @@ object Bench {
     SparkEntry.queries("q_bm25_topk")(spark, sfDir).count()
     for (name <- Seq("q_bm25_topk", "q_bm25_and", "q_bm25_phrase", "q_bm25_prefix",
         "q_bm25_fuzzy", "q_bm25_filtered", "q_bm25_terms", "q_bm25_should",
-        "q_bm25_range_numeric", "q_bm25_field", "q_bm25_multimatch", "q_facet_stats",
+        "q_bm25_range_numeric", "q_bm25_field", "q_bm25_multimatch",
+        "q_bm25_multimatch_best", "q_bm25_field_phrase", "q_facet_terms_range",
+        "q_facet_stats",
         "q_facet_lang", "q_facet_histogram", "q_stats_field",
         "q_sort_by_field", "q_tf", "q_df", "q_agg_lineitem",
         "q_join_broadcast", "q_minhash_lsh", "q_simhash_pairs", "q_ann_cosine",

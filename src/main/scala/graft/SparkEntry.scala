@@ -189,16 +189,73 @@ fdf AS (SELECT term, count(*) AS df FROM ftf GROUP BY 1)"""
 
   /** Per-field BM25 twin ([[graft.query.Searcher.searchField]] on
     * 'title'): the FIELD's df/dl/docCount/avgdl, summed in ascending
-    * term order.
+    * term order. `termPred` overrides the IN-list (term-expansion
+    * twins — the predicate sees the BARE token, like the engine's
+    * namespace-stripped expansion); `conjunctive` requires every term;
+    * `docIdIn` restricts membership (phrase twins).
     */
-  private def fieldBm25Sql(terms: Seq[String], k: Int): String = {
+  private def fieldBm25Sql(terms: Seq[String], k: Int,
+      conjunctive: Boolean = false, termPred: String = null,
+      docIdIn: String = null): String = {
     val score = Bm25.scoreSql("ftf.tf", "fdf.df", "fdl.fdl", "fst.n", "fst.avgdl")
+    val pred = if (termPred != null) termPred else s"ftf.term IN ${inList(terms)}"
+    val having = if (conjunctive) s"HAVING count(*) = ${terms.size}" else ""
+    val docAnd = if (docIdIn == null) "" else s" AND ftf.doc_id IN ($docIdIn)"
     s"""WITH $titleCtes,
 scored AS (
   SELECT ftf.doc_id, sum($score ORDER BY ftf.term ASC) AS score
   FROM ftf JOIN fdf USING (term) JOIN fdl USING (doc_id) CROSS JOIN fst
-  WHERE ftf.term IN ${inList(terms)}
-  GROUP BY ftf.doc_id)
+  WHERE $pred$docAnd
+  GROUP BY ftf.doc_id $having)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, round(score, 4) AS score
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
+  }
+
+  /** Adjacent-bigram membership within the derived TITLE field (the
+    * engine's `searchField(phrase = true)` slop-0 adjacency over the
+    * FIELD's own positions): DuckDB positional table over `farr`.
+    */
+  private def titlePhraseSubquery(a: String, b: String): String =
+    s"""SELECT DISTINCT pa.doc_id FROM
+  (SELECT doc_id, tp.term AS term, tp.p AS p FROM (SELECT doc_id, unnest(list_transform(farr, (t, i) -> {'term': t, 'p': i})) AS tp FROM ttl)) pa
+  JOIN (SELECT doc_id, tp.term AS term, tp.p AS p FROM (SELECT doc_id, unnest(list_transform(farr, (t, i) -> {'term': t, 'p': i})) AS tp FROM ttl)) pb
+  USING (doc_id)
+  WHERE pa.term = '$a' AND pb.term = '$b' AND pb.p - pa.p = 1"""
+
+  /** best_fields multi_match twin (ES's default mode): per-field sums
+    * fold in ascending namespaced-key order; the final score re-folds
+    * EVERY contribution in the same global order, weighted 1 on the
+    * best field (ties → '%title:…' keys sort before plain tokens, so
+    * the title field wins) and tie_breaker elsewhere — exactly
+    * [[graft.query.Wand.BestFields]]'s evaluation rule.
+    */
+  private def multiMatchBestSql(terms: Seq[String], bText: Double, bTitle: Double,
+      tieBreaker: Double, k: Int): String = {
+    val sText = Bm25.scoreSql("tf.tf", "df.df", "dl.dl", "st.n", "st.avgdl")
+    val sTitle = Bm25.scoreSql("ftf.tf", "fdf.df", "fdl.fdl", "fst.n", "fst.avgdl")
+    s"""${toksCte("documents", "doc_id")},
+dl AS (SELECT d.doc_id, coalesce(t.n, 0) AS dl FROM documents d
+       LEFT JOIN (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id) t ON d.doc_id = t.doc_id),
+st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+$titleCtes,
+contrib AS (
+  SELECT tf.doc_id, tf.term AS key, ($sText) * $bText AS s, 1 AS fld
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE tf.term IN ${inList(terms)}
+  UNION ALL
+  SELECT ftf.doc_id, '%title:' || ftf.term AS key, ($sTitle) * $bTitle AS s, 0 AS fld
+  FROM ftf JOIN fdf USING (term) JOIN fdl USING (doc_id) CROSS JOIN fst
+  WHERE ftf.term IN ${inList(terms)}),
+per AS (SELECT doc_id, fld, sum(s ORDER BY key ASC) AS sf FROM contrib GROUP BY doc_id, fld),
+best AS (SELECT doc_id, fld AS bfld FROM
+  (SELECT doc_id, fld, row_number() OVER (PARTITION BY doc_id ORDER BY sf DESC, fld ASC) AS rn FROM per)
+  WHERE rn = 1),
+scored AS (
+  SELECT c.doc_id, sum((CASE WHEN c.fld = b.bfld THEN 1.0 ELSE $tieBreaker END) * c.s ORDER BY c.key ASC) AS score
+  FROM contrib c JOIN best b ON c.doc_id = b.doc_id GROUP BY c.doc_id)
 SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
        doc_id, round(score, 4) AS score
 FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
@@ -416,6 +473,34 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
       rankHits(s, new Searcher(s, documentsIndex(s, dir), 8)
         .multiMatch("spark query", Seq("text" -> 1.0, "title" -> 2.0), 10))
     }),
+    "q_bm25_multimatch_best" -> ((s, dir) => {
+      // ES multi_match DEFAULT mode (best_fields + tie_breaker):
+      // score = best field's boost-scaled sum + 0.3 × the other
+      // field's — evaluated as one ascending-namespaced-key weighted
+      // fold (tb=1 ≡ most_fields bit-exactly)
+      rankHits(s, new Searcher(s, documentsIndex(s, dir), 8)
+        .multiMatch("spark query", Seq("text" -> 1.0, "title" -> 2.0), 10,
+          bestFields = true, tieBreaker = 0.3))
+    }),
+    "q_bm25_field_phrase" -> ((s, dir) => {
+      // fielded match_phrase: adjacency over the FIELD's own positions,
+      // conjunctive per-field BM25 scoring (round-5 review ask #4)
+      rankHits(s, new Searcher(s, documentsIndex(s, dir), 8)
+        .searchField("title", "column vector", 10, phrase = true))
+    }),
+    "q_bm25_field_prefix" -> ((s, dir) => {
+      // per-field term expansion (ES prefix on an analyzed sub-field):
+      // expands within the %title: namespace, scores under field stats
+      rankHits(s, new Searcher(s, documentsIndex(s, dir), 8)
+        .searchPrefix("s", 10, field = "title"))
+    }),
+    "q_facet_terms_range" -> ((s, dir) =>
+      // aggregation over the FULL bool query incl. a `terms` clause and
+      // a lexicographic keyword `range` clause (round-5 review ask #6)
+      new Searcher(s, documentsIndex(s, dir), 8)
+        .facetCounts(Bm25Query, "source",
+          anyFilters = Seq("lang" -> Seq("fr", "es", "de")),
+          rangeFilters = Seq(("source", "src1", "src2")))),
     "q_bm25_should" -> ((s, dir) => {
       // ES bool should: optional scoring clause — matched should terms
       // add their BM25 contribution, membership still requires >=1 must
@@ -798,6 +883,23 @@ GROUP BY 1 ORDER BY 1""",
       "q_bm25_field" -> fieldBm25Sql(Analyzer.analyzeQuery(Bm25Query).toSeq, 10),
       "q_bm25_multimatch" ->
         multiMatchSql(Analyzer.analyzeQuery("spark query").toSeq, 1.0, 2.0, 10),
+      "q_bm25_multimatch_best" ->
+        multiMatchBestSql(Analyzer.analyzeQuery("spark query").toSeq, 1.0, 2.0, 0.3, 10),
+      "q_bm25_field_phrase" -> {
+        val Seq(a, b) = Analyzer.tokenize("column vector").toSeq
+        fieldBm25Sql(Analyzer.analyzeQuery("column vector").toSeq, 10,
+          conjunctive = true, docIdIn = titlePhraseSubquery(a, b))
+      },
+      "q_bm25_field_prefix" -> fieldBm25Sql(Nil, 10, termPred = "ftf.term LIKE 's%'"),
+      "q_facet_terms_range" ->
+        s"""${toksCte("documents", "doc_id")}
+SELECT d.source AS value, CAST(count(*) AS BIGINT) AS n_docs
+FROM documents d
+WHERE d.doc_id IN (SELECT DISTINCT doc_id FROM tok
+                   WHERE term IN ${inList(Analyzer.analyzeQuery(Bm25Query).toSeq)})
+  AND d.lang IN ('fr','es','de')
+  AND d.source >= 'src1' AND d.source <= 'src2'
+GROUP BY 1 ORDER BY 1""",
       // should semantics: score over must ∪ should matched terms, doc
       // qualifies via >=1 must; minShouldMatch counts distinct should
       // terms (tf has one row per (term, doc), so FILTER counts terms)

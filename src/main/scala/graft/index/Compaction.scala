@@ -177,30 +177,44 @@ object Compaction {
     // the segments' fieldstats) — their merged (docCount, Σdl) must be
     // recomputed EXACTLY over the survivors, like N / Σdl
     val hfs = new Path(indexDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val fieldNames: Seq[String] = segments.flatMap { s =>
+    // per-SEGMENT field sets: merged field stats must only count docs of
+    // segments that actually INDEXED a field — a same-named doc-store
+    // column in a segment built without textFieldCols has no `%field:`
+    // postings to merge, so counting its docs would skew the compacted
+    // per-field df/docCount relation (round-5 ADVICE)
+    val segFieldNames: Seq[Set[String]] = segments.map { s =>
       val p = new Path(s"$s/fieldstats")
-      if (!hfs.exists(p)) Nil
-      else spark.read.parquet(s"$s/fieldstats").select(col("field")).as[String].collect().toSeq
-    }.distinct.sorted
+      if (!hfs.exists(p)) Set.empty[String]
+      else spark.read.parquet(s"$s/fieldstats").select(col("field"))
+        .as[String].collect().toSet
+    }
+    val fieldNames: Seq[String] = segFieldNames.flatten.distinct.sorted
 
     // surviving doc store union (docIds globally unique already); stats
     // ride the write job — Σdl is exact (integer-valued dl per doc), and
     // the per-field (docCount, Σdl) aggregates ride the SAME job (one
-    // narrow tokenize of the short field columns, no extra pass)
+    // narrow tokenize of the short field columns, no extra pass). The
+    // __seg tag exists only for the per-segment field gate and is
+    // dropped before the write.
     val obs = org.apache.spark.sql.Observation()
-    val docsUnion = segments.map(s => spark.read.parquet(s"$s/docs")).reduce(_ unionByName _)
+    val docsUnion = segments.zipWithIndex.map { case (s, i) =>
+      spark.read.parquet(s"$s/docs").withColumn("__seg", lit(i))
+    }.reduce(_ unionByName _)
     val living =
       if (tomb.isEmpty) docsUnion
       else docsUnion.join(tombDF, Seq("docId"), "left_anti")
     val baseAggs = Seq(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("sumdl"),
       coalesce(max(col("docId")), lit(-1L)).as("mx"))
     val fieldAggs = fieldNames.flatMap { f =>
-      val d = coalesce(graft.analysis.Analyzer.dlCol(col(f).cast("string")), lit(0))
+      val segsWithF = segFieldNames.zipWithIndex.collect { case (set, i) if set.contains(f) => i }
+      val d0 = coalesce(graft.analysis.Analyzer.dlCol(col(f).cast("string")), lit(0))
+      val d = when(col("__seg").isin(segsWithF: _*), d0).otherwise(lit(0))
       Seq(count(when(d > lit(0), 1)).as(s"fn_$f"),
         coalesce(sum(d.cast("long")), lit(0L)).as(s"fs_$f"))
     }
     living
       .observe(obs, baseAggs.head, (baseAggs.tail ++ fieldAggs): _*)
+      .drop("__seg")
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/docs")
     val row = obs.get
     val n = row("n").asInstanceOf[Long]
@@ -387,8 +401,15 @@ object Compaction {
     //    definition while its live segment exists, so deleting it here
     //    is exactly the cleanup the crashed run owed.
     SegmentCatalog.readPointer(fs, indexDir).foreach { ptr =>
-      if (fs.exists(new Path(s"$indexDir/${ptr.live}")))
+      if (fs.exists(new Path(s"$indexDir/${ptr.live}")) && ptr.retired.nonEmpty) {
         ptr.retired.foreach(nm => fs.delete(new Path(s"$indexDir/$nm"), true))
+        // the owed cleanup is done: clear the retired set (one more
+        // atomic pointer write) so a FUTURE segment that reuses a
+        // retired name — e.g. a repeated streaming batchId after a
+        // restart without checkpoint — can never match a stale entry
+        // and be deleted by a later step 0 (round-5 ADVICE)
+        SegmentCatalog.writePointer(fs, indexDir, ptr.copy(retired = Set.empty))
+      }
     }
     val liveBefore = SegmentCatalog.liveSegments(fs, indexDir)
     val report = compact(spark, indexDir, tmp, only)
@@ -420,41 +441,69 @@ object Compaction {
     require(fs.rename(new Path(tmp), new Path(s"$indexDir/$target")),
       s"rename $tmp -> $indexDir/$target failed; old segments remain authoritative")
     // 3. cleanup (crash here leaves retired dirs on disk, out of
-    //    catalog; step 0 of the NEXT compaction removes them). Only the
-    //    tombstone files the compaction actually consumed are deleted —
-    //    files appended by concurrent ingest stay (their docIds were NOT
-    //    dropped by this merge and must remain excluded).
-    inputs.foreach(s => fs.delete(new Path(s), true))
+    //    catalog; step 0 of the NEXT compaction removes them). Surviving
+    //    tombstones are appended DURABLY BEFORE the merged input dirs
+    //    are deleted: `surviving` is only cached, and a lost partition
+    //    would need the inputs' parquet to recompute (round-5 ADVICE) —
+    //    the append-first order also means a crash anywhere in this
+    //    block leaves at worst harmless duplicates, never a
+    //    resurrection. Only the tombstone files the compaction actually
+    //    consumed are deleted — files appended by concurrent ingest
+    //    stay (their docIds were NOT dropped by this merge and must
+    //    remain excluded).
     surviving.foreach { surv =>
       Tombstones.append(spark, indexDir, surv)
       surv.unpersist(blocking = false)
     }
+    inputs.foreach(s => fs.delete(new Path(s), true))
     Tombstones.clearFiles(spark, indexDir, report.consumedTombstones)
+    // cleanup complete: clear the retired set so stale names can never
+    // shadow (or step-0-delete) a future same-named segment
+    SegmentCatalog.writePointer(fs, indexDir, SegmentCatalog.Pointer(target, Set.empty))
     report
   }
 
   /** Policy-driven incremental compaction: returns None when nothing is
-    * due. Triggers and selection per [[CompactionPolicy]]; segment sizes
-    * come from the docs manifest cells (zero Spark jobs), the tombstone
-    * ratio from one count over the (small) tombstone store.
+    * due. Triggers and selection per [[CompactionPolicy]]: the
+    * tombstone ratio compares the tombstone count against manifest doc
+    * counts (computed only when tombstones exist — the common
+    * no-tombstone check runs zero Spark jobs), and size-tiered merge
+    * selection orders segments by COMPRESSED BYTES from the manifest
+    * bucket cells (the LSM-relevant size when doc sizes are skewed —
+    * round-5 review "What's missing #6"), falling back to the on-disk
+    * byte size of `blocks/` for foreign segments without cells (a
+    * filesystem walk, still zero Spark jobs).
     */
   def maybeCompact(spark: SparkSession, indexDir: String,
       policy: CompactionPolicy = CompactionPolicy()): Option[CompactionReport] = {
     val segs = SegmentCatalog.liveSegments(spark, indexDir)
     if (segs.isEmpty) return None
-    val sizes: Seq[(String, Long)] = segs.map { s =>
-      val n = new IndexBuilder(spark, s, "", IndexConfig()).readManifest("docs")
-        .map(_.postingsEmitted)
-        .getOrElse(spark.read.parquet(s"$s/docs").count())
-      s -> n
-    }
-    val totalN = math.max(1L, sizes.map(_._2).sum)
     val tombN =
       if (!Tombstones.exists(spark, indexDir)) 0L
       else Tombstones.loadDF(spark, indexDir).count()
-    if (tombN.toDouble / totalN >= policy.tombstoneRatio && segs.nonEmpty)
-      Some(compactInPlace(spark, indexDir)) // full: drops every tombstone
-    else if (segs.size > policy.maxSegments) {
+    if (tombN > 0) {
+      val totalN = math.max(1L, segs.map { s =>
+        new IndexBuilder(spark, s, "", IndexConfig()).readManifest("docs")
+          .map(_.postingsEmitted)
+          .getOrElse(spark.read.parquet(s"$s/docs").count())
+      }.sum)
+      // an entirely-tombstoned corpus has nothing to compact INTO (the
+      // merge would produce an unservable empty index): leave the
+      // tombstones excluding everything rather than throw (round-5
+      // ADVICE); the caller can drop the index dir
+      if (tombN >= totalN) return None
+      if (tombN.toDouble / totalN >= policy.tombstoneRatio)
+        return Some(compactInPlace(spark, indexDir)) // full: drops every tombstone
+    }
+    if (segs.size > policy.maxSegments) {
+      val fs = new Path(indexDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val sizes: Seq[(String, Long)] = segs.map { s =>
+        val cells = new IndexBuilder(spark, s, "", IndexConfig()).allManifests
+          .filter(_.cell.startsWith("bucket="))
+        val bytes = cells.map(_.bytesCompressed).sum
+        s -> (if (cells.nonEmpty) bytes
+              else fs.getContentSummary(new Path(s"$s/blocks")).getLength)
+      }
       val smallest = sizes.sortBy(_._2).take(math.max(2, policy.mergeFactor)).map(_._1)
       Some(compactInPlace(spark, indexDir, smallest))
     } else None

@@ -146,7 +146,8 @@ private[query] object MultiSearcherOps {
             after, w.slop)
         else if (w.conjunctive)
           Wand.topKConjunctive(iters, k, filters, excludes, shoulds, w.minShould, after)
-        else Wand.topK(iters, k, filters, excludes, shoulds, w.minShould, after)
+        else Wand.topK(iters, k, filters, excludes, shoulds, w.minShould, after,
+          w.bestFields)
       top.iterator
     }
   }
@@ -166,7 +167,11 @@ private[query] final case class MsSpecWork(
       * namespaced term) — per SPEC, so heterogeneous batches mix
       * boosted and plain queries.
       */
-    boosts: Map[String, Double] = Map.empty)
+    boosts: Map[String, Double] = Map.empty,
+    /** non-null = best_fields combination ([[Wand.BestFields]]) — ES's
+      * default multi_match mode; null = most_fields (one sum).
+      */
+    bestFields: Wand.BestFields = null)
 
 class MultiSearcher(spark: SparkSession, indexDir: String) {
   import spark.implicits._
@@ -308,18 +313,28 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
   private val rawN: Long = segStats.map(_.n).sum
   private val rawSumDl: Long = segStats.map(st => math.round(st.avgdl * st.n)).sum
 
-  /** Per-field (docCount, Σdl) of the additional analyzed text fields,
-    * summed over segments (sums are associative like N / Σdl); empty for
-    * indexes whose segments carry no `fieldstats/`.
+  /** Per-SEGMENT field stats (field → (docCount, Σdl)) — kept per
+    * segment so dead-doc subtraction can be gated on whether a segment
+    * actually INDEXED a field: a segment built without `textFieldCols`
+    * may still carry a doc-store column of the same name, and its dead
+    * docs must not subtract from field stats they never contributed to
+    * (round-5 ADVICE).
     */
-  private val rawFieldStats: Map[String, (Long, Long)] =
+  private val segFieldStats: Seq[Map[String, (Long, Long)]] =
     segments.map { s =>
       val p = new Path(s"$s/fieldstats")
       if (!fs.exists(p)) Map.empty[String, (Long, Long)]
       else spark.read.parquet(s"$s/fieldstats")
         .select(col("field"), col("ndocs"), col("sumdl"))
         .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
-    }.foldLeft(Map.empty[String, (Long, Long)]) { (acc, m) =>
+    }
+
+  /** Per-field (docCount, Σdl) of the additional analyzed text fields,
+    * summed over segments (sums are associative like N / Σdl); empty for
+    * indexes whose segments carry no `fieldstats/`.
+    */
+  private val rawFieldStats: Map[String, (Long, Long)] =
+    segFieldStats.foldLeft(Map.empty[String, (Long, Long)]) { (acc, m) =>
       m.foldLeft(acc) { case (a, (f, (n1, s1))) =>
         val (n0, s0) = a.getOrElse(f, (0L, 0L))
         a.updated(f, (n0 + n1, s0 + s1))
@@ -447,9 +462,13 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
     val r = tombDF.agg(min(col("docId")), max(col("docId"))).head()
     val lo = r.getLong(0)
     val hi = r.getLong(1)
-    val union = segDocs.map { d =>
+    val union = segDocs.zipWithIndex.map { case (d, i) =>
+      // a field column counts ONLY for segments that actually indexed
+      // the field (own fieldstats entry) — a same-named doc-store
+      // column in a segment built without it contributed nothing to the
+      // field's stats and must subtract nothing (round-5 ADVICE)
       val fcols = fieldNames.map { f =>
-        (if (d.columns.contains(f)) col(f).cast("string")
+        (if (segFieldStats(i).contains(f) && d.columns.contains(f)) col(f).cast("string")
          else lit(null).cast("string")).as(s"__f_$f")
       }
       d.select(Seq(col("docId"), col("dl"), col("text")) ++ fcols: _*)
@@ -548,27 +567,45 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
     */
   private def lookup(terms: Seq[String]): (Map[String, Long], Map[(Int, String), TermStats]) = {
     if (terms.isEmpty) return (Map.empty, Map.empty)
-    val perSeg: Map[(Int, String), TermStats] =
-      if (localDict != null)
-        terms.flatMap(t => localDict.getOrElse(t, Nil).map { case (i, ts) => (i, t) -> ts }).toMap
-      else {
-        val unioned = segDicts.zipWithIndex.map { case (d, i) =>
-          d.filter(col("term").isin(terms: _*))
-            .select(lit(i).as("seg"), col("term"), col("termId"), col("shard"),
-              col("df"), col("cf"), col("maxScore"))
-        }.reduce(_ unionByName _)
-        unioned
-          .as[(Int, String, Long, Int, Long, Long, Double)].collect()
-          .map { case (i, t, tid, sh, df, cf, ms) => (i, t) -> TermStats(t, tid, sh, df, cf, ms) }
-          .toMap
-      }
     // exact LWW df: subtract the tombstoned docs' contribution; a term
     // living ONLY in superseded docs vanishes (absent from the visible
     // corpus — conjunctive queries on it must return empty, expansion
     // must not propose it). Corrections come from the distributed
     // removed-df frame (driver-cached only when bounded) — restricted
-    // to THESE terms, never the dead docs' whole vocabulary.
-    val dfRemoved = removedDfFor(terms)
+    // to THESE terms, never the dead docs' whole vocabulary. On the
+    // COLD uncached path the corrections broadcast-join INTO the
+    // unioned dict scan, so the heavy-churn case costs the same ONE
+    // job as the common case (round-5 review "What's wrong #3").
+    var dfRemoved: Map[String, Long] = Map.empty
+    val perSeg: Map[(Int, String), TermStats] =
+      if (localDict != null) {
+        dfRemoved = removedDfFor(terms)
+        terms.flatMap(t => localDict.getOrElse(t, Nil).map { case (i, ts) => (i, t) -> ts }).toMap
+      } else {
+        val unioned = segDicts.zipWithIndex.map { case (d, i) =>
+          d.filter(col("term").isin(terms: _*))
+            .select(lit(i).as("seg"), col("term"), col("termId"), col("shard"),
+              col("df"), col("cf"), col("maxScore"))
+        }.reduce(_ unionByName _)
+        val joinFrame = removedDfDF.filter(_ => removedDfSmall.isEmpty)
+        val withRm = joinFrame match {
+          case Some(frame) =>
+            unioned.join(broadcast(frame.filter(col("term").isin(terms: _*))),
+              Seq("term"), "left")
+              .select(col("seg"), col("term"), col("termId"), col("shard"),
+                col("df"), col("cf"), col("maxScore"),
+                coalesce(col("removed"), lit(0L)).as("removed"))
+          case None => unioned.withColumn("removed", lit(0L))
+        }
+        val rows = withRm
+          .as[(Int, String, Long, Int, Long, Long, Double, Long)].collect()
+        if (joinFrame.isDefined)
+          dfRemoved = rows.iterator.filter(_._8 > 0L).map(r => r._2 -> r._8).toMap
+        else dfRemoved = removedDfFor(terms)
+        rows.map { case (i, t, tid, sh, df, cf, ms, _) =>
+          (i, t) -> TermStats(t, tid, sh, df, cf, ms)
+        }.toMap
+      }
     val dfGlobal = perSeg.toSeq.groupBy(_._1._2)
       .map { case (t, xs) => t -> (xs.map(_._2.df).sum - dfRemoved.getOrElse(t, 0L)) }
       .filter(_._2 > 0L)
@@ -583,7 +620,8 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
       minShould: Int = 0,
       after: Scored = null,
       slop: Int = 0,
-      boosts: Map[String, Double] = Map.empty): Array[Scored] = {
+      boosts: Map[String, Double] = Map.empty,
+      bestFields: Wand.BestFields = null): Array[Scored] = {
     val distinctTerms = terms.distinct.sorted
     if ((distinctTerms.isEmpty && shouldTerms.isEmpty) || k <= 0) return Array.empty
     val (dfGlobal, perSeg) =
@@ -607,7 +645,7 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
     // exclude terms: those live in the '#'/'%' namespaces)
     val w = MsSpecWork(0, distinctTerms.filter(dfGlobal.contains), shouldFound,
       clauses, excludeTerms.distinct.sorted.filter(dfGlobal.contains),
-      conjunctive, slots, minShould, slop, boosts)
+      conjunctive, slots, minShould, slop, boosts, bestFields)
     if (localSegs != null)
       return runLocal(Seq((w, aft)), k, perSeg, dfGlobal, nG, avgdlG, fsMap).head
     // termId is segment-local: key block groups by (segIdx, termId);
@@ -725,18 +763,23 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
     if (from == 0) hits else hits.slice(from, from + k)
   }
 
-  /** ES `multi_match` (most_fields, summed) over the union of all
-    * segments — same semantics as [[Searcher.multiMatch]].
+  /** ES `multi_match` over the union of all segments — same semantics
+    * as [[Searcher.multiMatch]] (most_fields sum by default;
+    * `bestFields = true` + `tieBreaker` = ES's default best_fields
+    * combination), under the merged LWW statistics.
     */
   def multiMatch(query: String, fields: Seq[(String, Double)], k: Int,
-      from: Int = 0): Array[Scored] = {
+      from: Int = 0,
+      bestFields: Boolean = false,
+      tieBreaker: Double = 0.0): Array[Scored] = {
     require(fields.map(_._1).distinct.size == fields.size, "duplicate field in multiMatch")
     val toks = Analyzer.analyzeQuery(query).toSeq
     if (toks.isEmpty || fields.isEmpty) return Array.empty
     val termBoosts: Seq[(String, Double)] =
       for ((f, b) <- fields; t <- toks) yield FieldTerms.textTerm(f, t) -> b
+    val bf = if (bestFields) Wand.BestFields.of(fields.map(_._1), toks, tieBreaker) else null
     val hits = run(termBoosts.map(_._1).sorted, from + k, conjunctive = false,
-      boosts = termBoosts.toMap)
+      boosts = termBoosts.toMap, bestFields = bf)
     if (from == 0) hits else hits.slice(from, from + k)
   }
 
@@ -790,12 +833,36 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
       minShouldMatch: Int = 0,
       from: Int = 0,
       after: Scored = null,
-      phraseSlop: Int = 0
+      phraseSlop: Int = 0,
+      /** Analyzed field the `query` matches over ("text" = main field) —
+        * per-field BM25 under the merged LWW field stats, same as
+        * [[searchField]] (round-5 review "What's missing #2").
+        */
+      field: String = "text",
+      /** ES `multi_match` inside the bool `must`: overrides `field`
+        * when non-empty (OR mode; same semantics as [[multiMatch]]).
+        */
+      multiMatchFields: Seq[(String, Double)] = Nil,
+      multiMatchBest: Boolean = false,
+      tieBreaker: Double = 0.0
   ): Array[Scored] = {
-    val slots = if (phrase) Analyzer.tokenize(query).toSeq else null
+    val mm = multiMatchFields
+    require(mm.isEmpty || (!phrase && !conjunctive),
+      "multiMatchFields is OR-mode only (like multiMatch)")
+    val toks = Analyzer.tokenize(query).toSeq
+    val slots = if (phrase) toks.map(t => FieldTerms.textTerm(field, t)) else null
     val scoredTerms =
-      if (phrase) Option(slots).getOrElse(Nil).distinct.sorted
-      else Analyzer.analyzeQuery(query).toSeq
+      if (mm.nonEmpty)
+        (for ((f, _) <- mm; t <- toks.distinct) yield FieldTerms.textTerm(f, t))
+          .distinct.sorted
+      else if (phrase) Option(slots).getOrElse(Nil).distinct.sorted
+      else toks.distinct.sorted.map(t => FieldTerms.textTerm(field, t))
+    val boosts: Map[String, Double] =
+      if (mm.isEmpty) Map.empty
+      else (for ((f, b) <- mm; t <- toks.distinct) yield FieldTerms.textTerm(f, t) -> b).toMap
+    val bf =
+      if (mm.nonEmpty && multiMatchBest) Wand.BestFields.of(mm.map(_._1), toks, tieBreaker)
+      else null
     val shouldTerms = Analyzer.analyzeQuery(should).filterNot(scoredTerms.contains).toSeq
     if (scoredTerms.isEmpty && shouldTerms.isEmpty) return Array.empty
     val hits = run(scoredTerms, from + k, conjunctive, slots,
@@ -806,7 +873,7 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
         numericRangeFilters.map { case (f, lo, hi) => FieldTerms.trieRangeTerms(f, lo, hi) } ++
         rangeFilters.map { case (f, lo, hi) => expandFieldRange(f, lo, hi) },
       mustNot.map { case (f, v) => FieldTerms.term(f, v) }.distinct,
-      shouldTerms, minShouldMatch, after, phraseSlop)
+      shouldTerms, minShouldMatch, after, phraseSlop, boosts, bf)
     if (from == 0) hits else hits.slice(from, from + k)
   }
 
@@ -846,14 +913,18 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
             vs.distinct.map(v => FieldTerms.term(f, v)) } ++
           sp.numericRangeFilters.map { case (f, lo, hi) => FieldTerms.trieRangeTerms(f, lo, hi) } ++
           sp.rangeFilters.map(rangeExp)
+      val bf =
+        if (mm.nonEmpty && sp.multiMatchBest)
+          Wand.BestFields.of(mm.map(_._1), toks, sp.tieBreaker)
+        else null
       (slots, scoredTerms, shouldTerms, clauses,
-        sp.mustNot.map { case (f, v) => FieldTerms.term(f, v) }.distinct, boosts)
+        sp.mustNot.map { case (f, v) => FieldTerms.term(f, v) }.distinct, boosts, bf)
     }
     val allTerms = preps.flatMap(p => p._2 ++ p._3 ++ p._4.flatten ++ p._5).distinct.sorted
     val (dfGlobal, perSeg) = lookup(allTerms)
     // per-spec resolution mirrors searchBool/run's early-empty rules
     val works: Seq[Option[MsSpecWork]] =
-      preps.zip(specs).zipWithIndex.map { case (((slots, sc, sh, cls, ex, boosts), sp), i) =>
+      preps.zip(specs).zipWithIndex.map { case (((slots, sc, sh, cls, ex, boosts, bf), sp), i) =>
         val needAll = sp.conjunctive || sp.phrase
         val foundClauses = cls.map(_.filter(dfGlobal.contains))
         val shouldFound = sh.filter(dfGlobal.contains)
@@ -865,7 +936,7 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
           shouldFound.size < sp.minShouldMatch) None
         else Some(MsSpecWork(i, sc.filter(dfGlobal.contains), shouldFound, foundClauses,
           ex.filter(dfGlobal.contains), sp.conjunctive, slots, sp.minShouldMatch,
-          sp.phraseSlop, boosts))
+          sp.phraseSlop, boosts, bf))
       }
     val active = works.flatten
     if (active.isEmpty) return specs.map(_ => Array.empty[Scored])
@@ -970,40 +1041,54 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
 
   // --- term-expansion queries (ES prefix / wildcard / fuzzy) --------------
 
-  /** Matching TEXT dictionary terms across all segments: ascending term
-    * order, capped at maxExpansions over the GLOBAL distinct set — the
-    * same deterministic rewrite rule as the single-index `Searcher`, so
-    * a compacted index answers identically. ONE unioned dict scan.
+  /** Matching dictionary terms of ONE analyzed field across all
+    * segments ("text" = the main namespace; others expand within their
+    * `%field:` namespace — the predicate sees the BARE token): ascending
+    * term order, capped at maxExpansions over the GLOBAL distinct set —
+    * the same deterministic rewrite rule as the single-index `Searcher`,
+    * so a compacted index answers identically. ONE unioned dict scan.
     */
-  private def expand(sqlPred: org.apache.spark.sql.Column, maxExpansions: Int): Seq[String] = {
-    val notField = !col("term").startsWith(FieldTerms.Prefix) &&
-      !col("term").startsWith(FieldTerms.TextPrefix)
+  private def expand(sqlPredOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      maxExpansions: Int, field: String = "text"): Seq[String] = {
+    val pred =
+      if (field == "text")
+        !col("term").startsWith(FieldTerms.Prefix) &&
+          !col("term").startsWith(FieldTerms.TextPrefix) && sqlPredOf(col("term"))
+      else {
+        val pfx = FieldTerms.textTerm(field, "")
+        col("term").startsWith(pfx) &&
+          sqlPredOf(col("term").substr(lit(pfx.length + 1), lit(Int.MaxValue)))
+      }
     segDicts.map { d =>
-      d.filter(notField && sqlPred).select(col("term"))
+      d.filter(pred).select(col("term"))
     }.reduce(_ unionByName _).distinct()
       .orderBy(col("term")).limit(maxExpansions)
       .as[String].collect().toSeq
   }
 
-  /** Prefix query (ES `prefix`) over the union of all segments. */
-  def searchPrefix(prefix: String, k: Int, maxExpansions: Int = 50): Array[Scored] = {
+  /** Prefix query (ES `prefix`) over the union of all segments;
+    * `field` expands (and scores) within that analyzed field.
+    */
+  def searchPrefix(prefix: String, k: Int, maxExpansions: Int = 50,
+      field: String = "text"): Array[Scored] = {
     val toks = Analyzer.tokenize(prefix)
     if (toks.isEmpty) return Array.empty
-    run(expand(col("term").startsWith(toks(0)), maxExpansions), k, conjunctive = false)
+    run(expand(_.startsWith(toks(0)), maxExpansions, field), k, conjunctive = false)
   }
 
   /** Wildcard query (ES `wildcard`) over the union of all segments. */
-  def searchWildcard(pattern: String, k: Int, maxExpansions: Int = 50): Array[Scored] = {
+  def searchWildcard(pattern: String, k: Int, maxExpansions: Int = 50,
+      field: String = "text"): Array[Scored] = {
     val like = Expansion.wildcardLike(pattern.toLowerCase(java.util.Locale.ROOT))
-    run(expand(col("term").like(like), maxExpansions), k, conjunctive = false)
+    run(expand(_.like(like), maxExpansions, field), k, conjunctive = false)
   }
 
   /** Fuzzy query (ES `fuzziness`) over the union of all segments. */
   def searchFuzzy(term: String, k: Int, maxDist: Int = 1,
-      maxExpansions: Int = 50): Array[Scored] = {
+      maxExpansions: Int = 50, field: String = "text"): Array[Scored] = {
     val toks = Analyzer.tokenize(term)
     if (toks.isEmpty) return Array.empty
-    run(expand(levenshtein(lit(toks(0)), col("term")) <= lit(maxDist), maxExpansions),
+    run(expand(c => levenshtein(lit(toks(0)), c) <= lit(maxDist), maxExpansions, field),
       k, conjunctive = false)
   }
 
@@ -1038,11 +1123,15 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
   private def matchSet(query: String,
       filters: Seq[(String, String)] = Nil,
       mustNot: Seq[(String, String)] = Nil,
-      numericRangeFilters: Seq[(String, Long, Long)] = Nil): Option[DataFrame] = {
+      numericRangeFilters: Seq[(String, Long, Long)] = Nil,
+      anyFilters: Seq[(String, Seq[String])] = Nil,
+      rangeFilters: Seq[(String, String, String)] = Nil): Option[DataFrame] = {
     val terms = Analyzer.analyzeQuery(query).toSeq
     val clauses: Seq[Seq[String]] =
       filters.map { case (f, v) => Seq(FieldTerms.term(f, v)) } ++
-        numericRangeFilters.map { case (f, lo, hi) => FieldTerms.trieRangeTerms(f, lo, hi) }
+        anyFilters.map { case (f, vs) => vs.distinct.map(v => FieldTerms.term(f, v)) } ++
+        numericRangeFilters.map { case (f, lo, hi) => FieldTerms.trieRangeTerms(f, lo, hi) } ++
+        rangeFilters.map { case (f, lo, hi) => expandFieldRange(f, lo, hi) }
     val excludeTerms = mustNot.map { case (f, v) => FieldTerms.term(f, v) }.distinct
     val (dfGlobal, perSeg) =
       lookup(terms ++ clauses.flatten.distinct ++ excludeTerms)
@@ -1060,24 +1149,31 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
     if (exFound.nonEmpty)
       decodeDocIds(perSeg, exFound.toSet).foreach(e =>
         m = m.join(e, Seq("docId"), "left_anti"))
-    Some(if (Tombstones.exists(spark, indexDir))
-      m.join(tombDF, Seq("docId"), "left_anti") else m)
+    // ONE tombstone snapshot per searcher (the cached check): the WAND
+    // paths' exclusion blocks and the agg paths' anti-join see the same
+    // store state, and no per-query filesystem round-trip happens
+    // (round-5 review "What's wrong #2")
+    Some(if (hasTombstones) m.join(tombDF, Seq("docId"), "left_anti") else m)
   }
 
   private def matchingOrEmpty(query: String,
       filters: Seq[(String, String)] = Nil,
       mustNot: Seq[(String, String)] = Nil,
-      numericRangeFilters: Seq[(String, Long, Long)] = Nil): DataFrame =
-    matchSet(query, filters, mustNot, numericRangeFilters)
+      numericRangeFilters: Seq[(String, Long, Long)] = Nil,
+      anyFilters: Seq[(String, Seq[String])] = Nil,
+      rangeFilters: Seq[(String, String, String)] = Nil): DataFrame =
+    matchSet(query, filters, mustNot, numericRangeFilters, anyFilters, rangeFilters)
       .getOrElse(Seq.empty[Long].toDF("docId"))
 
   /** ES `terms` aggregation (facets) over the cross-segment match set. */
   def facetCounts(query: String, field: String,
       filters: Seq[(String, String)] = Nil,
       mustNot: Seq[(String, String)] = Nil,
-      numericRangeFilters: Seq[(String, Long, Long)] = Nil): DataFrame =
+      numericRangeFilters: Seq[(String, Long, Long)] = Nil,
+      anyFilters: Seq[(String, Seq[String])] = Nil,
+      rangeFilters: Seq[(String, String, String)] = Nil): DataFrame =
     rawDocs.select(col("docId"), col(field).as("value"))
-      .join(matchingOrEmpty(query, filters, mustNot, numericRangeFilters), Seq("docId"))
+      .join(matchingOrEmpty(query, filters, mustNot, numericRangeFilters, anyFilters, rangeFilters), Seq("docId"))
       .groupBy(col("value")).agg(count(lit(1)).as("n_docs"))
       .orderBy(col("value"))
 
@@ -1087,8 +1183,10 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
   def matchCount(query: String,
       filters: Seq[(String, String)] = Nil,
       mustNot: Seq[(String, String)] = Nil,
-      numericRangeFilters: Seq[(String, Long, Long)] = Nil): Long =
-    matchSet(query, filters, mustNot, numericRangeFilters).map(_.count()).getOrElse(0L)
+      numericRangeFilters: Seq[(String, Long, Long)] = Nil,
+      anyFilters: Seq[(String, Seq[String])] = Nil,
+      rangeFilters: Seq[(String, String, String)] = Nil): Long =
+    matchSet(query, filters, mustNot, numericRangeFilters, anyFilters, rangeFilters).map(_.count()).getOrElse(0L)
 
   /** ES `sort`-by-field top-k over the cross-segment match set. */
   def searchSortedBy(query: String, field: String, k: Int,
@@ -1096,6 +1194,8 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
       filters: Seq[(String, String)] = Nil,
       mustNot: Seq[(String, String)] = Nil,
       numericRangeFilters: Seq[(String, Long, Long)] = Nil,
+      anyFilters: Seq[(String, Seq[String])] = Nil,
+      rangeFilters: Seq[(String, String, String)] = Nil,
       /** Pagination offset on the field ordering (ES sort + from);
         * plans as TakeOrderedAndProject with limit+offset — still
         * per-partition heaps, never a global sort.
@@ -1109,7 +1209,7 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
       if (descending) Seq(col(field).desc, col("docId").asc)
       else Seq(col(field).asc, col("docId").asc)
     val base = rawDocs.select(col("docId"), col(field))
-      .join(matchingOrEmpty(query, filters, mustNot, numericRangeFilters), Seq("docId"))
+      .join(matchingOrEmpty(query, filters, mustNot, numericRangeFilters, anyFilters, rangeFilters), Seq("docId"))
     val paged = after match {
       case None => base
       case Some((v, d)) =>
@@ -1129,9 +1229,11 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
   def facetStats(query: String, bucketField: String, statField: String,
       filters: Seq[(String, String)] = Nil,
       mustNot: Seq[(String, String)] = Nil,
-      numericRangeFilters: Seq[(String, Long, Long)] = Nil): DataFrame =
+      numericRangeFilters: Seq[(String, Long, Long)] = Nil,
+      anyFilters: Seq[(String, Seq[String])] = Nil,
+      rangeFilters: Seq[(String, String, String)] = Nil): DataFrame =
     rawDocs.select(col("docId"), col(bucketField).as("value"), col(statField))
-      .join(matchingOrEmpty(query, filters, mustNot, numericRangeFilters), Seq("docId"))
+      .join(matchingOrEmpty(query, filters, mustNot, numericRangeFilters, anyFilters, rangeFilters), Seq("docId"))
       .groupBy(col("value"))
       .agg(count(lit(1)).as("n_docs"), min(col(statField)).as("min"),
         max(col(statField)).as("max"), avg(col(statField)).as("avg"),
@@ -1142,10 +1244,12 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
   def numericHistogram(query: String, field: String, width: Long,
       filters: Seq[(String, String)] = Nil,
       mustNot: Seq[(String, String)] = Nil,
-      numericRangeFilters: Seq[(String, Long, Long)] = Nil): DataFrame = {
+      numericRangeFilters: Seq[(String, Long, Long)] = Nil,
+      anyFilters: Seq[(String, Seq[String])] = Nil,
+      rangeFilters: Seq[(String, String, String)] = Nil): DataFrame = {
     require(width > 0, "histogram width must be positive")
     rawDocs.select(col("docId"), col(field))
-      .join(matchingOrEmpty(query, filters, mustNot, numericRangeFilters), Seq("docId"))
+      .join(matchingOrEmpty(query, filters, mustNot, numericRangeFilters, anyFilters, rangeFilters), Seq("docId"))
       .groupBy((floor(col(field) / lit(width)) * lit(width)).cast("long").as("bucket"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("bucket"))
@@ -1155,9 +1259,11 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
   def dateHistogram(query: String, field: String, interval: String,
       filters: Seq[(String, String)] = Nil,
       mustNot: Seq[(String, String)] = Nil,
-      numericRangeFilters: Seq[(String, Long, Long)] = Nil): DataFrame =
+      numericRangeFilters: Seq[(String, Long, Long)] = Nil,
+      anyFilters: Seq[(String, Seq[String])] = Nil,
+      rangeFilters: Seq[(String, String, String)] = Nil): DataFrame =
     rawDocs.select(col("docId"), col(field))
-      .join(matchingOrEmpty(query, filters, mustNot, numericRangeFilters), Seq("docId"))
+      .join(matchingOrEmpty(query, filters, mustNot, numericRangeFilters, anyFilters, rangeFilters), Seq("docId"))
       .groupBy(date_trunc(interval, col(field)).as("bucket"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("bucket"))
@@ -1166,9 +1272,11 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
   def fieldStats(query: String, field: String,
       filters: Seq[(String, String)] = Nil,
       mustNot: Seq[(String, String)] = Nil,
-      numericRangeFilters: Seq[(String, Long, Long)] = Nil): DataFrame =
+      numericRangeFilters: Seq[(String, Long, Long)] = Nil,
+      anyFilters: Seq[(String, Seq[String])] = Nil,
+      rangeFilters: Seq[(String, String, String)] = Nil): DataFrame =
     rawDocs.select(col("docId"), col(field))
-      .join(matchingOrEmpty(query, filters, mustNot, numericRangeFilters), Seq("docId"))
+      .join(matchingOrEmpty(query, filters, mustNot, numericRangeFilters, anyFilters, rangeFilters), Seq("docId"))
       .agg(count(lit(1)).as("n_docs"), min(col(field)).as("min"),
         max(col(field)).as("max"), avg(col(field)).as("avg"),
         sum(col(field)).as("sum"))
@@ -1188,12 +1296,27 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
   }
 
   /** Resolved hits with ES-style highlighted fragments (same rule as
-    * the single-index searcher: the one UDF runs on k resolved rows).
+    * the single-index searcher: the one UDF runs on k resolved rows;
+    * `field` ≠ "text" ranks by per-field BM25 and fragments the FIELD's
+    * stored column).
     */
-  def searchHighlighted(query: String, k: Int, window: Int = 5): DataFrame = {
+  def searchHighlighted(query: String, k: Int, window: Int = 5,
+      field: String = "text"): DataFrame = {
     val terms = Analyzer.analyzeQuery(query).toSet
-    val frag = udf((text: String) => Highlight.fragment(text, terms, window))
-    searchResolved(query, k).withColumn("fragment", frag(col("text")))
+    val frag = udf((text: String) =>
+      Highlight.fragment(if (text == null) "" else text, terms, window))
+    if (field == "text")
+      searchResolved(query, k).withColumn("fragment", frag(col("text")))
+    else {
+      val hits = searchField(field, query, k)
+      val hitsDF = hits.toSeq.zipWithIndex
+        .map { case (s, i) => (s.docId, s.score, i + 1) }.toDF("docId", "score", "rank")
+      rawDocs.join(broadcast(hitsDF), Seq("docId"))
+        .select(col("rank"), col("docId"), col("score"), col("conv_id"), col("turn_idx"),
+          col("role"), col(field).cast("string").as(field))
+        .orderBy(col("rank"))
+        .withColumn("fragment", frag(col(field)))
+    }
   }
 
   /** All live segments' doc stores as one DataFrame (docIds globally
@@ -1201,7 +1324,7 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
     */
   def docs: DataFrame = {
     val union = rawDocs
-    if (Tombstones.exists(spark, indexDir)) union.join(tombDF, Seq("docId"), "left_anti")
+    if (hasTombstones) union.join(tombDF, Seq("docId"), "left_anti")
     else union
   }
 

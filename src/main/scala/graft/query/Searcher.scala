@@ -45,7 +45,13 @@ private[query] final case class SearchMode(
     /** Per-term score multipliers (ES `multi_match` field boosts, keyed
       * by the namespaced term); absent terms score with boost 1.
       */
-    boosts: Map[String, Double] = Map.empty)
+    boosts: Map[String, Double] = Map.empty,
+    /** non-null = ES `multi_match` best_fields combination
+      * ([[Wand.BestFields]]: score = best field's sum + tie_breaker ·
+      * Σ others); null = the plain one-sum (most_fields) rule. OR-mode
+      * only.
+      */
+    bestFields: Wand.BestFields = null)
 
 /** One query of a batched `_msearch`-style request
   * ([[Searcher.searchManyBool]]): the FULL bool surface, including
@@ -58,12 +64,17 @@ final case class BoolQuerySpec(
       * field) — per-field BM25 stats, same as `searchField`.
       */
     field: String = "text",
-    /** ES `multi_match` (most_fields): when non-empty, overrides
-      * `field` — the query's terms score over every (field, boost)
-      * under that field's stats, boost-scaled (OR mode; same semantics
-      * as `multiMatch`).
+    /** ES `multi_match`: when non-empty, overrides `field` — the
+      * query's terms score over every (field, boost) under that field's
+      * stats, boost-scaled (OR mode; same semantics as `multiMatch`).
       */
     multiMatchFields: Seq[(String, Double)] = Nil,
+    /** best_fields combination for `multiMatchFields` (ES's default
+      * multi_match mode): score = best field's sum + tieBreaker · Σ
+      * others; false = most_fields (summed).
+      */
+    multiMatchBest: Boolean = false,
+    tieBreaker: Double = 0.0,
     conjunctive: Boolean = false,
     phrase: Boolean = false,
     filters: Seq[(String, String)] = Nil,
@@ -166,7 +177,8 @@ private[query] object Searcher {
           mode.after, mode.slop)
       else if (mode.conjunctive)
         Wand.topKConjunctive(scored, k, filters, excludes, shoulds, mode.minShould, mode.after)
-      else Wand.topK(scored, k, filters, excludes, shoulds, mode.minShould, mode.after)
+      else Wand.topK(scored, k, filters, excludes, shoulds, mode.minShould, mode.after,
+        mode.bestFields)
     top.iterator
   }
 }
@@ -425,7 +437,8 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
   def searchManyBool(specs: Seq[BoolQuerySpec], k: Int): Seq[Array[Scored]] = {
     final case class Prep(scoredTerms: Seq[String], slots: Seq[String],
         clauses: Seq[Seq[String]], excludeTerms: Seq[String], shouldTerms: Seq[String],
-        ranges: Seq[(String, String, String)], boosts: Map[String, Double])
+        ranges: Seq[(String, String, String)], boosts: Map[String, Double],
+        bestFields: Wand.BestFields)
     val preps = specs.map { sp =>
       require(sp.multiMatchFields.isEmpty || (!sp.phrase && !sp.conjunctive),
         "multiMatchFields is OR-mode only (like multiMatch)")
@@ -450,9 +463,13 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
             vs.distinct.map(v => graft.index.FieldTerms.term(f, v)) } ++
           sp.numericRangeFilters.map { case (f, lo, hi) =>
             graft.index.FieldTerms.trieRangeTerms(f, lo, hi) }
+      val bf =
+        if (mm.nonEmpty && sp.multiMatchBest)
+          Wand.BestFields.of(mm.map(_._1), toks, sp.tieBreaker)
+        else null
       Prep(scoredTerms, slots, clauses,
         sp.mustNot.map { case (f, v) => graft.index.FieldTerms.term(f, v) }.distinct,
-        shouldTerms, sp.rangeFilters, boosts)
+        shouldTerms, sp.rangeFilters, boosts, bf)
     }
     // ALL specs' lexicographic ranges expand in ONE batched dict scan
     val rangeExp: Map[(String, String, String), Map[String, TermStats]] =
@@ -479,7 +496,7 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
           Some((terms.map(t => t -> found(t)),
             SearchMode(sp.conjunctive, p.slots, foundClauses,
               p.excludeTerms.filter(found.contains), shouldFound, sp.minShouldMatch,
-              null, sp.phraseSlop, p.boosts)))
+              null, sp.phraseSlop, p.boosts, p.bestFields)))
         }
       }
     if (!resolved.exists(_.isDefined)) return specs.map(_ => Array.empty[Scored])
@@ -537,22 +554,31 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
     if (from == 0) hits else hits.slice(from, from + k)
   }
 
-  /** ES `multi_match` (most_fields-style, summed): the query's terms
-    * score over EVERY listed field under that field's own statistics,
-    * scaled by the field's boost; a doc qualifies by matching ≥ 1
-    * (field, term) pair and its score is ONE sum over all matched pairs
-    * in ascending namespaced-term order (the engine-wide determinism
-    * rule). `fields` are (field, boost) with `"text"` = the main field.
+  /** ES `multi_match`: the query's terms score over EVERY listed field
+    * under that field's own statistics, scaled by the field's boost.
+    * Default mode is most_fields (summed): a doc qualifies by matching
+    * ≥ 1 (field, term) pair and its score is ONE sum over all matched
+    * pairs in ascending namespaced-term order (the engine-wide
+    * determinism rule). `bestFields = true` switches to ES's DEFAULT
+    * `best_fields` mode: score = the best field's (boost-scaled) sum +
+    * `tieBreaker` · Σ the other fields' sums ([[Wand.BestFields]] —
+    * tieBreaker = 0 is pure dis-max, tieBreaker = 1 ≡ most_fields
+    * bit-exactly). `fields` are (field, boost) with `"text"` = the main
+    * field.
     */
   def multiMatch(query: String, fields: Seq[(String, Double)], k: Int,
-      from: Int = 0): Array[Scored] = {
+      from: Int = 0,
+      bestFields: Boolean = false,
+      tieBreaker: Double = 0.0): Array[Scored] = {
     require(fields.map(_._1).distinct.size == fields.size, "duplicate field in multiMatch")
     val toks = Analyzer.analyzeQuery(query).toSeq
     if (toks.isEmpty || fields.isEmpty) return Array.empty
     val termBoosts: Seq[(String, Double)] =
       for ((f, b) <- fields; t <- toks) yield graft.index.FieldTerms.textTerm(f, t) -> b
+    val bf = if (bestFields) Wand.BestFields.of(fields.map(_._1), toks, tieBreaker) else null
     val hits = runPerBucket(termBoosts.map(_._1).sorted, from + k,
-      SearchMode(conjunctive = false, slots = null, boosts = termBoosts.toMap))
+      SearchMode(conjunctive = false, slots = null, boosts = termBoosts.toMap,
+        bestFields = bf))
     if (from == 0) hits else hits.slice(from, from + k)
   }
 
@@ -626,12 +652,40 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
       /** ES `slop` for `phrase = true` (full sloppy semantics —
         * reordered terms match from slop ≥ 2).
         */
-      phraseSlop: Int = 0
+      phraseSlop: Int = 0,
+      /** Analyzed field the `query` matches over ("text" = main field) —
+        * per-field BM25, same as [[searchField]]; a fielded match WITH
+        * filter clauses no longer needs a batch-of-one (round-5 review
+        * "What's missing #2").
+        */
+      field: String = "text",
+      /** ES `multi_match` inside the bool `must`: when non-empty,
+        * overrides `field` — the query's terms score over every (field,
+        * boost) under that field's stats (OR mode; same semantics as
+        * [[multiMatch]], incl. `multiMatchBest`/`tieBreaker`).
+        */
+      multiMatchFields: Seq[(String, Double)] = Nil,
+      multiMatchBest: Boolean = false,
+      tieBreaker: Double = 0.0
   ): Array[Scored] = {
-    val slots = if (phrase) Analyzer.tokenize(query).toSeq else null
+    val mm = multiMatchFields
+    require(mm.isEmpty || (!phrase && !conjunctive),
+      "multiMatchFields is OR-mode only (like multiMatch)")
+    val toks = Analyzer.tokenize(query).toSeq
+    val slots = if (phrase) toks.map(t => graft.index.FieldTerms.textTerm(field, t)) else null
     val scoredTerms =
-      if (phrase) Option(slots).getOrElse(Nil).distinct.sorted
-      else Analyzer.analyzeQuery(query).toSeq
+      if (mm.nonEmpty)
+        (for ((f, _) <- mm; t <- toks.distinct)
+          yield graft.index.FieldTerms.textTerm(f, t)).distinct.sorted
+      else if (phrase) Option(slots).getOrElse(Nil).distinct.sorted
+      else toks.distinct.sorted.map(t => graft.index.FieldTerms.textTerm(field, t))
+    val boosts: Map[String, Double] =
+      if (mm.isEmpty) Map.empty
+      else (for ((f, b) <- mm; t <- toks.distinct)
+        yield graft.index.FieldTerms.textTerm(f, t) -> b).toMap
+    val bf =
+      if (mm.nonEmpty && multiMatchBest) Wand.BestFields.of(mm.map(_._1), toks, tieBreaker)
+      else null
     val shouldTerms =
       Analyzer.analyzeQuery(should).filterNot(scoredTerms.contains).toSeq
     if ((scoredTerms.isEmpty && shouldTerms.isEmpty) || (phrase && slots.isEmpty))
@@ -665,7 +719,7 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
     if (shouldFound.size < minShouldMatch) return Array.empty
     val hits = runFound(found, from + k,
       SearchMode(conjunctive, slots, foundClauses, excludeTerms.filter(found.contains),
-        shouldFound, minShouldMatch, after, phraseSlop))
+        shouldFound, minShouldMatch, after, phraseSlop, boosts, bf))
     if (from == 0) hits else hits.slice(from, from + k)
   }
 
@@ -753,53 +807,73 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
     dp(b.length)
   }
 
-  /** Matching dictionary terms for a predicate: ascending term order,
-    * capped at maxExpansions (the ES rewrite rule — deterministic, so the
-    * oracle twin reproduces the same set whenever the cap is not hit).
-    * Warm dictMap filters on the driver; otherwise ONE distributed dict
-    * scan (a prefix predicate cannot shard-prune — the dictionary's
+  /** Matching dictionary terms for a predicate over the tokens of ONE
+    * analyzed field (`"text"` = the main namespace; any other field
+    * matches within its `%field:` namespace — ES expands prefix/
+    * wildcard/fuzzy against the NAMED field's terms, round-5 review
+    * "What's missing #3"): ascending term order, capped at
+    * maxExpansions (the ES rewrite rule — deterministic, so the oracle
+    * twin reproduces the same set whenever the cap is not hit). The
+    * predicate always sees the BARE token (namespace stripped). Warm
+    * dictMap filters on the driver; otherwise ONE distributed dict scan
+    * (a prefix predicate cannot shard-prune — the dictionary's
     * term-sorted parquet makes it a row-group range scan instead).
     */
   private def expand(
       scalaPred: String => Boolean,
-      sqlPred: Column,
-      maxExpansions: Int
+      sqlPredOf: Column => Column,
+      maxExpansions: Int,
+      field: String = "text"
   ): Map[String, TermStats] = {
-    // main-text namespace only: fielded keyword terms ('#field:v') AND
-    // fielded text terms ('%field:tok') share the dictionary but must
-    // never match a main-TEXT wildcard/fuzzy pattern — ES keeps
-    // sub-fields out of analyzed-field term expansion; neither prefix
-    // can appear in analyzer output, so the guard is exact
-    val notField = !col("term").startsWith(graft.index.FieldTerms.Prefix) &&
-      !col("term").startsWith(graft.index.FieldTerms.TextPrefix)
     val all =
-      if (dictMap != null)
-        dictMap.valuesIterator
-          .filter(ts => !graft.index.FieldTerms.isNamespaced(ts.term) && scalaPred(ts.term))
-          .toSeq
-      else dict.filter(notField && sqlPred).as[TermStats].collect().toSeq
+      if (field == "text") {
+        // main-text namespace only: fielded keyword terms ('#field:v')
+        // AND fielded text terms ('%field:tok') share the dictionary but
+        // must never match a main-TEXT pattern — ES keeps sub-fields out
+        // of analyzed-field term expansion; neither prefix can appear in
+        // analyzer output, so the guard is exact
+        val notField = !col("term").startsWith(graft.index.FieldTerms.Prefix) &&
+          !col("term").startsWith(graft.index.FieldTerms.TextPrefix)
+        if (dictMap != null)
+          dictMap.valuesIterator
+            .filter(ts => !graft.index.FieldTerms.isNamespaced(ts.term) && scalaPred(ts.term))
+            .toSeq
+        else dict.filter(notField && sqlPredOf(col("term"))).as[TermStats].collect().toSeq
+      } else {
+        val pfx = graft.index.FieldTerms.textTerm(field, "")
+        if (dictMap != null)
+          dictMap.valuesIterator
+            .filter(ts => ts.term.startsWith(pfx) && scalaPred(ts.term.substring(pfx.length)))
+            .toSeq
+        else dict.filter(col("term").startsWith(pfx) &&
+            sqlPredOf(col("term").substr(lit(pfx.length + 1), lit(Int.MaxValue))))
+          .as[TermStats].collect().toSeq
+      }
     all.sortBy(_.term).take(maxExpansions).map(ts => ts.term -> ts).toMap
   }
 
   /** Prefix query (ES `prefix`, rewrite = scoring boolean): BM25 OR over
-    * the ≤ maxExpansions index terms starting with the analyzed prefix.
+    * the ≤ maxExpansions index terms starting with the analyzed prefix;
+    * `field` expands (and scores) within that analyzed field.
     */
-  def searchPrefix(prefix: String, k: Int, maxExpansions: Int = 50): Array[Scored] = {
+  def searchPrefix(prefix: String, k: Int, maxExpansions: Int = 50,
+      field: String = "text"): Array[Scored] = {
     val toks = Analyzer.tokenize(prefix)
     if (toks.isEmpty) return Array.empty
     val p = toks(0)
-    runFound(expand(_.startsWith(p), col("term").startsWith(p), maxExpansions),
+    runFound(expand(_.startsWith(p), _.startsWith(p), maxExpansions, field),
       k, Mode(conjunctive = false))
   }
 
   /** Wildcard query (ES `wildcard`): `*` = any run, `?` = one char,
     * matched against whole analyzed terms; BM25 OR over the expansion.
     */
-  def searchWildcard(pattern: String, k: Int, maxExpansions: Int = 50): Array[Scored] = {
+  def searchWildcard(pattern: String, k: Int, maxExpansions: Int = 50,
+      field: String = "text"): Array[Scored] = {
     val pat = pattern.toLowerCase(java.util.Locale.ROOT)
     val rx = Expansion.wildcardRegex(pat)
     val like = Expansion.wildcardLike(pat)
-    runFound(expand(t => rx.findFirstIn(t).isDefined, col("term").like(like), maxExpansions),
+    runFound(expand(t => rx.findFirstIn(t).isDefined, _.like(like), maxExpansions, field),
       k, Mode(conjunctive = false))
   }
 
@@ -807,14 +881,14 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
     * edit distance maxDist of the analyzed term.
     */
   def searchFuzzy(term: String, k: Int, maxDist: Int = 1,
-      maxExpansions: Int = 50): Array[Scored] = {
+      maxExpansions: Int = 50, field: String = "text"): Array[Scored] = {
     val toks = Analyzer.tokenize(term)
     if (toks.isEmpty) return Array.empty
     val t0 = toks(0)
     runFound(
       expand(t => levenshtein(t0, t) <= maxDist,
-        org.apache.spark.sql.functions.levenshtein(lit(t0), col("term")) <= lit(maxDist),
-        maxExpansions),
+        c => org.apache.spark.sql.functions.levenshtein(lit(t0), c) <= lit(maxDist),
+        maxExpansions, field),
       k, Mode(conjunctive = false))
   }
 
@@ -823,11 +897,28 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
     * term, matches wrapped in `<em></em>`. Fragment building runs on
     * the k RESOLVED rows only (the lone UDF in the query path — k-row
     * post-processing of already-collected hits, not a corpus operator).
+    * `field` ≠ "text" highlights a fielded match ([[searchField]]) in
+    * the FIELD's own stored column (round-5 review "What's missing #3"):
+    * the hit is ranked by per-field BM25 and the fragment is built from
+    * that field's text.
     */
-  def searchHighlighted(query: String, k: Int, window: Int = 5): DataFrame = {
+  def searchHighlighted(query: String, k: Int, window: Int = 5,
+      field: String = "text"): DataFrame = {
     val terms = Analyzer.analyzeQuery(query).toSet
-    val frag = udf((text: String) => Highlight.fragment(text, terms, window))
-    searchResolved(query, k).withColumn("fragment", frag(col("text")))
+    val frag = udf((text: String) =>
+      Highlight.fragment(if (text == null) "" else text, terms, window))
+    if (field == "text")
+      searchResolved(query, k).withColumn("fragment", frag(col("text")))
+    else {
+      val hits = searchField(field, query, k)
+      val hitsDF = hits.toSeq.zipWithIndex
+        .map { case (s, i) => (s.docId, s.score, i + 1) }.toDF("docId", "score", "rank")
+      docs.join(broadcast(hitsDF), Seq("docId"))
+        .select(col("rank"), col("docId"), col("score"), col("conv_id"), col("turn_idx"),
+          col("role"), col(field).cast("string").as(field))
+        .orderBy(col("rank"))
+        .withColumn("fragment", frag(col(field)))
+    }
   }
 
   /** ES `terms` aggregation over the FULL match set (facet counts —
@@ -871,7 +962,8 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
       filters: Seq[(String, String)] = Nil,
       mustNot: Seq[(String, String)] = Nil,
       anyFilters: Seq[(String, Seq[String])] = Nil,
-      numericRangeFilters: Seq[(String, Long, Long)] = Nil): Option[DataFrame] = {
+      numericRangeFilters: Seq[(String, Long, Long)] = Nil,
+      rangeFilters: Seq[(String, String, String)] = Nil): Option[DataFrame] = {
     val terms = Analyzer.analyzeQuery(query).toSeq
     val clauses: Seq[Seq[String]] =
       filters.map { case (f, v) => Seq(graft.index.FieldTerms.term(f, v)) } ++
@@ -879,10 +971,16 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
         numericRangeFilters.map { case (f, lo, hi) =>
           graft.index.FieldTerms.trieRangeTerms(f, lo, hi) }
     val excludeTerms = mustNot.map { case (f, v) => graft.index.FieldTerms.term(f, v) }.distinct
-    val found = lookupTerms(terms ++ clauses.flatten.distinct ++ excludeTerms)
+    // lexicographic ranges return their TermStats with the expansion —
+    // one dict scan each, no second lookup job
+    val rangeExp: Seq[Map[String, TermStats]] =
+      rangeFilters.map { case (f, lo, hi) => expandFieldRange(f, lo, hi) }
+    val found = lookupTerms(terms ++ clauses.flatten.distinct ++ excludeTerms) ++
+      rangeExp.flatten
     val scoredFound = terms.filter(found.contains)
     if (scoredFound.isEmpty) return None
-    val foundClauses = clauses.map(_.filter(found.contains))
+    val foundClauses = clauses.map(_.filter(found.contains)) ++
+      rangeExp.map(_.keys.toSeq.sorted)
     if (foundClauses.exists(_.isEmpty)) return None
     var m = decodeDocIds(scoredFound.map(found))
     for (cl <- foundClauses)
@@ -896,8 +994,10 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
   def facetCounts(query: String, field: String,
       filters: Seq[(String, String)] = Nil,
       mustNot: Seq[(String, String)] = Nil,
-      numericRangeFilters: Seq[(String, Long, Long)] = Nil): DataFrame =
-    matchSet(query, filters, mustNot, Nil, numericRangeFilters) match {
+      numericRangeFilters: Seq[(String, Long, Long)] = Nil,
+      anyFilters: Seq[(String, Seq[String])] = Nil,
+      rangeFilters: Seq[(String, String, String)] = Nil): DataFrame =
+    matchSet(query, filters, mustNot, anyFilters, numericRangeFilters, rangeFilters) match {
       case None =>
         docs.select(col(field).as("value")).limit(0).withColumn("n_docs", lit(0L))
       case Some(matching) =>
@@ -914,8 +1014,10 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
   def matchCount(query: String,
       filters: Seq[(String, String)] = Nil,
       mustNot: Seq[(String, String)] = Nil,
-      numericRangeFilters: Seq[(String, Long, Long)] = Nil): Long =
-    matchSet(query, filters, mustNot, Nil, numericRangeFilters)
+      numericRangeFilters: Seq[(String, Long, Long)] = Nil,
+      anyFilters: Seq[(String, Seq[String])] = Nil,
+      rangeFilters: Seq[(String, String, String)] = Nil): Long =
+    matchSet(query, filters, mustNot, anyFilters, numericRangeFilters, rangeFilters)
       .map(_.count()).getOrElse(0L)
 
   /** The match set, or an empty docId frame when no query term exists —
@@ -925,8 +1027,10 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
   private def matchingOrEmpty(query: String,
       filters: Seq[(String, String)] = Nil,
       mustNot: Seq[(String, String)] = Nil,
-      numericRangeFilters: Seq[(String, Long, Long)] = Nil): DataFrame =
-    matchSet(query, filters, mustNot, Nil, numericRangeFilters)
+      numericRangeFilters: Seq[(String, Long, Long)] = Nil,
+      anyFilters: Seq[(String, Seq[String])] = Nil,
+      rangeFilters: Seq[(String, String, String)] = Nil): DataFrame =
+    matchSet(query, filters, mustNot, anyFilters, numericRangeFilters, rangeFilters)
       .getOrElse(Seq.empty[Long].toDF("docId"))
 
   /** ES `histogram` aggregation over the FULL match set: doc counts per
@@ -939,10 +1043,12 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
   def numericHistogram(query: String, field: String, width: Long,
       filters: Seq[(String, String)] = Nil,
       mustNot: Seq[(String, String)] = Nil,
-      numericRangeFilters: Seq[(String, Long, Long)] = Nil): DataFrame = {
+      numericRangeFilters: Seq[(String, Long, Long)] = Nil,
+      anyFilters: Seq[(String, Seq[String])] = Nil,
+      rangeFilters: Seq[(String, String, String)] = Nil): DataFrame = {
     require(width > 0, "histogram width must be positive")
     docs.select(col("docId"), col(field))
-      .join(matchingOrEmpty(query, filters, mustNot, numericRangeFilters), Seq("docId"))
+      .join(matchingOrEmpty(query, filters, mustNot, numericRangeFilters, anyFilters, rangeFilters), Seq("docId"))
       .groupBy((floor(col(field) / lit(width)) * lit(width)).cast("long").as("bucket"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("bucket"))
@@ -955,9 +1061,11 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
   def dateHistogram(query: String, field: String, interval: String,
       filters: Seq[(String, String)] = Nil,
       mustNot: Seq[(String, String)] = Nil,
-      numericRangeFilters: Seq[(String, Long, Long)] = Nil): DataFrame =
+      numericRangeFilters: Seq[(String, Long, Long)] = Nil,
+      anyFilters: Seq[(String, Seq[String])] = Nil,
+      rangeFilters: Seq[(String, String, String)] = Nil): DataFrame =
     docs.select(col("docId"), col(field))
-      .join(matchingOrEmpty(query, filters, mustNot, numericRangeFilters), Seq("docId"))
+      .join(matchingOrEmpty(query, filters, mustNot, numericRangeFilters, anyFilters, rangeFilters), Seq("docId"))
       .groupBy(date_trunc(interval, col(field)).as("bucket"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("bucket"))
@@ -969,9 +1077,11 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
   def fieldStats(query: String, field: String,
       filters: Seq[(String, String)] = Nil,
       mustNot: Seq[(String, String)] = Nil,
-      numericRangeFilters: Seq[(String, Long, Long)] = Nil): DataFrame =
+      numericRangeFilters: Seq[(String, Long, Long)] = Nil,
+      anyFilters: Seq[(String, Seq[String])] = Nil,
+      rangeFilters: Seq[(String, String, String)] = Nil): DataFrame =
     docs.select(col("docId"), col(field))
-      .join(matchingOrEmpty(query, filters, mustNot, numericRangeFilters), Seq("docId"))
+      .join(matchingOrEmpty(query, filters, mustNot, numericRangeFilters, anyFilters, rangeFilters), Seq("docId"))
       .agg(count(lit(1)).as("n_docs"), min(col(field)).as("min"),
         max(col(field)).as("max"), avg(col(field)).as("avg"),
         sum(col(field)).as("sum"))
@@ -988,6 +1098,8 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
       filters: Seq[(String, String)] = Nil,
       mustNot: Seq[(String, String)] = Nil,
       numericRangeFilters: Seq[(String, Long, Long)] = Nil,
+      anyFilters: Seq[(String, Seq[String])] = Nil,
+      rangeFilters: Seq[(String, String, String)] = Nil,
       /** Pagination offset on the field ordering (ES sort + from);
         * plans as TakeOrderedAndProject with limit+offset — still
         * per-partition heaps, never a global sort.
@@ -1004,7 +1116,7 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
     val ord =
       if (descending) Seq(col(field).desc, col("docId").asc)
       else Seq(col(field).asc, col("docId").asc)
-    matchSet(query, filters, mustNot, Nil, numericRangeFilters) match {
+    matchSet(query, filters, mustNot, anyFilters, numericRangeFilters, rangeFilters) match {
       case None => docs.select(col("docId"), col(field)).limit(0)
       case Some(matching) =>
         val base = docs.select(col("docId"), col(field)).join(matching, Seq("docId"))
@@ -1028,9 +1140,11 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
   def facetStats(query: String, bucketField: String, statField: String,
       filters: Seq[(String, String)] = Nil,
       mustNot: Seq[(String, String)] = Nil,
-      numericRangeFilters: Seq[(String, Long, Long)] = Nil): DataFrame =
+      numericRangeFilters: Seq[(String, Long, Long)] = Nil,
+      anyFilters: Seq[(String, Seq[String])] = Nil,
+      rangeFilters: Seq[(String, String, String)] = Nil): DataFrame =
     docs.select(col("docId"), col(bucketField).as("value"), col(statField))
-      .join(matchingOrEmpty(query, filters, mustNot, numericRangeFilters), Seq("docId"))
+      .join(matchingOrEmpty(query, filters, mustNot, numericRangeFilters, anyFilters, rangeFilters), Seq("docId"))
       .groupBy(col("value"))
       .agg(count(lit(1)).as("n_docs"), min(col(statField)).as("min"),
         max(col(statField)).as("max"), avg(col(statField)).as("avg"),
@@ -1193,6 +1307,40 @@ object Oracle {
         .withColumn("docId", lit(0L)).withColumn("score", lit(0.0)).limit(0)
     fields.map { case (f, b) => fieldContribs(docs, f, toks, b) }
       .reduce(_ unionByName _)
+      .groupBy(col("docId"))
+      .agg(orderedKeySum.as("score"))
+      .orderBy(col("score").desc, col("docId").asc)
+      .limit(k)
+  }
+
+  /** Exhaustive `multi_match` best_fields oracle (ES's default mode):
+    * per-field sums s_f fold in ascending namespaced-key order; score
+    * re-folds every contribution in the SAME global order weighted 1 on
+    * the best field (ties → the field whose namespace sorts first) and
+    * `tieBreaker` elsewhere — exactly [[Wand.BestFields]]'s rule, so
+    * tieBreaker = 1 is bit-identical to [[topKMulti]].
+    */
+  def topKMultiBest(docs: DataFrame, query: String, fields: Seq[(String, Double)],
+      tieBreaker: Double, k: Int): DataFrame = {
+    val toks = Analyzer.analyzeQuery(query).toSeq
+    if (toks.isEmpty || fields.isEmpty)
+      return docs.sparkSession.emptyDataFrame
+        .withColumn("docId", lit(0L)).withColumn("score", lit(0.0)).limit(0)
+    val ordered = fields.map(_._1).sortBy(f =>
+      if (f == "text") "\uffff" else graft.index.FieldTerms.textTerm(f, ""))
+    val ordOf: Map[String, Int] = ordered.zipWithIndex.toMap
+    val contribs = fields.map { case (f, b) =>
+      fieldContribs(docs, f, toks, b).withColumn("fld", lit(ordOf(f)))
+    }.reduce(_ unionByName _)
+    val per = contribs.groupBy(col("docId"), col("fld")).agg(orderedKeySum.as("sf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("docId")).orderBy(col("sf").desc, col("fld").asc)
+    val best = per.withColumn("rn", row_number().over(w)).filter(col("rn") === lit(1))
+      .select(col("docId"), col("fld").as("bfld"))
+    contribs.join(best, Seq("docId"))
+      .select(col("docId"), col("key"),
+        (when(col("fld") === col("bfld"), lit(1.0)).otherwise(lit(tieBreaker)) * col("s"))
+          .as("s"))
       .groupBy(col("docId"))
       .agg(orderedKeySum.as("score"))
       .orderBy(col("score").desc, col("docId").asc)

@@ -173,6 +173,40 @@ object Wand {
     }
   }
 
+  /** ES `multi_match` best_fields combination (the multi_match DEFAULT
+    * mode): per doc, each field's matched terms sum to a per-field score
+    * s_f (ascending namespaced-term order, the engine-wide rule); the
+    * doc's score is s_best + tieBreaker · Σ s_others. Evaluated as ONE
+    * fold over all matched contributions in ascending namespaced-term
+    * order with weight 1 on the best field's terms and `tieBreaker` on
+    * the rest, so tieBreaker = 1 is BIT-identical to the most_fields
+    * sum and tieBreaker = 0 to the best field's own sum. Ties on s_f
+    * resolve to the field whose terms sort first (`%`-namespaced fields
+    * before the un-namespaced main text). Pruning stays sound for
+    * tieBreaker ∈ [0, 1]: every weight ≤ 1, so per-term/block bounds
+    * over-estimate the weighted contribution.
+    */
+  final class BestFields(val fieldOf: Map[String, Int], val nFields: Int,
+      val tieBreaker: Double) extends Serializable {
+    require(tieBreaker >= 0.0 && tieBreaker <= 1.0,
+      s"tie_breaker must be in [0, 1], got $tieBreaker")
+  }
+
+  object BestFields {
+    /** Build the term → field-ordinal map for `fields` × `toks`
+      * (ordinals in ascending namespaced-prefix order — `%`-fields by
+      * name, the main "text" field last, matching global term order).
+      */
+    def of(fields: Seq[String], toks: Seq[String], tieBreaker: Double): BestFields = {
+      val ordered = fields.distinct.sortBy(f =>
+        if (f == "text") "\uffff" else graft.index.FieldTerms.textTerm(f, ""))
+      val ordOf = ordered.zipWithIndex.toMap
+      val m = for (f <- ordered; t <- toks.distinct)
+        yield graft.index.FieldTerms.textTerm(f, t) -> ordOf(f)
+      new BestFields(m.toMap, ordered.size, tieBreaker)
+    }
+  }
+
   private final case class HeapEntry(score: Double, docId: Long)
   // min-heap: worst entry on top = lowest score, then LARGEST docId
   // (ties rank by docId asc, so the largest docId is the weakest).
@@ -238,7 +272,12 @@ object Wand {
       excludes: Seq[DocCursor] = Nil,
       shoulds: Seq[TermIterator] = Nil,
       minShould: Int = 0,
-      after: Scored = null): Array[Scored] = {
+      after: Scored = null,
+      /** non-null = combine per-field sums best_fields-style
+        * ([[BestFields]]); null = the plain one-sum (most_fields) rule.
+        * OR-mode only.
+        */
+      bestFields: BestFields = null): Array[Scored] = {
     if ((lists.isEmpty && shoulds.isEmpty) || k <= 0) return Array.empty
     val fArr = filters.toArray
     val eArr = excludes.toArray
@@ -249,6 +288,14 @@ object Wand {
     // fixed scoring order: term asc over the MERGED groups
     val byTerm = (lists ++ shoulds).sortBy(_.term).toArray
     val isShould = byTerm.map(it => shouldSet.contains(it.term))
+    val bf = bestFields
+    // best_fields scratch (reused per candidate — no per-doc allocation):
+    // contribution + matched flag per list, one accumulator per field
+    val bfFieldIdx: Array[Int] =
+      if (bf == null) null else byTerm.map(it => bf.fieldOf.getOrElse(it.term, 0))
+    val bfContrib: Array[Double] = if (bf == null) null else new Array[Double](byTerm.length)
+    val bfMatched: Array[Boolean] = if (bf == null) null else new Array[Boolean](byTerm.length)
+    val bfSums: Array[Double] = if (bf == null) null else new Array[Double](bf.nFields)
     val heap = scala.collection.mutable.PriorityQueue.empty[HeapEntry](heapOrd)
     var theta = Double.NegativeInfinity
     def offer(score: Double, docId: Long): Unit = {
@@ -319,13 +366,49 @@ object Wand {
               var nMust = 0
               var nShould = 0
               var t = 0
-              while (t < byTerm.length) {
-                val it = byTerm(t)
-                if (it.curDoc == pivotDoc) {
-                  it.nextGEQ(pivotDoc); s += it.score
-                  if (isShould(t)) nShould += 1 else nMust += 1
+              if (bf == null) {
+                while (t < byTerm.length) {
+                  val it = byTerm(t)
+                  if (it.curDoc == pivotDoc) {
+                    it.nextGEQ(pivotDoc); s += it.score
+                    if (isShould(t)) nShould += 1 else nMust += 1
+                  }
+                  t += 1
                 }
-                t += 1
+              } else {
+                // best_fields: pass 1 collects contributions + per-field
+                // sums (ascending term order — fields are contiguous in
+                // it); pass 2 re-folds them weighted (1 on the best
+                // field, tieBreaker elsewhere) in the SAME global order,
+                // so tb = 1 reproduces the most_fields sum bit-exactly
+                java.util.Arrays.fill(bfSums, 0.0)
+                while (t < byTerm.length) {
+                  val it = byTerm(t)
+                  if (it.curDoc == pivotDoc) {
+                    it.nextGEQ(pivotDoc)
+                    val c = it.score
+                    bfContrib(t) = c
+                    bfMatched(t) = true
+                    bfSums(bfFieldIdx(t)) += c
+                    if (isShould(t)) nShould += 1 else nMust += 1
+                  } else bfMatched(t) = false
+                  t += 1
+                }
+                var best = 0
+                var bmax = bfSums(0)
+                var f = 1
+                while (f < bfSums.length) {
+                  if (bfSums(f) > bmax) { bmax = bfSums(f); best = f }
+                  f += 1
+                }
+                t = 0
+                while (t < byTerm.length) {
+                  if (bfMatched(t)) {
+                    val w = if (bfFieldIdx(t) == best) 1.0 else bf.tieBreaker
+                    s += w * bfContrib(t)
+                  }
+                  t += 1
+                }
               }
               if ((mustN == 0 || nMust >= 1) && nShould >= minShould) offer(s, pivotDoc)
               t = 0

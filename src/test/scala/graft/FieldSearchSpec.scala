@@ -148,7 +148,20 @@ class FieldSearchSpec extends SparkSpec {
       assert(multi.multiMatch(q, Seq("text" -> 1.0, "title" -> 2.0), 10).toSeq
         == scored(Oracle.topKMulti(docsDF, q, Seq("text" -> 1.0, "title" -> 2.0), 10)),
         s"multi multiMatch '$q'")
+      // round-6 surface parity: best_fields, fielded bool, fielded
+      // expansion all answer identically on the unmerged segments
+      assert(multi.multiMatch(q, Seq("text" -> 1.0, "title" -> 2.0), 10,
+          bestFields = true, tieBreaker = 0.3).toSeq
+        == scored(Oracle.topKMultiBest(docsDF, q, Seq("text" -> 1.0, "title" -> 2.0),
+          0.3, 10)), s"multi best_fields '$q'")
     }
+    assert(multi.searchBool("the a", 10, filters = Seq("role" -> "user"),
+        field = "title").toSeq
+      == searcher.searchBool("the a", 10, filters = Seq("role" -> "user"),
+        field = "title").toSeq, "multi fielded bool ≠ single-index")
+    assert(multi.searchPrefix("th", 10, field = "title").toSeq
+      == searcher.searchPrefix("th", 10, field = "title").toSeq,
+      "multi fielded prefix ≠ single-index")
     // LWW delete: field stats subtract the dead docs' field contributions
     // EXACTLY — post-delete queries match the oracle over the visible set
     val nDel = graft.streaming.StreamingIngest.deleteConvs(spark, idx,
@@ -258,6 +271,150 @@ class FieldSearchSpec extends SparkSpec {
     // warm in-process cross-segment batch
     val warmMulti = new graft.query.MultiSearcher(spark, idx).warm()
     assert(warmMulti.searchManyBool(specs, 10).map(_.toSeq) == want, "warm-local batch")
+  }
+
+  test("multiMatch best_fields ≡ exhaustive oracle; tb edges ≡ max and most_fields") {
+    val fields = Seq("text" -> 1.0, "title" -> 2.0)
+    for (q <- Seq("the", "the a of", "one have t999"); tb <- Seq(0.0, 0.3, 1.0)) {
+      val want = scored(Oracle.topKMultiBest(docsDF, q, fields, tb, 10))
+      val got = searcher.multiMatch(q, fields, 10, bestFields = true, tieBreaker = tb).toSeq
+      assert(got == want, s"best_fields '$q' tb=$tb:\n got=$got\n want=$want")
+      assert(warmed.multiMatch(q, fields, 10, bestFields = true, tieBreaker = tb).toSeq
+        == want, s"warm best_fields '$q' tb=$tb")
+    }
+    // tb = 1 is BIT-identical to the most_fields sum
+    for (q <- Seq("the a of", "one have t999"))
+      assert(searcher.multiMatch(q, fields, 10, bestFields = true, tieBreaker = 1.0).toSeq
+        == searcher.multiMatch(q, fields, 10).toSeq, s"tb=1 ≠ most_fields '$q'")
+    // tie_breaker outside [0,1] is rejected
+    intercept[IllegalArgumentException] {
+      searcher.multiMatch("the", fields, 10, bestFields = true, tieBreaker = 1.5)
+    }
+  }
+
+  test("fielded searchBool: field + multiMatchFields with filter clauses ≡ batch ≡ oracle") {
+    built
+    // per-field match restricted by a keyword filter — the standalone
+    // searchBool now carries the field (round-5 review ask #3)
+    val got = searcher.searchBool("the a", 10, filters = Seq("role" -> "user"),
+      field = "title").toSeq
+    val batch = searcher.searchManyBool(Seq(graft.query.BoolQuerySpec("the a",
+      field = "title", filters = Seq("role" -> "user"))), 10).head.toSeq
+    assert(got == batch, "standalone fielded bool ≠ batch-of-one")
+    val userDocs = docsDF.filter(col("role") === "user").select(col("docId"))
+    val want = scored(Oracle.topKField(docsDF, "title", "the a", Int.MaxValue)
+      .join(userDocs, Seq("docId"), "left_semi")
+      .orderBy(col("score").desc, col("docId").asc).limit(10))
+    assert(got == want, s"fielded bool: got=$got want=$want")
+    assert(got.nonEmpty)
+    // multi_match inside a filtered bool, most_fields AND best_fields
+    for (best <- Seq(false, true)) {
+      val mmGot = searcher.searchBool("the a", 10, filters = Seq("role" -> "user"),
+        multiMatchFields = Seq("text" -> 1.0, "title" -> 2.0),
+        multiMatchBest = best, tieBreaker = 0.3).toSeq
+      val mmBatch = searcher.searchManyBool(Seq(graft.query.BoolQuerySpec("the a",
+        multiMatchFields = Seq("text" -> 1.0, "title" -> 2.0),
+        multiMatchBest = best, tieBreaker = 0.3,
+        filters = Seq("role" -> "user"))), 10).head.toSeq
+      assert(mmGot == mmBatch, s"mm bool (best=$best) ≠ batch-of-one")
+      val oracleAll =
+        if (best) Oracle.topKMultiBest(docsDF, "the a", Seq("text" -> 1.0, "title" -> 2.0),
+          0.3, Int.MaxValue)
+        else Oracle.topKMulti(docsDF, "the a", Seq("text" -> 1.0, "title" -> 2.0),
+          Int.MaxValue)
+      val mmWant = scored(oracleAll.join(userDocs, Seq("docId"), "left_semi")
+        .orderBy(col("score").desc, col("docId").asc).limit(10))
+      assert(mmGot == mmWant, s"mm bool (best=$best): got=$mmGot want=$mmWant")
+      assert(mmGot.nonEmpty)
+    }
+  }
+
+  test("per-field term expansion: prefix/wildcard/fuzzy expand within %title: only") {
+    built
+    val titleToks = docsDF.select(explode(Analyzer.tokensCol(col("title"))).as("t"))
+      .distinct().as[String].collect().toSeq.sorted
+    def fieldOracle(toks: Seq[String]): Seq[Scored] =
+      if (toks.isEmpty) Seq.empty
+      else scored(Oracle.topKField(docsDF, "title", toks.mkString(" "), 10))
+    // prefix
+    val pToks = titleToks.filter(_.startsWith("th"))
+    assert(pToks.nonEmpty && pToks.size < 50)
+    assert(searcher.searchPrefix("th", 10, field = "title").toSeq == fieldOracle(pToks))
+    assert(warmed.searchPrefix("th", 10, field = "title").toSeq == fieldOracle(pToks))
+    // wildcard ("t*e" ⇒ ^t.*e$ against bare title tokens)
+    val rx = "^t.*e$".r
+    val wToks = titleToks.filter(t => rx.findFirstIn(t).isDefined)
+    assert(wToks.nonEmpty && wToks.size < 50)
+    assert(searcher.searchWildcard("t*e", 10, field = "title").toSeq == fieldOracle(wToks))
+    // fuzzy
+    val fToks = titleToks.filter(t => searcher.levenshtein("thee", t) <= 1)
+    assert(fToks.nonEmpty && fToks.size < 50)
+    assert(searcher.searchFuzzy("thee", 10, maxDist = 1, field = "title").toSeq
+      == fieldOracle(fToks))
+  }
+
+  test("per-field highlighting fragments the FIELD's own column") {
+    built
+    val rows = searcher.searchHighlighted("the", 3, window = 3, field = "title").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val frag = r.getAs[String]("fragment")
+      val title = r.getAs[String]("title")
+      assert(frag.contains("<em>the</em>"), s"fragment '$frag' lacks highlight")
+      // the fragment derives from the TITLE text, not the body
+      assert(Analyzer.tokenize(title).contains("the"))
+    }
+    // ranking matches the fielded search
+    val hits = searcher.searchField("title", "the", 3)
+    assert(rows.map(_.getAs[Long]("docId")).toSeq == hits.map(_.docId).toSeq)
+  }
+
+  test("heterogeneous segments: a same-named doc-store column never skews field stats") {
+    // round-5 ADVICE (low): per-field removed-stats (and Compaction's
+    // merged fieldstats) re-derived field dl from the NAMED doc-store
+    // column of ALL segments — a segment built WITHOUT textFieldCols
+    // but carrying a populated column of the same name would subtract
+    // dead-doc contributions it never made. Gate: only segments with
+    // their own fieldstats entry count.
+    import graft.streaming.StreamingIngest
+    val idx = s"${TestSpark.tmpRoot}/index-fields-hetero"
+    val cfgField = IndexConfig(numBuckets = 1, numShards = 8, blockSize = 32,
+      partitions = 4, textFieldCols = Seq("title"))
+    val src = Transcripts.generate(spark, 60L).toDF()
+      .withColumn("title", array_join(slice(Analyzer.tokensCol(col("text")),
+        lit(1), lit(3)), " "))
+    // seg-0 INDEXES title; seg-1 carries the populated column UNindexed
+    StreamingIngest.appendSegmentFrame(spark,
+      src.filter(col("conv_id") < "conv-00000030"), idx, 0L, cfgField)
+    StreamingIngest.appendSegmentFrame(spark,
+      src.filter(col("conv_id") >= "conv-00000030"), idx, 1L,
+      cfgField.copy(textFieldCols = Nil))
+    val multi = new graft.query.MultiSearcher(spark, idx)
+    val docsA = multi.docs.filter(col("conv_id") < "conv-00000030").cache()
+    val q = "the a"
+    val want = scored(Oracle.topKField(docsA, "title", q, 10))
+    assert(want.nonEmpty)
+    assert(multi.searchField("title", q, 10).toSeq == want, "pre-delete fielded search")
+    // delete convs living ONLY in the un-indexed segment: their titled
+    // docs must subtract NOTHING from the title field's stats
+    val nDel = StreamingIngest.deleteConvs(spark, idx,
+      Seq("conv-00000040", "conv-00000050"))
+    assert(nDel > 0)
+    val multi2 = new graft.query.MultiSearcher(spark, idx)
+    assert(multi2.searchField("title", q, 10).toSeq == want,
+      "dead un-indexed docs subtracted from field stats they never joined")
+    // compaction applies the same gate when recomputing merged fieldstats
+    graft.index.Compaction.compactInPlace(spark, idx)
+    val single = new Searcher(spark,
+      graft.index.SegmentCatalog.liveSegments(spark, idx).head, cfgField.numShards)
+    assert(single.searchField("title", q, 10).toSeq == want, "post-compaction fielded search")
+    val wantStats = docsA.agg(
+      count(when(Analyzer.dlCol(col("title")) > lit(0), 1)),
+      sum(Analyzer.dlCol(col("title")).cast("long"))).head()
+    val (nF, avgdlF) = single.fieldStatsMap("title")
+    assert(nF == wantStats.getLong(0), s"merged docCount $nF != A-only ${wantStats.getLong(0)}")
+    assert(math.abs(avgdlF - wantStats.getLong(1).toDouble / nF) < 1e-12)
+    docsA.unpersist(blocking = false)
   }
 
   test("namespaces: textTerm/textFieldOf round-trip and stay disjoint") {

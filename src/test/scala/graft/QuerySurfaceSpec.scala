@@ -264,6 +264,59 @@ class QuerySurfaceSpec extends SparkSpec {
     base.unpersist(blocking = false)
   }
 
+  test("match-set ops take terms + lexicographic range clauses (round-6: aggs ≡ top-k surface)") {
+    val terms = Analyzer.analyzeQuery("the").toSeq
+    val base = docsDF
+      .join(tok.filter(col("term").isin(terms: _*)).select("docId").distinct(), Seq("docId"))
+      .cache()
+    val any = Seq("role" -> Seq("user", "assistant"))
+    val rng = Seq(("role", "a", "b")) // lexicographic: keeps 'assistant' only
+    val filtered = base.filter(col("role").isin("user", "assistant") &&
+      col("role") >= "a" && col("role") <= "b")
+    assert(filtered.count() > 0)
+    // facet
+    val wantFacet = filtered.groupBy(col("role").as("value"))
+      .agg(count(lit(1)).as("n_docs")).orderBy(col("value"))
+      .as[(String, Long)].collect().toSeq
+    val gotFacet = searcher.facetCounts("the", "role", anyFilters = any, rangeFilters = rng)
+      .as[(String, Long)].collect().toSeq
+    assert(gotFacet == wantFacet && gotFacet.nonEmpty, s"facet: $gotFacet vs $wantFacet")
+    // count
+    assert(searcher.matchCount("the", anyFilters = any, rangeFilters = rng)
+      == filtered.count())
+    // stats
+    val wantStats = filtered.agg(count(lit(1)), min(col("dl")), max(col("dl"))).head()
+    val gotStats = searcher.fieldStats("the", "dl", anyFilters = any, rangeFilters = rng).head()
+    assert(gotStats.getLong(0) == wantStats.getLong(0))
+    assert(gotStats.getInt(1) == wantStats.getInt(1))
+    assert(gotStats.getInt(2) == wantStats.getInt(2))
+    // histogram
+    val wantHist = filtered
+      .groupBy((floor(col("dl") / lit(20)) * lit(20)).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_docs")).orderBy(col("bucket"))
+      .as[(Long, Long)].collect().toSeq
+    assert(searcher.numericHistogram("the", "dl", 20L, anyFilters = any, rangeFilters = rng)
+      .as[(Long, Long)].collect().toSeq == wantHist)
+    // field sort
+    val wantSort = filtered.select(col("docId"), col("dl"))
+      .orderBy(col("dl").desc, col("docId").asc).limit(5)
+      .as[(Long, Int)].collect().toSeq
+    assert(searcher.searchSortedBy("the", "dl", 5, anyFilters = any, rangeFilters = rng)
+      .as[(Long, Int)].collect().toSeq == wantSort)
+    // sub-aggregation
+    val wantFS = filtered.groupBy(col("role").as("value"))
+      .agg(count(lit(1)).as("n_docs"), min(col("dl")).as("min"), max(col("dl")).as("max"),
+        avg(col("dl")).as("avg"), sum(col("dl")).as("sum"))
+      .orderBy(col("value")).collect().toSeq
+    assert(searcher.facetStats("the", "role", "dl", anyFilters = any, rangeFilters = rng)
+      .collect().toSeq == wantFS)
+    // an unsatisfiable range clause empties every op
+    assert(searcher.matchCount("the", rangeFilters = Seq(("role", "zz", "zzz"))) == 0L)
+    assert(searcher.facetCounts("the", "role",
+      rangeFilters = Seq(("role", "zz", "zzz"))).count() == 0L)
+    base.unpersist(blocking = false)
+  }
+
   test("searchManyBool: heterogeneous batch in one job ≡ standalone calls (warm + distributed)") {
     import graft.query.BoolQuerySpec
     val specs = Seq(
@@ -395,6 +448,20 @@ class QuerySurfaceSpec extends SparkSpec {
         numericRangeFilters = Seq(("dl", 30L, 80L))).as[(String, Long)].collect().toSeq)
     assert(multi.matchCount("the", mustNot = Seq("role" -> "user"))
       == single.matchCount("the", mustNot = Seq("role" -> "user")))
+    // round-6: terms + lexicographic range clauses agree across segments
+    val any6 = Seq("role" -> Seq("user", "assistant"))
+    val rng6 = Seq(("role", "a", "b"))
+    assert(multi.facetCounts("the", "role", anyFilters = any6, rangeFilters = rng6)
+        .as[(String, Long)].collect().toSeq
+      == single.facetCounts("the", "role", anyFilters = any6, rangeFilters = rng6)
+        .as[(String, Long)].collect().toSeq)
+    assert(multi.matchCount("the", anyFilters = any6, rangeFilters = rng6)
+      == single.matchCount("the", anyFilters = any6, rangeFilters = rng6))
+    assert(multi.matchCount("the", anyFilters = any6, rangeFilters = rng6) > 0)
+    assert(multi.searchSortedBy("the", "dl", 5, anyFilters = any6, rangeFilters = rng6)
+        .as[(Long, Int)].collect().toSeq
+      == single.searchSortedBy("the", "dl", 5, anyFilters = any6, rangeFilters = rng6)
+        .as[(Long, Int)].collect().toSeq)
 
     // bool surface incl. numeric trie range + should, and pagination
     val nr = Seq(("dl", 40L, 90L))

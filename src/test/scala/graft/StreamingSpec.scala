@@ -634,6 +634,134 @@ class StreamingSpec extends SparkSpec {
     all.unpersist(blocking = false)
   }
 
+  test("heavy-churn cold queries: df corrections ride the dict lookup (per-query job count pinned)") {
+    // round-5 review "What's wrong #3": with the driver cache declined,
+    // removedDf corrections used to cost one EXTRA sequential job per
+    // query; they now broadcast-join INTO the unioned dict lookup scan.
+    // Pin the per-query job count: the cold churned path may cost at
+    // most ONE job more than the cached path (the async broadcast
+    // build), never a second correction pass.
+    val idx = s"${TestSpark.tmpRoot}/stream-idx-jobcount"
+    val cfg = IndexConfig(numBuckets = 1, partitions = 4)
+    val all = Transcripts.generate(spark, 30L).cache()
+    StreamingIngest.appendSegment(spark, all.filter($"conv_id" < "conv-00000015"), idx, 0L, cfg)
+    StreamingIngest.appendSegment(spark, all.filter($"conv_id" >= "conv-00000015"), idx, 1L, cfg)
+    val doomed = (0 until 30).filter(_ % 5 == 0).map(c => f"conv-$c%08d")
+    assert(StreamingIngest.deleteConvs(spark, idx, doomed) > 0)
+    val sc = spark.sparkContext
+    def measure(m: graft.query.MultiSearcher, group: String): Int = {
+      m.search("the zanzibar", 10) // pay one-time lazy setup (tomb blocks, persists)
+      m.search("the zanzibar", 10)
+      sc.setJobGroup(group, group)
+      val hits = m.search("the zanzibar", 10)
+      sc.clearJobGroup()
+      assert(hits.nonEmpty)
+      Thread.sleep(1500) // listener bus drains asynchronously
+      sc.statusTracker.getJobIdsForGroup(group).length
+    }
+    val multiOff = new graft.query.MultiSearcher(spark, idx)
+    multiOff.maxDriverRemovedTerms = 0 // decline the driver cache
+    val offJobs = measure(multiOff, "churn-cold")
+    val multiOn = new graft.query.MultiSearcher(spark, idx)
+    val onJobs = measure(multiOn, "churn-cached")
+    assert(multiOff.search("the zanzibar", 10).toSeq
+      == multiOn.search("the zanzibar", 10).toSeq)
+    assert(offJobs <= onJobs + 1,
+      s"cold churn path costs $offJobs jobs vs $onJobs cached — extra correction job(s)")
+    all.unpersist(blocking = false)
+  }
+
+  test("completed compaction clears the retired set: a reused segment name is never step-0 deleted") {
+    // round-5 ADVICE (medium): the pointer's retired set survived
+    // cleanup forever, so a future segment REUSING a retired name (a
+    // replayed streaming batchId after a restart without checkpoint)
+    // would be silently deleted by the next compaction's step 0
+    import graft.index.{Compaction, SegmentCatalog}
+    val idx = s"${TestSpark.tmpRoot}/stream-idx-namereuse"
+    val cfg = IndexConfig(numBuckets = 1, partitions = 4)
+    val all = Transcripts.generate(spark, 30L).cache()
+    StreamingIngest.appendSegment(spark, all.filter($"conv_id" < "conv-00000010"), idx, 0L, cfg)
+    StreamingIngest.appendSegment(spark,
+      all.filter($"conv_id" >= "conv-00000010" && $"conv_id" < "conv-00000020"), idx, 1L, cfg)
+    Compaction.compactInPlace(spark, idx) // retires seg-0 and seg-1
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ptr = SegmentCatalog.readPointer(fs, idx).get
+    assert(ptr.retired.isEmpty, s"completed compaction left retired=${ptr.retired}")
+    // a restart without checkpoint replays batchId 0 with NEW convs —
+    // the segment name 'seg-0' is REUSED
+    StreamingIngest.appendSegment(spark, all.filter($"conv_id" >= "conv-00000020"), idx, 0L, cfg)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$idx/seg-0")))
+    // the next compaction's step 0 must treat it as live input, not as
+    // a stale retiree to delete
+    Compaction.compactInPlace(spark, idx)
+    val multi = new graft.query.MultiSearcher(spark, idx)
+    val visible = multi.docs.cache()
+    assert(visible.count() == all.count(), "reused segment name was silently deleted")
+    assert(visible.select("conv_id", "turn_idx").distinct().count() == visible.count())
+    for (q <- Seq("the", "zanzibar quasar lattice")) {
+      val want = graft.query.Oracle.topK(visible, q, 10)
+        .as[graft.model.Scored].collect().toSeq
+      assert(multi.search(q, 10).toSeq == want, s"post-reuse '$q'")
+    }
+    visible.unpersist(blocking = false)
+    all.unpersist(blocking = false)
+  }
+
+  test("maybeCompact on a fully-tombstoned corpus returns None instead of throwing") {
+    // round-5 ADVICE (low): the ratio trigger called compactInPlace
+    // unconditionally, and compact() require-fails when every live doc
+    // is tombstoned — policy-driven auto-compaction must not throw on a
+    // legitimately emptied corpus
+    import graft.index.{Compaction, CompactionPolicy}
+    val idx = s"${TestSpark.tmpRoot}/stream-idx-alldead"
+    val cfg = IndexConfig(numBuckets = 1, partitions = 4)
+    StreamingIngest.appendSegment(spark, Transcripts.generate(spark, 10L), idx, 0L, cfg)
+    val nDel = StreamingIngest.deleteConvs(spark, idx, (0 until 10).map(c => f"conv-$c%08d"))
+    assert(nDel > 0)
+    assert(Compaction.maybeCompact(spark, idx,
+      CompactionPolicy(tombstoneRatio = 0.1)).isEmpty, "all-dead corpus must compact to None")
+    // the store still serves (everything excluded), nothing corrupted
+    val multi = new graft.query.MultiSearcher(spark, idx)
+    assert(multi.docs.count() == 0)
+    assert(multi.search("the", 10).isEmpty)
+  }
+
+  test("tiered merge selection is byte-based: doc-count skew does not mislead the policy") {
+    // round-5 review "What's missing #6": a segment of FEW huge docs is
+    // the LSM-large one even though its doc count is small — selection
+    // by manifest bytesCompressed must merge the byte-smallest segments
+    import graft.index.{Compaction, CompactionPolicy}
+    import graft.model.Turn
+    val idx = s"${TestSpark.tmpRoot}/stream-idx-bytetier"
+    val cfg = IndexConfig(numBuckets = 1, partitions = 4)
+    def seg(convs: Range, words: Int): org.apache.spark.sql.Dataset[Turn] =
+      spark.createDataset(convs.flatMap { c =>
+        Seq(Turn(f"conv-$c%08d", 0, "user",
+          (0 until words).map(j => s"w${c}x$j").mkString(" "), None,
+          new java.sql.Timestamp(1700000000000L + c * 1000L)))
+      })
+    // seg-0/seg-3: MANY tiny docs (small bytes); seg-1/seg-2: FEW docs
+    // of large distinct vocabulary (big bytes)
+    StreamingIngest.appendSegment(spark, seg(0 until 40, 3), idx, 0L, cfg)
+    StreamingIngest.appendSegment(spark, seg(100 until 105, 800), idx, 1L, cfg)
+    StreamingIngest.appendSegment(spark, seg(200 until 206, 800), idx, 2L, cfg)
+    StreamingIngest.appendSegment(spark, seg(300 until 341, 3), idx, 3L, cfg)
+    val rep = Compaction.maybeCompact(spark, idx,
+      CompactionPolicy(maxSegments = 3, mergeFactor = 2))
+    assert(rep.isDefined, "4 segments over maxSegments=3 must trigger a merge")
+    val merged = rep.get.mergedSegments
+      .map(s => new org.apache.hadoop.fs.Path(s).getName).toSet
+    // doc-count selection would pick seg-1 (5 docs) + seg-2 (6 docs);
+    // byte selection picks the two tiny-text segments
+    assert(merged == Set("seg-0", "seg-3"),
+      s"merge picked $merged, want the byte-smallest {seg-0, seg-3}")
+    // corpus intact and query-exact afterwards
+    val multi = new graft.query.MultiSearcher(spark, idx)
+    assert(multi.docs.count() == 40 + 5 + 6 + 41)
+    assert(multi.search("w0x0 w0x1", 2).nonEmpty)
+  }
+
   test("windowed streaming agg over the turn stream (memory sink)") {
     val src = s"${TestSpark.tmpRoot}/stream-agg-src"
     Transcripts.generate(spark, 40L).write.parquet(src)

@@ -105,6 +105,62 @@ class WandSpec extends AnyFunSuite {
     }
   }
 
+  test("best_fields combination ≡ exhaustive weighted fold; tb=1 ≡ most_fields bit-exact") {
+    // the Wand layer takes an arbitrary term → field-ordinal map; the
+    // brute replicates the EXACT evaluation rule (per-field sums fold
+    // ascending, best field by strict > in ordinal order, then one
+    // global ascending weighted fold) so equality is bit-for-bit
+    def bruteBest(corpus: Array[Array[String]], terms: Seq[String],
+        fieldOf: Map[String, Int], nFields: Int, tb: Double, k: Int): Seq[Scored] = {
+      val tfs = corpus.map(tfOf)
+      val dls = corpus.map(_.length)
+      val n = corpus.length.toLong
+      val avgdl = dls.sum.toDouble / corpus.length
+      val df: Map[String, Long] =
+        tfs.flatMap(_.keys).groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+      val qt = terms.distinct.sorted.filter(df.contains)
+      corpus.indices.flatMap { d =>
+        val present = qt.filter(tfs(d).contains)
+        if (present.isEmpty) None
+        else {
+          val sums = new Array[Double](nFields)
+          present.foreach(t =>
+            sums(fieldOf(t)) += Bm25.score(tfs(d)(t), df(t), dls(d), n, avgdl))
+          var best = 0
+          for (f <- 1 until nFields) if (sums(f) > sums(best)) best = f
+          var s = 0.0
+          present.foreach { t =>
+            val w = if (fieldOf(t) == best) 1.0 else tb
+            s += w * Bm25.score(tfs(d)(t), df(t), dls(d), n, avgdl)
+          }
+          Some(Scored(d.toLong, s))
+        }
+      }.sortBy(s => (-s.score, s.docId)).take(k)
+    }
+    for (i <- 1 to 100) {
+      val vocab = 3 + rnd.nextInt(20)
+      val nDocs = 10 + rnd.nextInt(300)
+      val corpus = randomCorpus(nDocs, vocab)
+      val q = Seq.fill(2 + rnd.nextInt(4))("t" + rnd.nextInt(vocab)).distinct.sorted
+      val nFields = 2 + rnd.nextInt(2)
+      val fieldOf = q.map(t => t -> rnd.nextInt(nFields)).toMap
+      val tb = Seq(0.0, 0.3, 1.0)(i % 3)
+      val k = 1 + rnd.nextInt(15)
+      val bs = Seq(4, 16, 128)(i % 3)
+      val (iters, _, _, _) = buildIters(corpus, q, bs)
+      val bf = new Wand.BestFields(fieldOf, nFields, tb)
+      val got = Wand.topK(iters, k, bestFields = bf).toSeq
+      val want = bruteBest(corpus, q, fieldOf, nFields, tb, k)
+      assert(got == want, s"case $i tb=$tb q=$q fieldOf=$fieldOf")
+      if (tb == 1.0) {
+        // tb = 1 must reproduce the plain one-sum (most_fields) result
+        // bit-exactly (fresh iterators — cursors are mutable)
+        val (iters2, _, _, _) = buildIters(corpus, q, bs)
+        assert(Wand.topK(iters2, k).toSeq == got, s"tb=1 ≠ most_fields, case $i")
+      }
+    }
+  }
+
   test("conjunctive top-k ≡ exhaustive on 100 random cases") {
     for (i <- 1 to 100) {
       val vocab = 3 + rnd.nextInt(10)
