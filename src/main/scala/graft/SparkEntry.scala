@@ -501,6 +501,37 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
         .facetCounts(Bm25Query, "source",
           anyFilters = Seq("lang" -> Seq("fr", "es", "de")),
           rangeFilters = Seq(("source", "src1", "src2")))),
+    "q_bm25_exists" -> ((s, dir) => {
+      // ES `exists` query: docs that HAVE the title field (≥1 token) —
+      // the `_field_names`-style marker term rides the WAND as one more
+      // filter cursor, never a doc-store scan
+      rankHits(s, new Searcher(s, documentsIndex(s, dir), 8)
+        .searchBool(Bm25Query, 10, exists = Seq("title")))
+    }),
+    "q_bm25_missing" -> ((s, dir) => {
+      // ES must_not exists ("missing"): docs WITHOUT the title field —
+      // the exists marker rides the must_not cursor set
+      rankHits(s, new Searcher(s, documentsIndex(s, dir), 8)
+        .searchBool(Bm25Query, 10, missing = Seq("title")))
+    }),
+    "q_cardinality" -> ((s, dir) => {
+      import s.implicits._
+      // ES cardinality agg: distinct source values among the match set
+      // (exact distributed count-distinct; approximate=true = HLL++)
+      Seq(new Searcher(s, documentsIndex(s, dir), 8)
+        .cardinality(Bm25Query, "source")).toDF("n_distinct")
+    }),
+    "q_percentiles" -> ((s, dir) =>
+      // ES percentiles agg over the match set (exact closest-ranks
+      // linear interpolation — the quantile_cont rule both sides)
+      new Searcher(s, documentsIndex(s, dir), 8)
+        .percentiles(Bm25Query, "n_chars", Seq(0.25, 0.5, 0.9))
+        .select(col("p"), round(col("value"), 4).as("value"))),
+    "q_top_hits" -> ((s, dir) =>
+      // ES top_hits sub-aggregation: per-lang top-3 matching docs by
+      // n_chars (window group-limit — the per-shard-heap plan shape)
+      new Searcher(s, documentsIndex(s, dir), 8)
+        .facetTopHits(Bm25Query, "lang", "n_chars", 3)),
     "q_bm25_should" -> ((s, dir) => {
       // ES bool should: optional scoring clause — matched should terms
       // add their BM25 contribution, membership still requires >=1 must
@@ -900,6 +931,37 @@ WHERE d.doc_id IN (SELECT DISTINCT doc_id FROM tok
   AND d.lang IN ('fr','es','de')
   AND d.source >= 'src1' AND d.source <= 'src2'
 GROUP BY 1 ORDER BY 1""",
+      // exists/missing twins: title nonempty ⇔ doc_id%7 > 0 AND the
+      // text has ≥1 token (the derived field's membership rule)
+      "q_bm25_exists" -> bm25Sql(Analyzer.analyzeQuery(Bm25Query).toSeq, 10,
+        conjunctive = false,
+        docPred = s"(doc_id % 7) > 0 AND len(list_filter(regexp_split_to_array(lower(text), '$SqlTokRegex'), x -> x <> '')) >= 1"),
+      "q_bm25_missing" -> bm25Sql(Analyzer.analyzeQuery(Bm25Query).toSeq, 10,
+        conjunctive = false,
+        docPred = s"NOT ((doc_id % 7) > 0 AND len(list_filter(regexp_split_to_array(lower(text), '$SqlTokRegex'), x -> x <> '')) >= 1)"),
+      "q_cardinality" ->
+        s"""${toksCte("documents", "doc_id")}
+SELECT CAST(count(DISTINCT source) AS BIGINT) AS n_distinct FROM documents
+WHERE doc_id IN (SELECT DISTINCT doc_id FROM tok
+                 WHERE term IN ${inList(Analyzer.analyzeQuery(Bm25Query).toSeq)})""",
+      "q_percentiles" ->
+        s"""${toksCte("documents", "doc_id")},
+m AS (SELECT n_chars FROM documents
+      WHERE doc_id IN (SELECT DISTINCT doc_id FROM tok
+                       WHERE term IN ${inList(Analyzer.analyzeQuery(Bm25Query).toSeq)})),
+sel AS (SELECT quantile_cont(n_chars, [0.25, 0.5, 0.9]) AS vals FROM m)
+SELECT CAST(t.p AS DOUBLE) AS p, round(CAST(t.v AS DOUBLE), 4) AS value
+FROM (SELECT unnest([0.25, 0.5, 0.9]) AS p, unnest(vals) AS v FROM sel) t ORDER BY p""",
+      "q_top_hits" ->
+        s"""${toksCte("documents", "doc_id")},
+m AS (SELECT d.lang AS value, d.doc_id, d.n_chars FROM documents d
+      WHERE d.doc_id IN (SELECT DISTINCT doc_id FROM tok
+                         WHERE term IN ${inList(Analyzer.analyzeQuery(Bm25Query).toSeq)})),
+r AS (SELECT value, doc_id, n_chars,
+             row_number() OVER (PARTITION BY value ORDER BY n_chars DESC, doc_id ASC) AS rank
+      FROM m)
+SELECT value, CAST(rank AS BIGINT) AS rank, doc_id, CAST(n_chars AS BIGINT) AS sort_value
+FROM r WHERE rank <= 3 ORDER BY value, rank""",
       // should semantics: score over must ∪ should matched terms, doc
       // qualifies via >=1 must; minShouldMatch counts distinct should
       // terms (tf has one row per (term, doc), so FILTER counts terms)

@@ -82,6 +82,16 @@ object FieldTerms {
   def isNamespaced(term: String): Boolean =
     term.startsWith(Prefix) || term.startsWith(TextPrefix)
 
+  /** The exists-marker term of an indexed field — ES's `_field_names`
+    * meta-field pattern (the `exists`/`missing` query is a term lookup
+    * on it, never a doc-store scan): one tf=1 posting per doc that HAS
+    * the field (non-null keyword/numeric value, ≥ 1 token for analyzed
+    * text fields). '!' cannot appear in analyzer output and never
+    * terminates the field name in the value (':'), tier ('@') or text
+    * ('%…:') encodings, so the marker collides with nothing.
+    */
+  def existsTerm(field: String): String = Prefix + field + "!"
+
   /** Zero-padded encoding for NUMERIC keyword values: range filters
     * compare values lexicographically, which is exact only for
     * fixed-width encodings — encode non-negative numerics with this at
@@ -461,7 +471,10 @@ class IndexBuilder(
           else {
             val a = new PosAcc
             if (withPos) a.add(0) else a.n = 1
-            Iterator.single((FieldTerms.term(field, v), id, 1, dl, a.payload(dl, withPos)))
+            val pay = a.payload(dl, withPos)
+            // value term + the `_field_names`-style exists marker
+            Iterator((FieldTerms.term(field, v), id, 1, dl, pay),
+              (FieldTerms.existsTerm(field), id, 1, dl, pay))
           }
         }
       }
@@ -482,7 +495,9 @@ class IndexBuilder(
             val a = new PosAcc
             if (withPos) a.add(0) else a.n = 1
             val pay = a.payload(dl, withPos)
-            FieldTerms.numericValueTerms(field, v).iterator.map(t => (t, id, 1, dl, pay))
+            (FieldTerms.numericValueTerms(field, v).iterator ++
+              Iterator.single(FieldTerms.existsTerm(field)))
+              .map(t => (t, id, 1, dl, pay))
           case _ => Iterator.empty
         }
       }
@@ -516,7 +531,9 @@ class IndexBuilder(
               i += 1
             }
             val fdl = toks.length
-            val out = new Array[(String, Long, Int, Int, Array[Byte])](acc.size)
+            // +1: the exists marker (≥ 1 token ⇔ the doc is in the
+            // field's docCount — same membership rule as fieldstats)
+            val out = new Array[(String, Long, Int, Int, Array[Byte])](acc.size + 1)
             val entries = acc.entrySet().iterator()
             var j = 0
             while (entries.hasNext) {
@@ -525,6 +542,9 @@ class IndexBuilder(
               out(j) = (prefix + e.getKey, id, a.n, fdl, a.payload(fdl, withPos))
               j += 1
             }
+            val ea = new PosAcc
+            if (withPos) ea.add(0) else ea.n = 1
+            out(j) = (FieldTerms.existsTerm(field), id, 1, fdl, ea.payload(fdl, withPos))
             out.iterator
           }
         }

@@ -829,6 +829,12 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
         * bounded clause at any cardinality, no dict range scan.
         */
       numericRangeFilters: Seq[(String, Long, Long)] = Nil,
+      /** ES `exists` clauses / `must_not exists` ("missing") — the
+        * `_field_names`-style marker terms ([[graft.index.FieldTerms
+        * .existsTerm]]), same semantics as the single-index searcher.
+        */
+      exists: Seq[String] = Nil,
+      missing: Seq[String] = Nil,
       should: String = "",
       minShouldMatch: Int = 0,
       from: Int = 0,
@@ -871,8 +877,10 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
           vs.distinct.map(v => FieldTerms.term(f, v))
         } ++
         numericRangeFilters.map { case (f, lo, hi) => FieldTerms.trieRangeTerms(f, lo, hi) } ++
-        rangeFilters.map { case (f, lo, hi) => expandFieldRange(f, lo, hi) },
-      mustNot.map { case (f, v) => FieldTerms.term(f, v) }.distinct,
+        rangeFilters.map { case (f, lo, hi) => expandFieldRange(f, lo, hi) } ++
+        exists.map(f => Seq(FieldTerms.existsTerm(f))),
+      (mustNot.map { case (f, v) => FieldTerms.term(f, v) } ++
+        missing.map(f => FieldTerms.existsTerm(f))).distinct,
       shouldTerms, minShouldMatch, after, phraseSlop, boosts, bf)
     if (from == 0) hits else hits.slice(from, from + k)
   }
@@ -912,13 +920,15 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
           sp.anyFilters.map { case (f, vs) =>
             vs.distinct.map(v => FieldTerms.term(f, v)) } ++
           sp.numericRangeFilters.map { case (f, lo, hi) => FieldTerms.trieRangeTerms(f, lo, hi) } ++
-          sp.rangeFilters.map(rangeExp)
+          sp.rangeFilters.map(rangeExp) ++
+          sp.exists.map(f => Seq(FieldTerms.existsTerm(f)))
       val bf =
         if (mm.nonEmpty && sp.multiMatchBest)
           Wand.BestFields.of(mm.map(_._1), toks, sp.tieBreaker)
         else null
       (slots, scoredTerms, shouldTerms, clauses,
-        sp.mustNot.map { case (f, v) => FieldTerms.term(f, v) }.distinct, boosts, bf)
+        (sp.mustNot.map { case (f, v) => FieldTerms.term(f, v) } ++
+          sp.missing.map(f => FieldTerms.existsTerm(f))).distinct, boosts, bf)
     }
     val allTerms = preps.flatMap(p => p._2 ++ p._3 ++ p._4.flatten ++ p._5).distinct.sorted
     val (dfGlobal, perSeg) = lookup(allTerms)
@@ -1125,14 +1135,18 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
       mustNot: Seq[(String, String)] = Nil,
       numericRangeFilters: Seq[(String, Long, Long)] = Nil,
       anyFilters: Seq[(String, Seq[String])] = Nil,
-      rangeFilters: Seq[(String, String, String)] = Nil): Option[DataFrame] = {
+      rangeFilters: Seq[(String, String, String)] = Nil,
+      exists: Seq[String] = Nil,
+      missing: Seq[String] = Nil): Option[DataFrame] = {
     val terms = Analyzer.analyzeQuery(query).toSeq
     val clauses: Seq[Seq[String]] =
       filters.map { case (f, v) => Seq(FieldTerms.term(f, v)) } ++
         anyFilters.map { case (f, vs) => vs.distinct.map(v => FieldTerms.term(f, v)) } ++
         numericRangeFilters.map { case (f, lo, hi) => FieldTerms.trieRangeTerms(f, lo, hi) } ++
-        rangeFilters.map { case (f, lo, hi) => expandFieldRange(f, lo, hi) }
-    val excludeTerms = mustNot.map { case (f, v) => FieldTerms.term(f, v) }.distinct
+        rangeFilters.map { case (f, lo, hi) => expandFieldRange(f, lo, hi) } ++
+        exists.map(f => Seq(FieldTerms.existsTerm(f)))
+    val excludeTerms = (mustNot.map { case (f, v) => FieldTerms.term(f, v) } ++
+      missing.map(f => FieldTerms.existsTerm(f))).distinct
     val (dfGlobal, perSeg) =
       lookup(terms ++ clauses.flatten.distinct ++ excludeTerms)
     val scoredFound = terms.filter(dfGlobal.contains)
@@ -1161,8 +1175,11 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
       mustNot: Seq[(String, String)] = Nil,
       numericRangeFilters: Seq[(String, Long, Long)] = Nil,
       anyFilters: Seq[(String, Seq[String])] = Nil,
-      rangeFilters: Seq[(String, String, String)] = Nil): DataFrame =
-    matchSet(query, filters, mustNot, numericRangeFilters, anyFilters, rangeFilters)
+      rangeFilters: Seq[(String, String, String)] = Nil,
+      exists: Seq[String] = Nil,
+      missing: Seq[String] = Nil): DataFrame =
+    matchSet(query, filters, mustNot, numericRangeFilters, anyFilters, rangeFilters,
+      exists, missing)
       .getOrElse(Seq.empty[Long].toDF("docId"))
 
   /** ES `terms` aggregation (facets) over the cross-segment match set. */
@@ -1171,9 +1188,12 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
       mustNot: Seq[(String, String)] = Nil,
       numericRangeFilters: Seq[(String, Long, Long)] = Nil,
       anyFilters: Seq[(String, Seq[String])] = Nil,
-      rangeFilters: Seq[(String, String, String)] = Nil): DataFrame =
+      rangeFilters: Seq[(String, String, String)] = Nil,
+      exists: Seq[String] = Nil,
+      missing: Seq[String] = Nil): DataFrame =
     rawDocs.select(col("docId"), col(field).as("value"))
-      .join(matchingOrEmpty(query, filters, mustNot, numericRangeFilters, anyFilters, rangeFilters), Seq("docId"))
+      .join(matchingOrEmpty(query, filters, mustNot, numericRangeFilters, anyFilters,
+        rangeFilters, exists, missing), Seq("docId"))
       .groupBy(col("value")).agg(count(lit(1)).as("n_docs"))
       .orderBy(col("value"))
 
@@ -1185,8 +1205,11 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
       mustNot: Seq[(String, String)] = Nil,
       numericRangeFilters: Seq[(String, Long, Long)] = Nil,
       anyFilters: Seq[(String, Seq[String])] = Nil,
-      rangeFilters: Seq[(String, String, String)] = Nil): Long =
-    matchSet(query, filters, mustNot, numericRangeFilters, anyFilters, rangeFilters).map(_.count()).getOrElse(0L)
+      rangeFilters: Seq[(String, String, String)] = Nil,
+      exists: Seq[String] = Nil,
+      missing: Seq[String] = Nil): Long =
+    matchSet(query, filters, mustNot, numericRangeFilters, anyFilters, rangeFilters,
+      exists, missing).map(_.count()).getOrElse(0L)
 
   /** ES `sort`-by-field top-k over the cross-segment match set. */
   def searchSortedBy(query: String, field: String, k: Int,
@@ -1196,6 +1219,8 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
       numericRangeFilters: Seq[(String, Long, Long)] = Nil,
       anyFilters: Seq[(String, Seq[String])] = Nil,
       rangeFilters: Seq[(String, String, String)] = Nil,
+      exists: Seq[String] = Nil,
+      missing: Seq[String] = Nil,
       /** Pagination offset on the field ordering (ES sort + from);
         * plans as TakeOrderedAndProject with limit+offset — still
         * per-partition heaps, never a global sort.
@@ -1209,7 +1234,8 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
       if (descending) Seq(col(field).desc, col("docId").asc)
       else Seq(col(field).asc, col("docId").asc)
     val base = rawDocs.select(col("docId"), col(field))
-      .join(matchingOrEmpty(query, filters, mustNot, numericRangeFilters, anyFilters, rangeFilters), Seq("docId"))
+      .join(matchingOrEmpty(query, filters, mustNot, numericRangeFilters, anyFilters,
+        rangeFilters, exists, missing), Seq("docId"))
     val paged = after match {
       case None => base
       case Some((v, d)) =>
@@ -1231,9 +1257,12 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
       mustNot: Seq[(String, String)] = Nil,
       numericRangeFilters: Seq[(String, Long, Long)] = Nil,
       anyFilters: Seq[(String, Seq[String])] = Nil,
-      rangeFilters: Seq[(String, String, String)] = Nil): DataFrame =
+      rangeFilters: Seq[(String, String, String)] = Nil,
+      exists: Seq[String] = Nil,
+      missing: Seq[String] = Nil): DataFrame =
     rawDocs.select(col("docId"), col(bucketField).as("value"), col(statField))
-      .join(matchingOrEmpty(query, filters, mustNot, numericRangeFilters, anyFilters, rangeFilters), Seq("docId"))
+      .join(matchingOrEmpty(query, filters, mustNot, numericRangeFilters, anyFilters,
+        rangeFilters, exists, missing), Seq("docId"))
       .groupBy(col("value"))
       .agg(count(lit(1)).as("n_docs"), min(col(statField)).as("min"),
         max(col(statField)).as("max"), avg(col(statField)).as("avg"),
@@ -1246,10 +1275,13 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
       mustNot: Seq[(String, String)] = Nil,
       numericRangeFilters: Seq[(String, Long, Long)] = Nil,
       anyFilters: Seq[(String, Seq[String])] = Nil,
-      rangeFilters: Seq[(String, String, String)] = Nil): DataFrame = {
+      rangeFilters: Seq[(String, String, String)] = Nil,
+      exists: Seq[String] = Nil,
+      missing: Seq[String] = Nil): DataFrame = {
     require(width > 0, "histogram width must be positive")
     rawDocs.select(col("docId"), col(field))
-      .join(matchingOrEmpty(query, filters, mustNot, numericRangeFilters, anyFilters, rangeFilters), Seq("docId"))
+      .join(matchingOrEmpty(query, filters, mustNot, numericRangeFilters, anyFilters,
+        rangeFilters, exists, missing), Seq("docId"))
       .groupBy((floor(col(field) / lit(width)) * lit(width)).cast("long").as("bucket"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("bucket"))
@@ -1261,9 +1293,12 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
       mustNot: Seq[(String, String)] = Nil,
       numericRangeFilters: Seq[(String, Long, Long)] = Nil,
       anyFilters: Seq[(String, Seq[String])] = Nil,
-      rangeFilters: Seq[(String, String, String)] = Nil): DataFrame =
+      rangeFilters: Seq[(String, String, String)] = Nil,
+      exists: Seq[String] = Nil,
+      missing: Seq[String] = Nil): DataFrame =
     rawDocs.select(col("docId"), col(field))
-      .join(matchingOrEmpty(query, filters, mustNot, numericRangeFilters, anyFilters, rangeFilters), Seq("docId"))
+      .join(matchingOrEmpty(query, filters, mustNot, numericRangeFilters, anyFilters,
+        rangeFilters, exists, missing), Seq("docId"))
       .groupBy(date_trunc(interval, col(field)).as("bucket"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("bucket"))
@@ -1274,12 +1309,99 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
       mustNot: Seq[(String, String)] = Nil,
       numericRangeFilters: Seq[(String, Long, Long)] = Nil,
       anyFilters: Seq[(String, Seq[String])] = Nil,
-      rangeFilters: Seq[(String, String, String)] = Nil): DataFrame =
+      rangeFilters: Seq[(String, String, String)] = Nil,
+      exists: Seq[String] = Nil,
+      missing: Seq[String] = Nil): DataFrame =
     rawDocs.select(col("docId"), col(field))
-      .join(matchingOrEmpty(query, filters, mustNot, numericRangeFilters, anyFilters, rangeFilters), Seq("docId"))
+      .join(matchingOrEmpty(query, filters, mustNot, numericRangeFilters, anyFilters,
+        rangeFilters, exists, missing), Seq("docId"))
       .agg(count(lit(1)).as("n_docs"), min(col(field)).as("min"),
         max(col(field)).as("max"), avg(col(field)).as("avg"),
         sum(col(field)).as("sum"))
+
+  /** ES `cardinality` aggregation over the cross-segment match set
+    * (same semantics as the single-index searcher: exact distributed
+    * count-distinct, or the HyperLogLog++ sketch when `approximate`).
+    */
+  def cardinality(query: String, field: String,
+      filters: Seq[(String, String)] = Nil,
+      mustNot: Seq[(String, String)] = Nil,
+      numericRangeFilters: Seq[(String, Long, Long)] = Nil,
+      anyFilters: Seq[(String, Seq[String])] = Nil,
+      rangeFilters: Seq[(String, String, String)] = Nil,
+      exists: Seq[String] = Nil,
+      missing: Seq[String] = Nil,
+      approximate: Boolean = false): Long =
+    matchSet(query, filters, mustNot, numericRangeFilters, anyFilters, rangeFilters,
+      exists, missing) match {
+      case None => 0L
+      case Some(m) =>
+        val joined = rawDocs.select(col("docId"), col(field)).join(m, Seq("docId"))
+        val agg =
+          if (approximate) joined.agg(approx_count_distinct(col(field)).as("c"))
+          else joined.agg(countDistinct(col(field)).as("c"))
+        agg.head().getLong(0)
+    }
+
+  /** ES `percentiles` aggregation over the cross-segment match set
+    * (exact `percentile`, or `percentile_approx` when `approximate` —
+    * same rules as the single-index searcher).
+    */
+  def percentiles(query: String, field: String, ps: Seq[Double],
+      filters: Seq[(String, String)] = Nil,
+      mustNot: Seq[(String, String)] = Nil,
+      numericRangeFilters: Seq[(String, Long, Long)] = Nil,
+      anyFilters: Seq[(String, Seq[String])] = Nil,
+      rangeFilters: Seq[(String, String, String)] = Nil,
+      exists: Seq[String] = Nil,
+      missing: Seq[String] = Nil,
+      approximate: Boolean = false): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      "percentiles must be in [0, 1]")
+    val arrSql = ps.mkString("array(", ",", ")")
+    val aggExpr =
+      if (approximate) expr(s"percentile_approx($field, $arrSql, 10000)")
+      else expr(s"percentile($field, $arrSql)")
+    val pLits = array(ps.map(lit): _*)
+    rawDocs.select(col("docId"), col(field))
+      .join(matchingOrEmpty(query, filters, mustNot, numericRangeFilters, anyFilters,
+        rangeFilters, exists, missing), Seq("docId"))
+      .agg(aggExpr.as("vals"))
+      .select(posexplode(col("vals")).as(Seq("pos", "value")))
+      .select(element_at(pLits, col("pos").cast("int") + 1).as("p"),
+        col("value").cast("double").as("value"))
+      .orderBy(col("p"))
+  }
+
+  /** ES `top_hits` sub-aggregation over the cross-segment match set:
+    * per-bucket top `k` by `sortField` (docId tiebreak) — row_number
+    * window whose `rank ≤ k` filter Catalyst rewrites into pre-shuffle
+    * per-partition group limits (the per-shard-heap shape).
+    */
+  def facetTopHits(query: String, bucketField: String, sortField: String,
+      k: Int, descending: Boolean = true,
+      filters: Seq[(String, String)] = Nil,
+      mustNot: Seq[(String, String)] = Nil,
+      numericRangeFilters: Seq[(String, Long, Long)] = Nil,
+      anyFilters: Seq[(String, Seq[String])] = Nil,
+      rangeFilters: Seq[(String, String, String)] = Nil,
+      exists: Seq[String] = Nil,
+      missing: Seq[String] = Nil): DataFrame = {
+    require(k > 0, "top_hits size must be positive")
+    val ord =
+      if (descending) Seq(col(sortField).desc, col("docId").asc)
+      else Seq(col(sortField).asc, col("docId").asc)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("value")).orderBy(ord: _*)
+    rawDocs.select(col("docId"), col(bucketField).as("value"), col(sortField))
+      .join(matchingOrEmpty(query, filters, mustNot, numericRangeFilters, anyFilters,
+        rangeFilters, exists, missing), Seq("docId"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= lit(k))
+      .select(col("value"), col("rank").cast("long").as("rank"),
+        col("docId").as("doc_id"), col(sortField).cast("long").as("sort_value"))
+      .orderBy(col("value"), col("rank"))
+  }
 
   /** Top-k resolved back to turn metadata + text (broadcast k hits
     * against the live doc store).

@@ -85,6 +85,11 @@ final case class BoolQuerySpec(
       * same semantics as the standalone `searchBool` parameter).
       */
     rangeFilters: Seq[(String, String, String)] = Nil,
+    /** ES `exists` clauses (doc must HAVE each field) / `must_not
+      * exists` ("missing") — the `_field_names`-style marker terms.
+      */
+    exists: Seq[String] = Nil,
+    missing: Seq[String] = Nil,
     should: String = "",
     minShouldMatch: Int = 0,
     phraseSlop: Int = 0)
@@ -462,13 +467,15 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
           sp.anyFilters.map { case (f, vs) =>
             vs.distinct.map(v => graft.index.FieldTerms.term(f, v)) } ++
           sp.numericRangeFilters.map { case (f, lo, hi) =>
-            graft.index.FieldTerms.trieRangeTerms(f, lo, hi) }
+            graft.index.FieldTerms.trieRangeTerms(f, lo, hi) } ++
+          sp.exists.map(f => Seq(graft.index.FieldTerms.existsTerm(f)))
       val bf =
         if (mm.nonEmpty && sp.multiMatchBest)
           Wand.BestFields.of(mm.map(_._1), toks, sp.tieBreaker)
         else null
       Prep(scoredTerms, slots, clauses,
-        sp.mustNot.map { case (f, v) => graft.index.FieldTerms.term(f, v) }.distinct,
+        (sp.mustNot.map { case (f, v) => graft.index.FieldTerms.term(f, v) } ++
+          sp.missing.map(f => graft.index.FieldTerms.existsTerm(f))).distinct,
         shouldTerms, sp.rangeFilters, boosts, bf)
     }
     // ALL specs' lexicographic ranges expand in ONE batched dict scan
@@ -628,6 +635,18 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
         * scan, no driver-side per-value expansion.
         */
       numericRangeFilters: Seq[(String, Long, Long)] = Nil,
+      /** ES `exists` filter clauses: the doc must HAVE each listed
+        * field (non-null keyword/numeric value, ≥ 1 token for analyzed
+        * text fields) — answered by the `_field_names`-style exists
+        * marker an index built with field columns stores
+        * ([[graft.index.FieldTerms.existsTerm]]): one more posting
+        * cursor, never a doc-store scan.
+        */
+      exists: Seq[String] = Nil,
+      /** ES `must_not exists` ("missing"): docs carrying the field are
+        * vetoed — the exists marker rides the must_not cursor set.
+        */
+      missing: Seq[String] = Nil,
       /** ES bool `should`: an analyzed query whose terms optionally add
         * score (terms already in the must query are dropped — groups
         * must be disjoint).
@@ -697,12 +716,14 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
         } ++
         numericRangeFilters.map { case (f, lo, hi) =>
           graft.index.FieldTerms.trieRangeTerms(f, lo, hi)
-        }
+        } ++
+        exists.map(f => Seq(graft.index.FieldTerms.existsTerm(f)))
     // range expansion already returns the TermStats rows (one dict scan,
     // no second lookup job over the expanded term list)
     val rangeExp: Seq[Map[String, TermStats]] =
       rangeFilters.map { case (f, lo, hi) => expandFieldRange(f, lo, hi) }
-    val excludeTerms = mustNot.map { case (f, v) => graft.index.FieldTerms.term(f, v) }.distinct
+    val excludeTerms = (mustNot.map { case (f, v) => graft.index.FieldTerms.term(f, v) } ++
+      missing.map(f => graft.index.FieldTerms.existsTerm(f))).distinct
     val found = lookupTerms(
       scoredTerms ++ shouldTerms ++ clauses.flatten.distinct ++ excludeTerms) ++
       rangeExp.flatten
@@ -963,14 +984,18 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
       mustNot: Seq[(String, String)] = Nil,
       anyFilters: Seq[(String, Seq[String])] = Nil,
       numericRangeFilters: Seq[(String, Long, Long)] = Nil,
-      rangeFilters: Seq[(String, String, String)] = Nil): Option[DataFrame] = {
+      rangeFilters: Seq[(String, String, String)] = Nil,
+      exists: Seq[String] = Nil,
+      missing: Seq[String] = Nil): Option[DataFrame] = {
     val terms = Analyzer.analyzeQuery(query).toSeq
     val clauses: Seq[Seq[String]] =
       filters.map { case (f, v) => Seq(graft.index.FieldTerms.term(f, v)) } ++
         anyFilters.map { case (f, vs) => vs.distinct.map(v => graft.index.FieldTerms.term(f, v)) } ++
         numericRangeFilters.map { case (f, lo, hi) =>
-          graft.index.FieldTerms.trieRangeTerms(f, lo, hi) }
-    val excludeTerms = mustNot.map { case (f, v) => graft.index.FieldTerms.term(f, v) }.distinct
+          graft.index.FieldTerms.trieRangeTerms(f, lo, hi) } ++
+        exists.map(f => Seq(graft.index.FieldTerms.existsTerm(f)))
+    val excludeTerms = (mustNot.map { case (f, v) => graft.index.FieldTerms.term(f, v) } ++
+      missing.map(f => graft.index.FieldTerms.existsTerm(f))).distinct
     // lexicographic ranges return their TermStats with the expansion —
     // one dict scan each, no second lookup job
     val rangeExp: Seq[Map[String, TermStats]] =
@@ -996,8 +1021,11 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
       mustNot: Seq[(String, String)] = Nil,
       numericRangeFilters: Seq[(String, Long, Long)] = Nil,
       anyFilters: Seq[(String, Seq[String])] = Nil,
-      rangeFilters: Seq[(String, String, String)] = Nil): DataFrame =
-    matchSet(query, filters, mustNot, anyFilters, numericRangeFilters, rangeFilters) match {
+      rangeFilters: Seq[(String, String, String)] = Nil,
+      exists: Seq[String] = Nil,
+      missing: Seq[String] = Nil): DataFrame =
+    matchSet(query, filters, mustNot, anyFilters, numericRangeFilters, rangeFilters,
+      exists, missing) match {
       case None =>
         docs.select(col(field).as("value")).limit(0).withColumn("n_docs", lit(0L))
       case Some(matching) =>
@@ -1016,8 +1044,11 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
       mustNot: Seq[(String, String)] = Nil,
       numericRangeFilters: Seq[(String, Long, Long)] = Nil,
       anyFilters: Seq[(String, Seq[String])] = Nil,
-      rangeFilters: Seq[(String, String, String)] = Nil): Long =
-    matchSet(query, filters, mustNot, anyFilters, numericRangeFilters, rangeFilters)
+      rangeFilters: Seq[(String, String, String)] = Nil,
+      exists: Seq[String] = Nil,
+      missing: Seq[String] = Nil): Long =
+    matchSet(query, filters, mustNot, anyFilters, numericRangeFilters, rangeFilters,
+      exists, missing)
       .map(_.count()).getOrElse(0L)
 
   /** The match set, or an empty docId frame when no query term exists —
@@ -1029,8 +1060,11 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
       mustNot: Seq[(String, String)] = Nil,
       numericRangeFilters: Seq[(String, Long, Long)] = Nil,
       anyFilters: Seq[(String, Seq[String])] = Nil,
-      rangeFilters: Seq[(String, String, String)] = Nil): DataFrame =
-    matchSet(query, filters, mustNot, anyFilters, numericRangeFilters, rangeFilters)
+      rangeFilters: Seq[(String, String, String)] = Nil,
+      exists: Seq[String] = Nil,
+      missing: Seq[String] = Nil): DataFrame =
+    matchSet(query, filters, mustNot, anyFilters, numericRangeFilters, rangeFilters,
+      exists, missing)
       .getOrElse(Seq.empty[Long].toDF("docId"))
 
   /** ES `histogram` aggregation over the FULL match set: doc counts per
@@ -1045,10 +1079,13 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
       mustNot: Seq[(String, String)] = Nil,
       numericRangeFilters: Seq[(String, Long, Long)] = Nil,
       anyFilters: Seq[(String, Seq[String])] = Nil,
-      rangeFilters: Seq[(String, String, String)] = Nil): DataFrame = {
+      rangeFilters: Seq[(String, String, String)] = Nil,
+      exists: Seq[String] = Nil,
+      missing: Seq[String] = Nil): DataFrame = {
     require(width > 0, "histogram width must be positive")
     docs.select(col("docId"), col(field))
-      .join(matchingOrEmpty(query, filters, mustNot, numericRangeFilters, anyFilters, rangeFilters), Seq("docId"))
+      .join(matchingOrEmpty(query, filters, mustNot, numericRangeFilters, anyFilters,
+        rangeFilters, exists, missing), Seq("docId"))
       .groupBy((floor(col(field) / lit(width)) * lit(width)).cast("long").as("bucket"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("bucket"))
@@ -1063,9 +1100,12 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
       mustNot: Seq[(String, String)] = Nil,
       numericRangeFilters: Seq[(String, Long, Long)] = Nil,
       anyFilters: Seq[(String, Seq[String])] = Nil,
-      rangeFilters: Seq[(String, String, String)] = Nil): DataFrame =
+      rangeFilters: Seq[(String, String, String)] = Nil,
+      exists: Seq[String] = Nil,
+      missing: Seq[String] = Nil): DataFrame =
     docs.select(col("docId"), col(field))
-      .join(matchingOrEmpty(query, filters, mustNot, numericRangeFilters, anyFilters, rangeFilters), Seq("docId"))
+      .join(matchingOrEmpty(query, filters, mustNot, numericRangeFilters, anyFilters,
+        rangeFilters, exists, missing), Seq("docId"))
       .groupBy(date_trunc(interval, col(field)).as("bucket"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("bucket"))
@@ -1079,9 +1119,12 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
       mustNot: Seq[(String, String)] = Nil,
       numericRangeFilters: Seq[(String, Long, Long)] = Nil,
       anyFilters: Seq[(String, Seq[String])] = Nil,
-      rangeFilters: Seq[(String, String, String)] = Nil): DataFrame =
+      rangeFilters: Seq[(String, String, String)] = Nil,
+      exists: Seq[String] = Nil,
+      missing: Seq[String] = Nil): DataFrame =
     docs.select(col("docId"), col(field))
-      .join(matchingOrEmpty(query, filters, mustNot, numericRangeFilters, anyFilters, rangeFilters), Seq("docId"))
+      .join(matchingOrEmpty(query, filters, mustNot, numericRangeFilters, anyFilters,
+        rangeFilters, exists, missing), Seq("docId"))
       .agg(count(lit(1)).as("n_docs"), min(col(field)).as("min"),
         max(col(field)).as("max"), avg(col(field)).as("avg"),
         sum(col(field)).as("sum"))
@@ -1100,6 +1143,8 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
       numericRangeFilters: Seq[(String, Long, Long)] = Nil,
       anyFilters: Seq[(String, Seq[String])] = Nil,
       rangeFilters: Seq[(String, String, String)] = Nil,
+      exists: Seq[String] = Nil,
+      missing: Seq[String] = Nil,
       /** Pagination offset on the field ordering (ES sort + from);
         * plans as TakeOrderedAndProject with limit+offset — still
         * per-partition heaps, never a global sort.
@@ -1116,7 +1161,8 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
     val ord =
       if (descending) Seq(col(field).desc, col("docId").asc)
       else Seq(col(field).asc, col("docId").asc)
-    matchSet(query, filters, mustNot, anyFilters, numericRangeFilters, rangeFilters) match {
+    matchSet(query, filters, mustNot, anyFilters, numericRangeFilters, rangeFilters,
+      exists, missing) match {
       case None => docs.select(col("docId"), col(field)).limit(0)
       case Some(matching) =>
         val base = docs.select(col("docId"), col(field)).join(matching, Seq("docId"))
@@ -1142,14 +1188,115 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
       mustNot: Seq[(String, String)] = Nil,
       numericRangeFilters: Seq[(String, Long, Long)] = Nil,
       anyFilters: Seq[(String, Seq[String])] = Nil,
-      rangeFilters: Seq[(String, String, String)] = Nil): DataFrame =
+      rangeFilters: Seq[(String, String, String)] = Nil,
+      exists: Seq[String] = Nil,
+      missing: Seq[String] = Nil): DataFrame =
     docs.select(col("docId"), col(bucketField).as("value"), col(statField))
-      .join(matchingOrEmpty(query, filters, mustNot, numericRangeFilters, anyFilters, rangeFilters), Seq("docId"))
+      .join(matchingOrEmpty(query, filters, mustNot, numericRangeFilters, anyFilters,
+        rangeFilters, exists, missing), Seq("docId"))
       .groupBy(col("value"))
       .agg(count(lit(1)).as("n_docs"), min(col(statField)).as("min"),
         max(col(statField)).as("max"), avg(col(statField)).as("avg"),
         sum(col(statField)).as("sum"))
       .orderBy(col("value"))
+
+  /** ES `cardinality` aggregation: number of DISTINCT values of `field`
+    * among the match set (docs missing the field don't count — ES
+    * semantics; countDistinct ignores nulls). `approximate = false`
+    * (default) is the exact distributed count-distinct (partial
+    * aggregation per partition, one shuffle on the value); `true` is
+    * the ES-shaped scale path — a fixed-size HyperLogLog++ sketch
+    * (`approx_count_distinct`), constant memory per partition at any
+    * cardinality, mergeable without re-scanning.
+    */
+  def cardinality(query: String, field: String,
+      filters: Seq[(String, String)] = Nil,
+      mustNot: Seq[(String, String)] = Nil,
+      numericRangeFilters: Seq[(String, Long, Long)] = Nil,
+      anyFilters: Seq[(String, Seq[String])] = Nil,
+      rangeFilters: Seq[(String, String, String)] = Nil,
+      exists: Seq[String] = Nil,
+      missing: Seq[String] = Nil,
+      approximate: Boolean = false): Long =
+    matchSet(query, filters, mustNot, anyFilters, numericRangeFilters, rangeFilters,
+      exists, missing) match {
+      case None => 0L
+      case Some(m) =>
+        val joined = docs.select(col("docId"), col(field)).join(m, Seq("docId"))
+        val agg =
+          if (approximate) joined.agg(approx_count_distinct(col(field)).as("c"))
+          else joined.agg(countDistinct(col(field)).as("c"))
+        agg.head().getLong(0)
+    }
+
+  /** ES `percentiles` aggregation over the match set: one row per
+    * requested percentile `(p, value)`, ps in [0, 1]. `approximate =
+    * false` (default) evaluates Spark's EXACT `percentile` (linear
+    * interpolation between closest ranks — the `quantile_cont` rule;
+    * per-partition value-count maps merged in one agg, memory bounded
+    * by the field's DISTINCT-value count); `true` is the ES-shaped
+    * scale path — `percentile_approx`'s fixed-size QuantileSummaries
+    * sketch, constant memory at any cardinality (ES uses t-digest).
+    * Docs missing the field are ignored (ES semantics).
+    */
+  def percentiles(query: String, field: String, ps: Seq[Double],
+      filters: Seq[(String, String)] = Nil,
+      mustNot: Seq[(String, String)] = Nil,
+      numericRangeFilters: Seq[(String, Long, Long)] = Nil,
+      anyFilters: Seq[(String, Seq[String])] = Nil,
+      rangeFilters: Seq[(String, String, String)] = Nil,
+      exists: Seq[String] = Nil,
+      missing: Seq[String] = Nil,
+      approximate: Boolean = false): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      "percentiles must be in [0, 1]")
+    val arrSql = ps.mkString("array(", ",", ")")
+    val aggExpr =
+      if (approximate) expr(s"percentile_approx($field, $arrSql, 10000)")
+      else expr(s"percentile($field, $arrSql)")
+    val pLits = array(ps.map(lit): _*)
+    docs.select(col("docId"), col(field))
+      .join(matchingOrEmpty(query, filters, mustNot, numericRangeFilters, anyFilters,
+        rangeFilters, exists, missing), Seq("docId"))
+      .agg(aggExpr.as("vals"))
+      .select(posexplode(col("vals")).as(Seq("pos", "value")))
+      .select(element_at(pLits, col("pos").cast("int") + 1).as("p"),
+        col("value").cast("double").as("value"))
+      .orderBy(col("p"))
+  }
+
+  /** ES `top_hits` sub-aggregation: per `bucketField` bucket, the top
+    * `k` matching docs by `sortField` (docId tiebreak — deterministic).
+    * Plan: match-set join → row_number window partitioned by bucket —
+    * Catalyst's InferWindowGroupLimit rewrites the `rank ≤ k` filter
+    * into a pre-shuffle per-partition group-limit (the per-shard-heap
+    * shape ES runs; verified in PLANS.md), so a hot bucket never sorts
+    * more than k rows per upstream partition before the exchange.
+    */
+  def facetTopHits(query: String, bucketField: String, sortField: String,
+      k: Int, descending: Boolean = true,
+      filters: Seq[(String, String)] = Nil,
+      mustNot: Seq[(String, String)] = Nil,
+      numericRangeFilters: Seq[(String, Long, Long)] = Nil,
+      anyFilters: Seq[(String, Seq[String])] = Nil,
+      rangeFilters: Seq[(String, String, String)] = Nil,
+      exists: Seq[String] = Nil,
+      missing: Seq[String] = Nil): DataFrame = {
+    require(k > 0, "top_hits size must be positive")
+    val ord =
+      if (descending) Seq(col(sortField).desc, col("docId").asc)
+      else Seq(col(sortField).asc, col("docId").asc)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("value")).orderBy(ord: _*)
+    docs.select(col("docId"), col(bucketField).as("value"), col(sortField))
+      .join(matchingOrEmpty(query, filters, mustNot, numericRangeFilters, anyFilters,
+        rangeFilters, exists, missing), Seq("docId"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= lit(k))
+      .select(col("value"), col("rank").cast("long").as("rank"),
+        col("docId").as("doc_id"), col(sortField).cast("long").as("sort_value"))
+      .orderBy(col("value"), col("rank"))
+  }
 
   /** Top-k resolved back to turn metadata + text (SURVEY.md J4): the k
     * hits are broadcast against the doc store.

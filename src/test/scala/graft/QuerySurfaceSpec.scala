@@ -21,7 +21,7 @@ class QuerySurfaceSpec extends SparkSpec {
   private val nConvs = 300L
   private lazy val indexDir = s"${TestSpark.tmpRoot}/index-surface"
   private lazy val cfg = IndexConfig(numBuckets = 2, numShards = 8, blockSize = 32,
-    partitions = 8, fieldCols = Seq("role"), numericFieldCols = Seq("dl"))
+    partitions = 8, fieldCols = Seq("role", "tool"), numericFieldCols = Seq("dl"))
 
   private lazy val built: graft.index.BuildReport = {
     val docs = DocIds.assign(DocIds.dedup(Transcripts.generate(spark, nConvs)), 8)
@@ -405,6 +405,101 @@ class QuerySurfaceSpec extends SparkSpec {
     assert(warmed.searchManyBool(specs, 10).map(_.toSeq) == wantBatch)
   }
 
+  test("round-6 surface: exists/missing clauses, cardinality, percentiles, top_hits") {
+    // --- exists / missing on the WAND path ≡ oracle semi/anti-join ---
+    // `tool` is populated only on tool-role turns (a genuinely partial
+    // field), indexed via fieldCols ⇒ its `#tool!` exists marker
+    val ranked = Oracle.topK(docsDF, "the", Int.MaxValue)
+    val wantExists = ranked.join(docsDF.filter(col("tool").isNotNull).select("docId"),
+        Seq("docId"), "left_semi")
+      .orderBy(col("score").desc, col("docId").asc).limit(10).as[Scored].collect().toSeq
+    val wantMissing = ranked.join(docsDF.filter(col("tool").isNotNull).select("docId"),
+        Seq("docId"), "left_anti")
+      .orderBy(col("score").desc, col("docId").asc).limit(10).as[Scored].collect().toSeq
+    val gotExists = searcher.searchBool("the", 10, exists = Seq("tool"))
+    val gotMissing = searcher.searchBool("the", 10, missing = Seq("tool"))
+    assert(gotExists.toSeq == wantExists && gotExists.nonEmpty)
+    assert(gotMissing.toSeq == wantMissing && gotMissing.nonEmpty)
+    // exists and missing partition the ranking's doc set
+    assert(gotExists.map(_.docId).toSet.intersect(gotMissing.map(_.docId).toSet).isEmpty)
+    // warm path parity
+    assert(warmed.searchBool("the", 10, exists = Seq("tool")).toSeq == wantExists)
+    assert(warmed.searchBool("the", 10, missing = Seq("tool")).toSeq == wantMissing)
+    // batch spec carries the clauses too
+    import graft.query.BoolQuerySpec
+    assert(searcher.searchManyBool(Seq(BoolQuerySpec("the", exists = Seq("tool")),
+        BoolQuerySpec("the", missing = Seq("tool"))), 10).map(_.toSeq)
+      == Seq(wantExists, wantMissing))
+    // exists on an unindexed/absent field matches nothing; missing on it
+    // excludes nothing
+    assert(searcher.searchBool("the", 10, exists = Seq("nosuchfield")).isEmpty)
+    assert(searcher.searchBool("the", 10, missing = Seq("nosuchfield")).toSeq
+      == searcher.search("the", 10).toSeq)
+
+    // --- match-set ops take the clauses ---
+    val terms = Analyzer.analyzeQuery("the").toSeq
+    val matching = docsDF
+      .join(tok.filter(col("term").isin(terms: _*)).select("docId").distinct(), Seq("docId"))
+      .cache()
+    val withTool = matching.filter(col("tool").isNotNull)
+    assert(searcher.matchCount("the", exists = Seq("tool")) == withTool.count())
+    assert(searcher.matchCount("the", missing = Seq("tool"))
+      == matching.filter(col("tool").isNull).count())
+    assert(searcher.facetCounts("the", "role", exists = Seq("tool"))
+        .as[(String, Long)].collect().toSeq
+      == withTool.groupBy(col("role").as("value")).agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("value")).as[(String, Long)].collect().toSeq)
+
+    // --- cardinality: exact ≡ direct countDistinct; HLL sanity ---
+    val wantCard = matching.agg(countDistinct(col("tool"))).head().getLong(0)
+    assert(searcher.cardinality("the", "tool") == wantCard && wantCard > 0)
+    assert(searcher.cardinality("the", "role") == 3L)
+    val approx = searcher.cardinality("the", "role", approximate = true)
+    assert(approx >= 2L && approx <= 4L) // HLL++ estimate of 3 distinct
+    assert(searcher.cardinality("nosuchterm", "role") == 0L)
+
+    // --- percentiles: hand-computed closest-ranks interpolation ---
+    val vals = matching.select(col("dl").cast("double")).as[Double].collect().sorted
+    def pctl(p: Double): Double = {
+      val idx = p * (vals.length - 1)
+      val lo = math.floor(idx).toInt
+      val hi = math.ceil(idx).toInt
+      vals(lo) + (idx - lo) * (vals(hi) - vals(lo))
+    }
+    val ps = Seq(0.25, 0.5, 0.9)
+    val gotP = searcher.percentiles("the", "dl", ps).as[(Double, Double)].collect().toSeq
+    assert(gotP.map(_._1) == ps)
+    for (((p, v), i) <- gotP.zipWithIndex)
+      assert(math.abs(v - pctl(ps(i))) < 1e-9, s"p=$p got $v want ${pctl(ps(i))}")
+    // approximate variant: within the sketch's rank tolerance (sanity)
+    val gotPA = searcher.percentiles("the", "dl", Seq(0.5), approximate = true)
+      .as[(Double, Double)].collect().head._2
+    assert(gotPA >= vals.head && gotPA <= vals.last)
+
+    // --- top_hits: per-bucket top-k ≡ direct window computation ---
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("role")).orderBy(col("dl").desc, col("docId").asc)
+    val wantTH = matching.select(col("role").as("value"), col("docId").as("doc_id"),
+        col("dl").cast("long").as("sort_value"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("value"))
+          .orderBy(col("sort_value").desc, col("doc_id").asc)).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("value"), col("rank"), col("doc_id"), col("sort_value"))
+      .orderBy(col("value"), col("rank"))
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val gotTH = searcher.facetTopHits("the", "role", "dl", 3)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(gotTH == wantTH && gotTH.size == 9)
+    // the rank ≤ k filter must plan as a pre-shuffle window group limit
+    // (the per-shard-heap shape — a hot bucket never sorts more than k
+    // rows per upstream partition before the exchange)
+    val plan = searcher.facetTopHits("the", "role", "dl", 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
+    matching.unpersist(blocking = false)
+  }
+
   test("cross-segment parity: MultiSearcher answers the full surface like the compacted index") {
     val segIdx = s"${TestSpark.tmpRoot}/surface-segmented"
     val all = Transcripts.generate(spark, 120L).cache()
@@ -519,6 +614,26 @@ class QuerySurfaceSpec extends SparkSpec {
       == single.searchManyBool(rfSpecs, 10).head.toSeq)
     assert(multi.searchManyBool(rfSpecs, 10).head.nonEmpty)
 
+    // round-6 parity: exists/missing clauses + the three new aggs
+    assert(multi.searchBool("the", 10, exists = Seq("tool")).toSeq
+      == single.searchBool("the", 10, exists = Seq("tool")).toSeq)
+    assert(multi.searchBool("the", 10, exists = Seq("tool")).nonEmpty)
+    assert(multi.searchBool("the", 10, missing = Seq("tool")).toSeq
+      == single.searchBool("the", 10, missing = Seq("tool")).toSeq)
+    assert(multi.matchCount("the", exists = Seq("tool"))
+      == single.matchCount("the", exists = Seq("tool")))
+    assert(multi.cardinality("the", "tool") == single.cardinality("the", "tool"))
+    assert(multi.cardinality("the", "tool") > 0)
+    assert(multi.percentiles("the", "dl", Seq(0.25, 0.5, 0.9))
+        .as[(Double, Double)].collect().toSeq
+      == single.percentiles("the", "dl", Seq(0.25, 0.5, 0.9))
+        .as[(Double, Double)].collect().toSeq)
+    assert(multi.facetTopHits("the", "role", "dl", 3)
+        .as[(String, Long, Long, Long)].collect().toSeq
+      == single.facetTopHits("the", "role", "dl", 3)
+        .as[(String, Long, Long, Long)].collect().toSeq)
+    assert(multi.facetTopHits("the", "role", "dl", 3).count() == 9)
+
     // warm() pins the segment frames; results identical on every path
     val warmMulti = new graft.query.MultiSearcher(spark, segIdx).warm()
     assert(warmMulti.search("the zanzibar", 10).toSeq == multi.search("the zanzibar", 10).toSeq)
@@ -526,6 +641,8 @@ class QuerySurfaceSpec extends SparkSpec {
     assert(warmMulti.matchCount("the zanzibar") == multi.matchCount("the zanzibar"))
     assert(warmMulti.searchBool("the", 10, numericRangeFilters = nr).toSeq
       == multi.searchBool("the", 10, numericRangeFilters = nr).toSeq)
+    assert(warmMulti.searchBool("the", 10, exists = Seq("tool")).toSeq
+      == multi.searchBool("the", 10, exists = Seq("tool")).toSeq)
 
     // resolve + highlight parity (fragments are pure functions of
     // (text, terms) — identical rows ⇒ identical fragments)
