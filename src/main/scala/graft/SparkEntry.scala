@@ -135,6 +135,17 @@ object SparkEntry {
   SELECT DISTINCT pa.doc_id FROM pe pa JOIN pe pb USING (doc_id)
   WHERE pa.term = '$a' AND pb.term = '$b' AND abs(pb.p - pa.p - 1) <= $slop"""
 
+  /** match_phrase_prefix membership subquery: docs where `a` is
+    * immediately followed by ANY of the ≤`cap` term-asc distinct corpus
+    * terms starting with `p` — the engine's expansion rewrite verbatim.
+    */
+  private def phrasePrefixSubquery(a: String, p: String, cap: Int): String =
+    s"""WITH arrs AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '$SqlTokRegex'), x -> x <> '') AS arr FROM documents),
+  pe AS (SELECT doc_id, tp.term AS term, tp.p AS p FROM (SELECT doc_id, unnest(list_transform(arr, (t, i) -> {'term': t, 'p': i})) AS tp FROM arrs)),
+  exp AS (SELECT DISTINCT term FROM pe WHERE term LIKE '$p%' ORDER BY term ASC LIMIT $cap)
+  SELECT DISTINCT pa.doc_id FROM pe pa JOIN pe pb USING (doc_id)
+  WHERE pa.term = '$a' AND pb.term IN (SELECT term FROM exp) AND pb.p - pa.p = 1"""
+
   private def bm25Sql(terms: Seq[String], k: Int, conjunctive: Boolean,
       phrase: Seq[String] = null, termPred: String = null,
       docPred: String = null, havingExpr: String = null,
@@ -493,6 +504,14 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
       // expands within the %title: namespace, scores under field stats
       rankHits(s, new Searcher(s, documentsIndex(s, dir), 8)
         .searchPrefix("s", 10, field = "title"))
+    }),
+    "q_bm25_phrase_prefix" -> ((s, dir) => {
+      // ES match_phrase_prefix: 'merge s*' — the last position expands
+      // to the ≤50 term-asc dictionary terms starting 's' and rides the
+      // phrase as ONE multi-term union slot (Lucene MultiPhraseQuery);
+      // score = BM25 of the fixed terms (the slot gates membership)
+      rankHits(s, new Searcher(s, documentsIndex(s, dir), 8)
+        .searchPhrasePrefix("merge s", 10))
     }),
     "q_facet_terms_range" -> ((s, dir) =>
       // aggregation over the FULL bool query incl. a `terms` clause and
@@ -922,6 +941,10 @@ GROUP BY 1 ORDER BY 1""",
           conjunctive = true, docIdIn = titlePhraseSubquery(a, b))
       },
       "q_bm25_field_prefix" -> fieldBm25Sql(Nil, 10, termPred = "ftf.term LIKE 's%'"),
+      // phrase-prefix twin: membership = 'merge' adjacent to any capped
+      // 's*' expansion; score = the FIXED term's BM25 (the engine's rule)
+      "q_bm25_phrase_prefix" -> bm25Sql(Seq("merge"), 10, conjunctive = true,
+        docIdIn = phrasePrefixSubquery("merge", "s", 50)),
       "q_facet_terms_range" ->
         s"""${toksCte("documents", "doc_id")}
 SELECT d.source AS value, CAST(count(*) AS BIGINT) AS n_docs

@@ -122,6 +122,11 @@ private[query] object MultiSearcherOps {
       }
     val iters = w.scored.flatMap(t => iterOf(t, scored = true))
     val shoulds = w.shoulds.flatMap(t => iterOf(t, scored = true))
+    // match_phrase_prefix last slot: union of the expansions present in
+    // this group (score 0 — membership only); none here ⇒ no hits
+    val prefixMembers: Seq[Wand.TermIterator] =
+      if (w.prefixExpansions == null) null
+      else w.prefixExpansions.flatMap(t => iterOf(t, scored = false))
     val clauseCursors: Seq[Option[Wand.DocCursor]] = w.clauses.map { clause =>
       val members = clause.flatMap(t => iterOf(t, scored = false))
       if (members.isEmpty) None
@@ -135,14 +140,18 @@ private[query] object MultiSearcherOps {
     // group where a clause has NO member value has no matching docs; a
     // required-group term present globally but absent here ⇒ no hits
     if ((w.scored.nonEmpty && iters.isEmpty) ||
-      (iters.isEmpty && shoulds.isEmpty) ||
+      (iters.isEmpty && shoulds.isEmpty && prefixMembers == null) ||
       ((w.conjunctive || w.slots != null) && iters.size < w.scored.size) ||
       shoulds.size < w.minShould ||
-      clauseCursors.exists(_.isEmpty)) Iterator.empty
+      clauseCursors.exists(_.isEmpty) ||
+      (prefixMembers != null && prefixMembers.isEmpty)) Iterator.empty
     else {
+      val phraseLists: Seq[Wand.PosCursor] =
+        if (prefixMembers == null) iters
+        else iters :+ new Wand.UnionPosIterator(Searcher.PrefixSlot, prefixMembers.toArray)
       val top =
         if (w.slots != null)
-          Wand.topKPhrase(iters, w.slots, k, filters, excludes, shoulds, w.minShould,
+          Wand.topKPhrase(phraseLists, w.slots, k, filters, excludes, shoulds, w.minShould,
             after, w.slop)
         else if (w.conjunctive)
           Wand.topKConjunctive(iters, k, filters, excludes, shoulds, w.minShould, after)
@@ -171,7 +180,12 @@ private[query] final case class MsSpecWork(
     /** non-null = best_fields combination ([[Wand.BestFields]]) — ES's
       * default multi_match mode; null = most_fields (one sum).
       */
-    bestFields: Wand.BestFields = null)
+    bestFields: Wand.BestFields = null,
+    /** non-null = `match_phrase_prefix`: the expanded terms of the
+      * phrase's LAST slot (`slots` ends with [[Searcher.PrefixSlot]]) —
+      * same semantics as the single-index searcher.
+      */
+    prefixExpansions: Seq[String] = null)
 
 class MultiSearcher(spark: SparkSession, indexDir: String) {
   import spark.implicits._
@@ -621,12 +635,14 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
       after: Scored = null,
       slop: Int = 0,
       boosts: Map[String, Double] = Map.empty,
-      bestFields: Wand.BestFields = null): Array[Scored] = {
+      bestFields: Wand.BestFields = null,
+      prefixExpansions: Seq[String] = null): Array[Scored] = {
     val distinctTerms = terms.distinct.sorted
-    if ((distinctTerms.isEmpty && shouldTerms.isEmpty) || k <= 0) return Array.empty
+    if ((distinctTerms.isEmpty && shouldTerms.isEmpty && prefixExpansions == null) || k <= 0)
+      return Array.empty
     val (dfGlobal, perSeg) =
-      lookup((distinctTerms ++ filterClauses.flatten ++ excludeTerms ++ shouldTerms)
-        .distinct.sorted)
+      lookup((distinctTerms ++ filterClauses.flatten ++ excludeTerms ++ shouldTerms ++
+        Option(prefixExpansions).getOrElse(Nil)).distinct.sorted)
     if (distinctTerms.nonEmpty && !distinctTerms.exists(dfGlobal.contains))
       return Array.empty
     // a clause with no value present in any segment ⇒ nothing can match
@@ -636,6 +652,10 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
       return Array.empty
     val shouldFound = shouldTerms.filter(dfGlobal.contains)
     if (shouldFound.size < minShould) return Array.empty
+    val prefixFound =
+      if (prefixExpansions == null) null
+      else prefixExpansions.filter(dfGlobal.contains)
+    if (prefixFound != null && prefixFound.isEmpty) return Array.empty
     val nG = n
     val avgdlG = avgdl
     val fsMap = fieldStatsMap
@@ -645,7 +665,7 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
     // exclude terms: those live in the '#'/'%' namespaces)
     val w = MsSpecWork(0, distinctTerms.filter(dfGlobal.contains), shouldFound,
       clauses, excludeTerms.distinct.sorted.filter(dfGlobal.contains),
-      conjunctive, slots, minShould, slop, boosts, bestFields)
+      conjunctive, slots, minShould, slop, boosts, bestFields, prefixFound)
     if (localSegs != null)
       return runLocal(Seq((w, aft)), k, perSeg, dfGlobal, nG, avgdlG, fsMap).head
     // termId is segment-local: key block groups by (segIdx, termId);
@@ -798,6 +818,25 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
     if (slots.isEmpty) return Array.empty
     val hits = run(slots.distinct.sorted, from + k, conjunctive = false, slots = slots,
       slop = slop)
+    if (from == 0) hits else hits.slice(from, from + k)
+  }
+
+  /** ES `match_phrase_prefix` over the union of all segments: same
+    * rewrite and scoring rule as [[Searcher.searchPhrasePrefix]] — the
+    * last token expands against the GLOBAL distinct dictionary
+    * (term-asc, capped), so a compacted index answers identically.
+    */
+  def searchPhrasePrefix(query: String, k: Int, maxExpansions: Int = 50,
+      slop: Int = 0, from: Int = 0, field: String = "text"): Array[Scored] = {
+    val toks = Analyzer.tokenize(query).toSeq
+    if (toks.isEmpty) return Array.empty
+    val p = toks.last
+    val fixed = toks.init.map(t => FieldTerms.textTerm(field, t))
+    val exp = expand(_.startsWith(p), maxExpansions, field)
+    if (exp.isEmpty) return Array.empty
+    val slots = fixed :+ Searcher.PrefixSlot
+    val hits = run(fixed.distinct.sorted, from + k, conjunctive = false, slots = slots,
+      slop = slop, prefixExpansions = exp.sorted)
     if (from == 0) hits else hits.slice(from, from + k)
   }
 

@@ -51,7 +51,14 @@ private[query] final case class SearchMode(
       * Σ others); null = the plain one-sum (most_fields) rule. OR-mode
       * only.
       */
-    bestFields: Wand.BestFields = null)
+    bestFields: Wand.BestFields = null,
+    /** non-null = `match_phrase_prefix`: the dictionary terms the
+      * phrase's LAST slot expanded to (capped, term-asc — the ES
+      * rewrite); the slot matches when ANY of them occurs at the
+      * phrase position ([[Wand.UnionPosIterator]]). `slots`' last
+      * element is the [[Searcher.PrefixSlot]] placeholder.
+      */
+    prefixExpansions: Seq[String] = null)
 
 /** One query of a batched `_msearch`-style request
   * ([[Searcher.searchManyBool]]): the FULL bool surface, including
@@ -120,6 +127,12 @@ private[query] object Expansion {
 private[query] object Searcher {
   import graft.model.{PostingBlock => PB}
 
+  /** Placeholder slot name of the `match_phrase_prefix` expanded last
+    * position (the \u0001 control prefix precedes every analyzer-emitted and namespaced
+    * term, so it can never collide with a real dictionary term).
+    */
+  val PrefixSlot = "\u0001prefix"
+
   /** One bucket's WAND dispatch, shared by the distributed and the
     * driver-local serving paths (kept in the companion so Spark task
     * closures never capture a Searcher instance). `entries` carries the
@@ -144,6 +157,8 @@ private[query] object Searcher {
     val fSet = mode.filterClauses.flatten.toSet
     val eSet = mode.excludeTerms.toSet
     val sSet = mode.shouldTerms.toSet
+    val pSet = if (mode.prefixExpansions == null) Set.empty[String]
+      else mode.prefixExpansions.toSet
     val byName = entries.toMap
     def iterOf(t: String, s: TermStats): Option[Wand.TermIterator] =
       byTerm.get(s.termId).map { bs =>
@@ -153,14 +168,24 @@ private[query] object Searcher {
         new Wand.TermIterator(t, bs, boost * s.maxScore, s.df, nn, ad, boost = boost)
       }
     val scoredEntries = entries.filter { case (t, _) =>
-      !fSet.contains(t) && !eSet.contains(t) && !sSet.contains(t) }
+      !fSet.contains(t) && !eSet.contains(t) && !sSet.contains(t) && !pSet.contains(t) }
     val scored = scoredEntries.flatMap { case (t, s) => iterOf(t, s) }
     val shoulds = entries.filter(e => sSet.contains(e._1)).flatMap { case (t, s) => iterOf(t, s) }
+    // match_phrase_prefix last slot: union of the expansions present in
+    // this bucket — a required slot with no member here ⇒ no hits
+    val prefixUnion: Wand.UnionPosIterator =
+      if (mode.prefixExpansions == null) null
+      else {
+        val members = mode.prefixExpansions
+          .flatMap(t => byName.get(t).flatMap(s => iterOf(t, s)))
+        if (members.isEmpty) return Iterator.empty
+        new Wand.UnionPosIterator(Searcher.PrefixSlot, members.toArray)
+      }
     val needAll = mode.conjunctive || mode.slots != null
     // required group present globally but absent here ⇒ no hits in this
     // bucket; a bucket with fewer should lists than minShould likewise
     if ((scoredEntries.nonEmpty && scored.isEmpty) ||
-      (scored.isEmpty && shoulds.isEmpty) ||
+      (scored.isEmpty && shoulds.isEmpty && prefixUnion == null) ||
       (needAll && scored.size < scoredEntries.size) ||
       shoulds.size < mode.minShould) return Iterator.empty
     // each clause → one cursor (union of its values' lists); a clause
@@ -178,7 +203,9 @@ private[query] object Searcher {
     val excludes = entries.filter(e => eSet.contains(e._1)).flatMap { case (t, s) => iterOf(t, s) }
     val top =
       if (mode.slots != null)
-        Wand.topKPhrase(scored, mode.slots, k, filters, excludes, shoulds, mode.minShould,
+        Wand.topKPhrase(
+          if (prefixUnion == null) scored else scored :+ prefixUnion,
+          mode.slots, k, filters, excludes, shoulds, mode.minShould,
           mode.after, mode.slop)
       else if (mode.conjunctive)
         Wand.topKConjunctive(scored, k, filters, excludes, shoulds, mode.minShould, mode.after)
@@ -377,6 +404,38 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
     if (slots.isEmpty) return Array.empty
     val hits = runPerBucket(slots.distinct.sorted, from + k,
       SearchMode(conjunctive = false, slots = slots, slop = slop))
+    if (from == 0) hits else hits.slice(from, from + k)
+  }
+
+  /** ES `match_phrase_prefix`: the analyzed query matched as a phrase
+    * whose LAST token is a PREFIX — expanded against the dictionary
+    * (term-asc, capped at `maxExpansions`, exactly the `searchPrefix`
+    * rewrite) into one multi-term slot ([[Wand.UnionPosIterator]],
+    * Lucene's MultiPhraseQuery position): the doc matches when the
+    * fixed tokens are followed by ANY expansion at the phrase position.
+    * Scoring: the engine's phrase rule — the BM25 sum of the FIXED
+    * distinct terms (the expanded slot gates membership only; a
+    * single-token query therefore ranks all prefix-matching docs at
+    * score 0 — use [[searchPrefix]] for scored pure-prefix queries).
+    * `slop` > 0 applies the sloppy model; with an expansion identical
+    * to a fixed term the sloppy matcher may reuse a token occurrence
+    * across those two slots (slop = 0 adjacency is always exact).
+    * `field` expands and matches within that analyzed field.
+    */
+  def searchPhrasePrefix(query: String, k: Int, maxExpansions: Int = 50,
+      slop: Int = 0, from: Int = 0, field: String = "text"): Array[Scored] = {
+    val toks = Analyzer.tokenize(query).toSeq
+    if (toks.isEmpty) return Array.empty
+    val p = toks.last
+    val fixed = toks.init.map(t => graft.index.FieldTerms.textTerm(field, t))
+    val exp = expand(_.startsWith(p), _.startsWith(p), maxExpansions, field)
+    if (exp.isEmpty) return Array.empty
+    val fixedFound = lookupTerms(fixed.distinct)
+    if (fixedFound.size < fixed.distinct.size) return Array.empty
+    val slots = fixed :+ Searcher.PrefixSlot
+    val hits = runFound(fixedFound ++ exp, from + k,
+      SearchMode(conjunctive = false, slots = slots, slop = slop,
+        prefixExpansions = exp.keys.toSeq.sorted))
     if (from == 0) hits else hits.slice(from, from + k)
   }
 

@@ -27,6 +27,26 @@ object Wand {
     * over merged segments: stored maxScore encodes per-segment df/N/avgdl
     * and is no longer an upper bound).
     */
+  /** The full positional-cursor interface the intersection executor
+    * drives: a required AND/phrase list is anything that can report a
+    * block-level bound + horizon (for the block-max early exit),
+    * positions (for phrase slots) and an exact score contribution.
+    * [[TermIterator]] is the single-posting-list instance;
+    * [[UnionPosIterator]] the multi-term disjunction slot
+    * (`match_phrase_prefix`'s expanded last position).
+    */
+  trait PosCursor extends DocCursor {
+    def term: String
+    def ub: Double
+    def exhausted: Boolean
+    def blockMax: Double
+    def blockLast: Long
+    def shallowSeek(target: Long): Unit
+    def advancePast(doc: Long): Unit
+    def positions: Array[Int]
+    def score: Double
+  }
+
   final class TermIterator(
       val term: String,
       blocksIn: Array[PostingBlock],
@@ -40,7 +60,7 @@ object Wand {
         * sound; callers must pass a pre-scaled `ub`.
         */
       boost: Double = 1.0
-  ) extends DocCursor {
+  ) extends PosCursor {
     private val blocks = blocksIn.sortBy(b => (b.firstDocId, b.lastDocId))
     private var bi = 0
     private var dec: Codec.DecodedBlock = _
@@ -170,6 +190,54 @@ object Wand {
         i += 1
       }
       cur = min
+    }
+  }
+
+  /** Disjunction of posting lists as ONE required positional slot — the
+    * `match_phrase_prefix` rewrite (Lucene's MultiPhraseQuery position):
+    * the doc matches the slot when ANY member term occurs, and the
+    * slot's positions are the members' merged occurrence positions.
+    * Score contribution is 0 (the engine's documented phrase-scoring
+    * rule sums the FIXED phrase terms; the expanded slot gates
+    * membership only), so `blockMax = 0` keeps block-max pruning sound
+    * and `blockLast = MaxValue` never constrains the skip horizon (a
+    * zero bound is valid over any span).
+    */
+  final class UnionPosIterator(val term: String, members: Array[TermIterator])
+      extends PosCursor {
+    require(members.nonEmpty, "empty prefix-slot expansion")
+    val ub = 0.0
+    private var cur = members.map(_.curDoc).min
+    def curDoc: Long = cur
+    def nextGEQ(target: Long): Unit = {
+      if (cur >= target) return
+      var min = Long.MaxValue
+      var i = 0
+      while (i < members.length) {
+        if (members(i).curDoc < target) members(i).nextGEQ(target)
+        if (members(i).curDoc < min) min = members(i).curDoc
+        i += 1
+      }
+      cur = min
+    }
+    def advancePast(doc: Long): Unit = nextGEQ(doc + 1)
+    def shallowSeek(target: Long): Unit = {
+      var i = 0
+      while (i < members.length) { members(i).shallowSeek(target); i += 1 }
+      if (exhausted) cur = Long.MaxValue
+    }
+    def exhausted: Boolean = members.forall(_.exhausted)
+    def blockMax: Double = 0.0
+    def blockLast: Long = Long.MaxValue
+    def score: Double = 0.0
+    /** Merged ascending occurrence positions of the members sitting on
+      * the current doc (each aligned member's in-block position is valid
+      * after the nextGEQ that aligned it).
+      */
+    def positions: Array[Int] = {
+      val bufs = members.iterator.filter(_.curDoc == cur).map(_.positions).toArray
+      if (bufs.length == 1) bufs(0)
+      else bufs.flatten.distinct.sorted
     }
   }
 
@@ -435,7 +503,7 @@ object Wand {
     * block-max early exit once the heap is full (a block span whose
     * Σ blockMax cannot beat θ is skipped without decoding any block).
     */
-  def topKConjunctive(lists: Seq[TermIterator], k: Int,
+  def topKConjunctive(lists: Seq[PosCursor], k: Int,
       filters: Seq[DocCursor] = Nil,
       excludes: Seq[DocCursor] = Nil,
       shoulds: Seq[TermIterator] = Nil,
@@ -451,7 +519,7 @@ object Wand {
     * docs where the exact phrase occurs. `lists` must carry one iterator
     * per DISTINCT phrase term.
     */
-  def topKPhrase(lists: Seq[TermIterator], phrase: Seq[String], k: Int,
+  def topKPhrase(lists: Seq[PosCursor], phrase: Seq[String], k: Int,
       filters: Seq[DocCursor] = Nil,
       excludes: Seq[DocCursor] = Nil,
       shoulds: Seq[TermIterator] = Nil,
@@ -477,7 +545,7 @@ object Wand {
     * (`match_phrase`), answered by the O(Σ positions) greedy
     * minimal-chain scan.
     */
-  private def phraseAt(slots: Array[TermIterator], slop: Int): Boolean = {
+  private def phraseAt(slots: Array[PosCursor], slop: Int): Boolean = {
     val m = slots.length
     if (m == 1) return slots(0).positions.length > 0
     if (slop == 0) return adjacentAt(slots)
@@ -496,7 +564,7 @@ object Wand {
     * position past the previous; pointers only move forward across
     * starts, O(Σ positions) total.
     */
-  private def adjacentAt(slots: Array[TermIterator]): Boolean = {
+  private def adjacentAt(slots: Array[PosCursor]): Boolean = {
     val pos = slots.map(_.positions)
     val m = slots.length
     val ptr = new Array[Int](m)
@@ -524,7 +592,7 @@ object Wand {
     * minimum. Finds the minimal achievable width (positions across
     * different terms are distinct by construction), O(Σ positions · m).
     */
-  private def sloppyDistinctAt(slots: Array[TermIterator], slop: Int): Boolean = {
+  private def sloppyDistinctAt(slots: Array[PosCursor], slop: Int): Boolean = {
     val pos = slots.map(_.positions)
     val m = slots.length
     val ptr = new Array[Int](m)
@@ -555,10 +623,10 @@ object Wand {
     * ascending greedy assignment (smallest unused feasible position per
     * offset) is exact. O(candidates × Σ positions).
     */
-  private def sloppyRepeatsAt(slots: Array[TermIterator], slop: Int): Boolean = {
+  private def sloppyRepeatsAt(slots: Array[PosCursor], slop: Int): Boolean = {
     val m = slots.length
     val groups: Array[(Array[Int], Array[Int])] = {
-      val seen = scala.collection.mutable.ArrayBuffer[(TermIterator, scala.collection.mutable.ArrayBuffer[Int])]()
+      val seen = scala.collection.mutable.ArrayBuffer[(PosCursor, scala.collection.mutable.ArrayBuffer[Int])]()
       var i = 0
       while (i < m) {
         seen.find(_._1 eq slots(i)) match {
@@ -589,7 +657,7 @@ object Wand {
   }
 
   private def intersectTopK(
-      lists: Seq[TermIterator],
+      lists: Seq[PosCursor],
       k: Int,
       phrase: Seq[String],
       filters: Seq[DocCursor] = Nil,
@@ -612,7 +680,7 @@ object Wand {
     // scoring order: term asc over the MERGED groups (same determinism
     // rule as topK); merged(i) aligned-at-candidate ⇒ contributes
     val merged = (byTerm ++ shouldArr).sortBy(_.term)
-    val slots: Array[TermIterator] =
+    val slots: Array[PosCursor] =
       if (phrase == null) null
       else {
         val m = byTerm.map(it => it.term -> it).toMap

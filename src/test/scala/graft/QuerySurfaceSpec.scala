@@ -500,6 +500,33 @@ class QuerySurfaceSpec extends SparkSpec {
     matching.unpersist(blocking = false)
   }
 
+  test("match_phrase_prefix: capped expansion slot ≡ oracle semi-join (cold + warm)") {
+    // engine rewrite replicated: distinct dictionary terms starting with
+    // the prefix, term-asc, first 50 — then membership = fixed token
+    // adjacent to ANY expansion; score = the fixed terms' BM25 sum
+    val exp = tok.select("term").distinct().as[String].collect()
+      .filter(_.startsWith("t1")).sorted.take(50).toSet
+    assert(exp.size == 50) // the cap must actually engage (vocab has >50 t1*)
+    val texts = docsDF.select(col("docId"), col("text")).as[(Long, String)].collect()
+    val memberDocs = texts.filter { case (_, txt) =>
+      val ts = Analyzer.tokenize(txt)
+      (0 until ts.length - 1).exists(i => ts(i) == "the" && exp.contains(ts(i + 1)))
+    }.map(_._1).toSeq
+    assert(memberDocs.nonEmpty)
+    val want = Oracle.topK(docsDF, "the", Int.MaxValue)
+      .join(memberDocs.toDF("docId"), Seq("docId"), "left_semi")
+      .orderBy(col("score").desc, col("docId").asc).limit(10).as[Scored].collect().toSeq
+    val got = searcher.searchPhrasePrefix("the t1", 10)
+    assert(got.toSeq == want && got.nonEmpty)
+    assert(warmed.searchPhrasePrefix("the t1", 10).toSeq == want)
+    // pure-prefix (no fixed tokens): membership-only, score 0, docId asc
+    val pure = searcher.searchPhrasePrefix("t1", 5)
+    assert(pure.length == 5 && pure.forall(_.score == 0.0))
+    assert(pure.map(_.docId).toSeq == pure.map(_.docId).sorted.toSeq)
+    // unmatchable prefix ⇒ empty
+    assert(searcher.searchPhrasePrefix("the zzzz", 10).isEmpty)
+  }
+
   test("cross-segment parity: MultiSearcher answers the full surface like the compacted index") {
     val segIdx = s"${TestSpark.tmpRoot}/surface-segmented"
     val all = Transcripts.generate(spark, 120L).cache()
@@ -613,6 +640,12 @@ class QuerySurfaceSpec extends SparkSpec {
     assert(multi.searchManyBool(rfSpecs, 10).head.toSeq
       == single.searchManyBool(rfSpecs, 10).head.toSeq)
     assert(multi.searchManyBool(rfSpecs, 10).head.nonEmpty)
+
+    // round-6 parity: match_phrase_prefix across segments (global
+    // distinct expansion ≡ the compacted dictionary's)
+    assert(multi.searchPhrasePrefix("the t1", 10).toSeq
+      == single.searchPhrasePrefix("the t1", 10).toSeq)
+    assert(multi.searchPhrasePrefix("the t1", 10).nonEmpty)
 
     // round-6 parity: exists/missing clauses + the three new aggs
     assert(multi.searchBool("the", 10, exists = Seq("tool")).toSeq

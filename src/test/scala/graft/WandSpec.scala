@@ -193,6 +193,73 @@ class WandSpec extends AnyFunSuite {
     }
   }
 
+  test("match_phrase_prefix: union last slot ≡ exhaustive on 150 random cases (slop 0..2)") {
+    val PrefixSlot = "prefix"
+    var ran = 0
+    var it = 0
+    while (ran < 150) {
+      it += 1
+      val vocab = 4 + rnd.nextInt(20)
+      val nDocs = 10 + rnd.nextInt(300)
+      val corpus = randomCorpus(nDocs, vocab)
+      val dfAll = corpus.flatMap(_.distinct).groupBy(identity).map { case (t, xs) => t -> xs.size }
+      val m = rnd.nextInt(3) // fixed slots (0 = pure prefix)
+      val fixed = Seq.fill(m)("t" + rnd.nextInt(vocab))
+      val p = "t" + rnd.nextInt(10)
+      val expansions = dfAll.keys.filter(_.startsWith(p)).toSeq.sorted
+      val slop = rnd.nextInt(3)
+      // keep: expansions present, all fixed terms present, and under
+      // slop > 0 expansions disjoint from fixed (the documented caveat)
+      val ok = expansions.nonEmpty && fixed.forall(dfAll.contains) &&
+        (slop == 0 || !fixed.exists(expansions.contains))
+      if (ok) {
+        ran += 1
+        val blockSize = Seq(4, 16, 128)(it % 3)
+        val fixedKept = fixed.distinct.sorted
+        val (fixedIters, _, _, _) = buildIters(corpus, fixedKept, blockSize)
+        val (memberIters, _, _, _) = buildIters(corpus, expansions, blockSize)
+        val union = new Wand.UnionPosIterator(PrefixSlot, memberIters.toArray)
+        val slots = fixed :+ PrefixSlot
+        val k = 1 + rnd.nextInt(15)
+        val got = Wand.topKPhrase(fixedIters :+ union, slots, k, slop = slop)
+        // brute: DFS over DISTINCT token positions, last slot = ANY
+        // expansion; score = BM25 sum over the distinct FIXED terms
+        val expSet = expansions.toSet
+        def matches(doc: Array[String]): Boolean = {
+          val slotTerms: Seq[Set[String]] = fixed.map(Set(_)) :+ expSet
+          def go(slot: Int, used: Set[Int], mn: Int, mx: Int): Boolean = {
+            if (mx - mn > slop) false
+            else if (slot == slotTerms.length) true
+            else doc.indices.exists { i =>
+              !used.contains(i) && slotTerms(slot).contains(doc(i)) && {
+                val q = i - slot
+                go(slot + 1, used + i, math.min(mn, q), math.max(mx, q))
+              }
+            }
+          }
+          def go0 = doc.indices.exists { i =>
+            slotTerms.head.contains(doc(i)) && go(1, Set(i), i, i)
+          }
+          go0
+        }
+        val tfs = corpus.map(tfOf)
+        val dls = corpus.map(_.length)
+        val n = corpus.length.toLong
+        val avgdl = dls.sum.toDouble / corpus.length
+        val want = corpus.indices.flatMap { d =>
+          if (!fixedKept.forall(tfs(d).contains) || !matches(corpus(d))) None
+          else {
+            var s = 0.0
+            fixedKept.foreach(t => s += Bm25.score(tfs(d)(t), dfAll(t).toLong, dls(d), n, avgdl))
+            Some(Scored(d.toLong, s))
+          }
+        }.sortBy(s => (-s.score, s.docId)).take(k)
+        assert(got.toSeq == want,
+          s"mpp mismatch: fixed=$fixed p=$p slop=$slop k=$k\n got=${got.toSeq}\n want=$want")
+      }
+    }
+  }
+
   test("conjunctive block-max pruning decodes fewer blocks, identical results") {
     // skewed corpus: one rare high-tf term + one hot low-signal term; with
     // k=1 the heap fills early and whole block spans of the hot term fall
