@@ -551,6 +551,15 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
       // n_chars (window group-limit — the per-shard-heap plan shape)
       new Searcher(s, documentsIndex(s, dir), 8)
         .facetTopHits(Bm25Query, "lang", "n_chars", 3)),
+    "q_query_string" -> ((s, dir) => {
+      // Lucene/ES query_string: the URI-search mini-language compiled
+      // to the engine's bool query — scored OR words, a keyword filter,
+      // an analyzed-text must_not, and a tiered numeric range clause
+      rankHits(s, new Searcher(s, documentsIndex(s, dir), 8)
+        .searchQueryString("spark query window lang:en -merge n_chars:[137 TO 2741]",
+          10, graft.query.QueryString.Schema(keywordFields = Set("lang", "source"),
+            numericFields = Set("n_chars"), textFields = Set("title"))))
+    }),
     "q_bm25_should" -> ((s, dir) => {
       // ES bool should: optional scoring clause — matched should terms
       // add their BM25 contribution, membership still requires >=1 must
@@ -985,6 +994,13 @@ r AS (SELECT value, doc_id, n_chars,
       FROM m)
 SELECT value, CAST(rank AS BIGINT) AS rank, doc_id, CAST(n_chars AS BIGINT) AS sort_value
 FROM r WHERE rank <= 3 ORDER BY value, rank""",
+      // query_string twin: the compiled bool query's membership rules —
+      // keyword filter + numeric range + analyzed-term exclusion, scores
+      // stay the full-corpus BM25 of the scored OR words
+      "q_query_string" -> bm25Sql(Analyzer.analyzeQuery(Bm25Query).toSeq
+          .filterNot(_ == "merge"), 10, conjunctive = false,
+        docPred = "lang = 'en' AND n_chars BETWEEN 137 AND 2741 " +
+          "AND doc_id NOT IN (SELECT doc_id FROM tok WHERE term = 'merge')"),
       // should semantics: score over must ∪ should matched terms, doc
       // qualifies via >=1 must; minShouldMatch counts distinct should
       // terms (tf has one row per (term, doc), so FILTER counts terms)

@@ -821,6 +821,13 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
     if (from == 0) hits else hits.slice(from, from + k)
   }
 
+  /** Lucene/ES `query_string` over the union of all segments — same
+    * grammar and compilation as [[Searcher.searchQueryString]].
+    */
+  def searchQueryString(q: String, k: Int,
+      schema: QueryString.Schema = QueryString.Schema()): Array[Scored] =
+    searchManyBool(Seq(QueryString.parse(q, schema)), k).head
+
   /** ES `match_phrase_prefix` over the union of all segments: same
     * rewrite and scoring rule as [[Searcher.searchPhrasePrefix]] — the
     * last token expands against the GLOBAL distinct dictionary
@@ -874,6 +881,10 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
         */
       exists: Seq[String] = Nil,
       missing: Seq[String] = Nil,
+      /** ES bool `must_not` over ANALYZED text ((field, word), "text" =
+        * main field — the Lucene `-term` clause).
+        */
+      mustNotText: Seq[(String, String)] = Nil,
       should: String = "",
       minShouldMatch: Int = 0,
       from: Int = 0,
@@ -919,7 +930,9 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
         rangeFilters.map { case (f, lo, hi) => expandFieldRange(f, lo, hi) } ++
         exists.map(f => Seq(FieldTerms.existsTerm(f))),
       (mustNot.map { case (f, v) => FieldTerms.term(f, v) } ++
-        missing.map(f => FieldTerms.existsTerm(f))).distinct,
+        missing.map(f => FieldTerms.existsTerm(f)) ++
+        mustNotText.flatMap { case (f, w) =>
+          Analyzer.tokenize(w).map(t => FieldTerms.textTerm(f, t)) }).distinct,
       shouldTerms, minShouldMatch, after, phraseSlop, boosts, bf)
     if (from == 0) hits else hits.slice(from, from + k)
   }
@@ -967,7 +980,10 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
         else null
       (slots, scoredTerms, shouldTerms, clauses,
         (sp.mustNot.map { case (f, v) => FieldTerms.term(f, v) } ++
-          sp.missing.map(f => FieldTerms.existsTerm(f))).distinct, boosts, bf)
+          sp.missing.map(f => FieldTerms.existsTerm(f)) ++
+          sp.mustNotText.flatMap { case (f, w) =>
+            Analyzer.tokenize(w).map(t => FieldTerms.textTerm(f, t)) }).distinct,
+        boosts, bf)
     }
     val allTerms = preps.flatMap(p => p._2 ++ p._3 ++ p._4.flatten ++ p._5).distinct.sorted
     val (dfGlobal, perSeg) = lookup(allTerms)

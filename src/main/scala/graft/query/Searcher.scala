@@ -97,6 +97,12 @@ final case class BoolQuerySpec(
       */
     exists: Seq[String] = Nil,
     missing: Seq[String] = Nil,
+    /** ES bool `must_not` over ANALYZED text ((field, word) pairs,
+      * field "text" = the main field; the Lucene `-term` clause): docs
+      * containing the word's tokens in that field are vetoed. Same
+      * exclude-cursor machinery as keyword mustNot.
+      */
+    mustNotText: Seq[(String, String)] = Nil,
     should: String = "",
     minShouldMatch: Int = 0,
     phraseSlop: Int = 0)
@@ -407,6 +413,15 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
     if (from == 0) hits else hits.slice(from, from + k)
   }
 
+  /** Lucene/ES `query_string` execution: [[QueryString.parse]]d into a
+    * [[BoolQuerySpec]] and run through the batched bool path (one job).
+    * Throws IllegalArgumentException on unsupported syntax — see
+    * [[QueryString]] for the grammar.
+    */
+  def searchQueryString(q: String, k: Int,
+      schema: QueryString.Schema = QueryString.Schema()): Array[Scored] =
+    searchManyBool(Seq(QueryString.parse(q, schema)), k).head
+
   /** ES `match_phrase_prefix`: the analyzed query matched as a phrase
     * whose LAST token is a PREFIX — expanded against the dictionary
     * (term-asc, capped at `maxExpansions`, exactly the `searchPrefix`
@@ -534,7 +549,9 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
         else null
       Prep(scoredTerms, slots, clauses,
         (sp.mustNot.map { case (f, v) => graft.index.FieldTerms.term(f, v) } ++
-          sp.missing.map(f => graft.index.FieldTerms.existsTerm(f))).distinct,
+          sp.missing.map(f => graft.index.FieldTerms.existsTerm(f)) ++
+          sp.mustNotText.flatMap { case (f, w) =>
+            Analyzer.tokenize(w).map(t => graft.index.FieldTerms.textTerm(f, t)) }).distinct,
         shouldTerms, sp.rangeFilters, boosts, bf)
     }
     // ALL specs' lexicographic ranges expand in ONE batched dict scan
@@ -706,6 +723,11 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
         * vetoed — the exists marker rides the must_not cursor set.
         */
       missing: Seq[String] = Nil,
+      /** ES bool `must_not` over ANALYZED text ((field, token), "text"
+        * = main field — the Lucene `-term` clause): the token's docs
+        * are vetoed via the same exclude cursors as keyword mustNot.
+        */
+      mustNotText: Seq[(String, String)] = Nil,
       /** ES bool `should`: an analyzed query whose terms optionally add
         * score (terms already in the must query are dropped — groups
         * must be disjoint).
@@ -782,7 +804,9 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
     val rangeExp: Seq[Map[String, TermStats]] =
       rangeFilters.map { case (f, lo, hi) => expandFieldRange(f, lo, hi) }
     val excludeTerms = (mustNot.map { case (f, v) => graft.index.FieldTerms.term(f, v) } ++
-      missing.map(f => graft.index.FieldTerms.existsTerm(f))).distinct
+      missing.map(f => graft.index.FieldTerms.existsTerm(f)) ++
+      mustNotText.flatMap { case (f, w) =>
+        Analyzer.tokenize(w).map(t => graft.index.FieldTerms.textTerm(f, t)) }).distinct
     val found = lookupTerms(
       scoredTerms ++ shouldTerms ++ clauses.flatten.distinct ++ excludeTerms) ++
       rangeExp.flatten

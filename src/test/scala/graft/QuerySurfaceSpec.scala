@@ -527,6 +527,36 @@ class QuerySurfaceSpec extends SparkSpec {
     assert(searcher.searchPhrasePrefix("the zzzz", 10).isEmpty)
   }
 
+  test("query_string end-to-end: parsed specs ≡ structured calls; mustNotText ≡ oracle") {
+    val schema = graft.query.QueryString.Schema(
+      keywordFields = Set("role", "tool"), numericFields = Set("dl"))
+    // -term excludes analyzed text: ≡ oracle anti-join on the term's docs
+    val ranked = Oracle.topK(docsDF, "the", Int.MaxValue)
+    val aDocs = tok.filter(col("term") === "a").select("docId").distinct()
+    val want = ranked.join(aDocs, Seq("docId"), "left_anti")
+      .orderBy(col("score").desc, col("docId").asc).limit(10).as[Scored].collect().toSeq
+    val got = searcher.searchQueryString("the -a", 10, schema)
+    assert(got.toSeq == want && got.nonEmpty)
+    assert(got.toSeq != searcher.search("the", 10).toSeq) // the exclusion bites
+    // parsed ≡ structured across representative queries, cold AND warm
+    val cases: Seq[(String, Searcher => Seq[Scored])] = Seq(
+      ("the zanzibar", s => s.search("the zanzibar", 10).toSeq),
+      ("the AND a", s => s.searchConjunctive("the a", 10).toSeq),
+      ("\"the a\"~2", s => s.searchPhrase("the a", 10, slop = 2).toSeq),
+      ("+zanzibar the quasar",
+        s => s.searchBool("zanzibar", 10, should = "the quasar").toSeq),
+      ("the role:user dl:[30 TO 80]",
+        s => s.searchBool("the", 10, filters = Seq("role" -> "user"),
+          numericRangeFilters = Seq(("dl", 30L, 80L))).toSeq),
+      ("the -role:user _exists_:tool",
+        s => s.searchBool("the", 10, mustNot = Seq("role" -> "user"),
+          exists = Seq("tool")).toSeq))
+    for ((q, structured) <- cases; s <- Seq(searcher, warmed)) {
+      val parsed = s.searchQueryString(q, 10, schema).toSeq
+      assert(parsed == structured(s) && parsed.nonEmpty, s"query_string '$q'")
+    }
+  }
+
   test("cross-segment parity: MultiSearcher answers the full surface like the compacted index") {
     val segIdx = s"${TestSpark.tmpRoot}/surface-segmented"
     val all = Transcripts.generate(spark, 120L).cache()
@@ -646,6 +676,15 @@ class QuerySurfaceSpec extends SparkSpec {
     assert(multi.searchPhrasePrefix("the t1", 10).toSeq
       == single.searchPhrasePrefix("the t1", 10).toSeq)
     assert(multi.searchPhrasePrefix("the t1", 10).nonEmpty)
+
+    // round-6 parity: query_string + mustNotText across segments
+    val qsSchema = graft.query.QueryString.Schema(keywordFields = Set("role"),
+      numericFields = Set("dl"))
+    for (q <- Seq("the -a", "the AND a", "the role:user dl:[30 TO 80]")) {
+      assert(multi.searchQueryString(q, 10, qsSchema).toSeq
+        == single.searchQueryString(q, 10, qsSchema).toSeq, s"query_string '$q'")
+      assert(multi.searchQueryString(q, 10, qsSchema).nonEmpty)
+    }
 
     // round-6 parity: exists/missing clauses + the three new aggs
     assert(multi.searchBool("the", 10, exists = Seq("tool")).toSeq
