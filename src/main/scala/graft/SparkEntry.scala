@@ -546,6 +546,17 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
       new Searcher(s, documentsIndex(s, dir), 8)
         .percentiles(Bm25Query, "n_chars", Seq(0.25, 0.5, 0.9))
         .select(col("p"), round(col("value"), 4).as("value"))),
+    "q_facet_top" -> ((s, dir) =>
+      // ES terms agg DEFAULT ordering: top `size` buckets by doc count
+      // desc (value asc tiebreak) — TakeOrderedAndProject over the agg
+      new Searcher(s, documentsIndex(s, dir), 8)
+        .facetCounts(Bm25Query, "source", size = 3)),
+    "q_ranges_agg" -> ((s, dir) =>
+      // ES range aggregation: half-open [from, to) buckets, each an
+      // independent conditional count in ONE pass over the match set
+      new Searcher(s, documentsIndex(s, dir), 8)
+        .rangesAgg(Bm25Query, "n_chars",
+          Seq((None, Some(500L)), (Some(500L), Some(2000L)), (Some(2000L), None)))),
     "q_top_hits" -> ((s, dir) =>
       // ES top_hits sub-aggregation: per-lang top-3 matching docs by
       // n_chars (window group-limit — the per-shard-heap plan shape)
@@ -984,6 +995,23 @@ m AS (SELECT n_chars FROM documents
 sel AS (SELECT quantile_cont(n_chars, [0.25, 0.5, 0.9]) AS vals FROM m)
 SELECT CAST(t.p AS DOUBLE) AS p, round(CAST(t.v AS DOUBLE), 4) AS value
 FROM (SELECT unnest([0.25, 0.5, 0.9]) AS p, unnest(vals) AS v FROM sel) t ORDER BY p""",
+      "q_facet_top" ->
+        s"""${toksCte("documents", "doc_id")}
+SELECT source AS value, CAST(count(*) AS BIGINT) AS n_docs
+FROM documents
+WHERE doc_id IN (SELECT DISTINCT doc_id FROM tok
+                 WHERE term IN ${inList(Analyzer.analyzeQuery(Bm25Query).toSeq)})
+GROUP BY 1 ORDER BY n_docs DESC, value ASC LIMIT 3""",
+      "q_ranges_agg" ->
+        s"""${toksCte("documents", "doc_id")},
+m AS (SELECT n_chars FROM documents
+      WHERE doc_id IN (SELECT DISTINCT doc_id FROM tok
+                       WHERE term IN ${inList(Analyzer.analyzeQuery(Bm25Query).toSeq)}))
+SELECT '*-500' AS key, CAST(count(*) FILTER (n_chars < 500) AS BIGINT) AS n_docs FROM m
+UNION ALL
+SELECT '500-2000', CAST(count(*) FILTER (n_chars >= 500 AND n_chars < 2000) AS BIGINT) FROM m
+UNION ALL
+SELECT '2000-*', CAST(count(*) FILTER (n_chars >= 2000) AS BIGINT) FROM m""",
       "q_top_hits" ->
         s"""${toksCte("documents", "doc_id")},
 m AS (SELECT d.lang AS value, d.doc_id, d.n_chars FROM documents d

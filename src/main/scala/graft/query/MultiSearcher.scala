@@ -1245,12 +1245,37 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
       anyFilters: Seq[(String, Seq[String])] = Nil,
       rangeFilters: Seq[(String, String, String)] = Nil,
       exists: Seq[String] = Nil,
-      missing: Seq[String] = Nil): DataFrame =
-    rawDocs.select(col("docId"), col(field).as("value"))
+      missing: Seq[String] = Nil,
+      /** ES terms-agg `size` — top buckets by count desc (value asc
+        * tiebreak); 0 = every bucket, value-ordered.
+        */
+      size: Int = 0): DataFrame = {
+    val agged = rawDocs.select(col("docId"), col(field).as("value"))
       .join(matchingOrEmpty(query, filters, mustNot, numericRangeFilters, anyFilters,
         rangeFilters, exists, missing), Seq("docId"))
       .groupBy(col("value")).agg(count(lit(1)).as("n_docs"))
-      .orderBy(col("value"))
+    if (size > 0) agged.orderBy(col("n_docs").desc, col("value").asc).limit(size)
+    else agged.orderBy(col("value"))
+  }
+
+  /** ES `range` aggregation over the cross-segment match set — same
+    * one-pass conditional-count body as the single-index searcher.
+    */
+  def rangesAgg(query: String, field: String,
+      ranges: Seq[(Option[Long], Option[Long])],
+      filters: Seq[(String, String)] = Nil,
+      mustNot: Seq[(String, String)] = Nil,
+      numericRangeFilters: Seq[(String, Long, Long)] = Nil,
+      anyFilters: Seq[(String, Seq[String])] = Nil,
+      rangeFilters: Seq[(String, String, String)] = Nil,
+      exists: Seq[String] = Nil,
+      missing: Seq[String] = Nil): DataFrame = {
+    require(ranges.nonEmpty, "range aggregation needs >= 1 range")
+    val joined = rawDocs.select(col("docId"), col(field))
+      .join(matchingOrEmpty(query, filters, mustNot, numericRangeFilters, anyFilters,
+        rangeFilters, exists, missing), Seq("docId"))
+    Searcher.rangesAggOf(joined, col(field), ranges)
+  }
 
   /** ES `hits.total` over the union of all segments (tombstones
     * excluded).

@@ -139,6 +139,30 @@ private[query] object Searcher {
     */
   val PrefixSlot = "\u0001prefix"
 
+  /** Shared ES `range`-aggregation body: every [from, to) bucket is a
+    * conditional count in ONE agg over the (docId, field) match-set
+    * join, unpivoted to rows via `stack` — single pass, no driver
+    * materialization, request order preserved.
+    */
+  def rangesAggOf(joined: DataFrame, v: Column,
+      ranges: Seq[(Option[Long], Option[Long])]): DataFrame = {
+    val aggs = ranges.zipWithIndex.map { case ((from, to), i) =>
+      val cond = (from, to) match {
+        case (Some(f), Some(t)) => v >= lit(f) && v < lit(t)
+        case (Some(f), None) => v >= lit(f)
+        case (None, Some(t)) => v < lit(t)
+        case (None, None) => lit(true)
+      }
+      count(when(cond, 1)).as(s"__r_$i")
+    }
+    val stackArgs = ranges.zipWithIndex.map { case ((f, t), i) =>
+      val key = s"${f.map(_.toString).getOrElse("*")}-${t.map(_.toString).getOrElse("*")}"
+      s"'$key', __r_$i"
+    }.mkString(", ")
+    joined.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${ranges.size}, $stackArgs) as (key, n_docs)")
+  }
+
   /** One bucket's WAND dispatch, shared by the distributed and the
     * driver-local serving paths (kept in the companion so Spark task
     * closures never capture a Searcher instance). `entries` carries the
@@ -1106,17 +1130,48 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
       anyFilters: Seq[(String, Seq[String])] = Nil,
       rangeFilters: Seq[(String, String, String)] = Nil,
       exists: Seq[String] = Nil,
-      missing: Seq[String] = Nil): DataFrame =
+      missing: Seq[String] = Nil,
+      /** ES terms-agg `size`: > 0 returns only the top `size` buckets
+        * by doc count desc (value asc tiebreak — deterministic), ES's
+        * DEFAULT bucket ordering; plans as TakeOrderedAndProject over
+        * the agg (per-partition heaps, never a global sort). 0 = every
+        * bucket, value-ordered.
+        */
+      size: Int = 0): DataFrame =
     matchSet(query, filters, mustNot, anyFilters, numericRangeFilters, rangeFilters,
       exists, missing) match {
       case None =>
         docs.select(col(field).as("value")).limit(0).withColumn("n_docs", lit(0L))
       case Some(matching) =>
-        docs.select(col("docId"), col(field).as("value"))
+        val agged = docs.select(col("docId"), col(field).as("value"))
           .join(matching, Seq("docId"))
           .groupBy(col("value")).agg(count(lit(1)).as("n_docs"))
-          .orderBy(col("value"))
+        if (size > 0) agged.orderBy(col("n_docs").desc, col("value").asc).limit(size)
+        else agged.orderBy(col("value"))
     }
+
+  /** ES `range` aggregation: one row per requested [from, to) bucket
+    * (half-open, ES semantics; None = unbounded) with its doc count
+    * over the match set. Overlapping ranges are independent counts —
+    * ONE pass: every range is a conditional count in a single agg, so
+    * the plan costs exactly one match-set join regardless of the range
+    * count. Rows come back in request order with `key` "from-to".
+    */
+  def rangesAgg(query: String, field: String,
+      ranges: Seq[(Option[Long], Option[Long])],
+      filters: Seq[(String, String)] = Nil,
+      mustNot: Seq[(String, String)] = Nil,
+      numericRangeFilters: Seq[(String, Long, Long)] = Nil,
+      anyFilters: Seq[(String, Seq[String])] = Nil,
+      rangeFilters: Seq[(String, String, String)] = Nil,
+      exists: Seq[String] = Nil,
+      missing: Seq[String] = Nil): DataFrame = {
+    require(ranges.nonEmpty, "range aggregation needs >= 1 range")
+    val joined = docs.select(col("docId"), col(field))
+      .join(matchingOrEmpty(query, filters, mustNot, numericRangeFilters, anyFilters,
+        rangeFilters, exists, missing), Seq("docId"))
+    Searcher.rangesAggOf(joined, col(field), ranges)
+  }
 
   /** Total hit count of the (optionally bool-filtered) match set (ES
     * `hits.total` / `_count`) — no top-k involved; one distributed

@@ -476,6 +476,26 @@ class QuerySurfaceSpec extends SparkSpec {
       .as[(Double, Double)].collect().head._2
     assert(gotPA >= vals.head && gotPA <= vals.last)
 
+    // --- terms agg size: top buckets by count desc (ES default order) ---
+    val wantTop = matching.groupBy(col("role").as("value"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("value").asc).limit(2)
+      .as[(String, Long)].collect().toSeq
+    assert(searcher.facetCounts("the", "role", size = 2)
+      .as[(String, Long)].collect().toSeq == wantTop && wantTop.size == 2)
+
+    // --- range agg: half-open buckets, one pass, overlap allowed ---
+    val nAll = matching.count()
+    val nLt50 = matching.filter(col("dl") < 50).count()
+    val n30to80 = matching.filter(col("dl") >= 30 && col("dl") < 80).count()
+    val nGe80 = matching.filter(col("dl") >= 80).count()
+    val gotR = searcher.rangesAgg("the", "dl",
+      Seq((None, Some(50L)), (Some(30L), Some(80L)), (Some(80L), None), (None, None)))
+      .as[(String, Long)].collect().toSeq
+    assert(gotR == Seq("*-50" -> nLt50, "30-80" -> n30to80, "80-*" -> nGe80,
+      "*-*" -> nAll))
+    assert(gotR.map(_._2).sum > nAll) // the overlap really double-counts
+
     // --- top_hits: per-bucket top-k ≡ direct window computation ---
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("role")).orderBy(col("dl").desc, col("docId").asc)
@@ -705,6 +725,12 @@ class QuerySurfaceSpec extends SparkSpec {
       == single.facetTopHits("the", "role", "dl", 3)
         .as[(String, Long, Long, Long)].collect().toSeq)
     assert(multi.facetTopHits("the", "role", "dl", 3).count() == 9)
+    assert(multi.facetCounts("the", "role", size = 2).as[(String, Long)].collect().toSeq
+      == single.facetCounts("the", "role", size = 2).as[(String, Long)].collect().toSeq)
+    val rgs = Seq((None, Some(50L)), (Some(50L), None))
+    assert(multi.rangesAgg("the", "dl", rgs).as[(String, Long)].collect().toSeq
+      == single.rangesAgg("the", "dl", rgs).as[(String, Long)].collect().toSeq)
+    assert(multi.rangesAgg("the", "dl", rgs).as[(String, Long)].collect().map(_._2).sum > 0)
 
     // warm() pins the segment frames; results identical on every path
     val warmMulti = new graft.query.MultiSearcher(spark, segIdx).warm()
