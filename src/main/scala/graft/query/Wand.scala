@@ -15,18 +15,6 @@ import graft.model.{PostingBlock, Scored}
 object Wand {
   private val Margin = 1e-7
 
-  /** One term's posting cursor over its block list (blocks sorted by
-    * firstDocId; docId-disjoint — guaranteed by build: range-partitioned
-    * runs within docId-range buckets). Blocks are decoded lazily; block
-    * skipping never decodes skipped blocks.
-    *
-    * `staleBlockMax = true` ignores the STORED per-block maxScore and
-    * re-derives a valid bound from the block's maxTf (stats-independent)
-    * as score(maxTf, dl = 0) — needed when the index is queried under
-    * DIFFERENT global stats than it was built with (cross-segment search
-    * over merged segments: stored maxScore encodes per-segment df/N/avgdl
-    * and is no longer an upper bound).
-    */
   /** The full positional-cursor interface the intersection executor
     * drives: a required AND/phrase list is anything that can report a
     * block-level bound + horizon (for the block-max early exit),
@@ -47,6 +35,18 @@ object Wand {
     def score: Double
   }
 
+  /** One term's posting cursor over its block list (blocks sorted by
+    * firstDocId; docId-disjoint — guaranteed by build: range-partitioned
+    * runs within docId-range buckets). Blocks are decoded lazily; block
+    * skipping never decodes skipped blocks.
+    *
+    * `staleBlockMax = true` ignores the STORED per-block maxScore and
+    * re-derives a valid bound from the block's maxTf (stats-independent)
+    * as score(maxTf, dl = 0) — needed when the index is queried under
+    * DIFFERENT global stats than it was built with (cross-segment search
+    * over merged segments: stored maxScore encodes per-segment df/N/avgdl
+    * and is no longer an upper bound).
+    */
   final class TermIterator(
       val term: String,
       blocksIn: Array[PostingBlock],

@@ -306,6 +306,51 @@ class StreamingSpec extends SparkSpec {
     all.unpersist(blocking = false)
   }
 
+  test("exists/missing clauses respect tombstones across segments (round-6)") {
+    val idx = s"${TestSpark.tmpRoot}/stream-idx-exists"
+    val cfg = IndexConfig(numBuckets = 1, partitions = 4, fieldCols = Seq("tool"))
+    val all = Transcripts.generate(spark, 40L).cache()
+    StreamingIngest.appendSegment(spark,
+      all.filter($"conv_id" < "conv-00000020"), idx, 0L, cfg)
+    StreamingIngest.appendSegment(spark,
+      all.filter($"conv_id" >= "conv-00000020"), idx, 1L, cfg)
+    // delete three tool-carrying turns: their exists postings must stop
+    // matching via the same tombstone exclusion as every term cursor
+    val toolTurns = all.filter($"tool".isNotNull)
+      .select($"conv_id", $"turn_idx").as[(String, Int)].collect().take(3).toSeq
+    assert(StreamingIngest.deleteTurns(spark, idx, toolTurns) == 3L)
+    val multi = new graft.query.MultiSearcher(spark, idx)
+    val visible = multi.docs.cache()
+    val theDocs = visible.filter(org.apache.spark.sql.functions.array_contains(
+      graft.analysis.Analyzer.tokensCol($"text"), "the"))
+    def want(toolPred: org.apache.spark.sql.Column): Seq[graft.model.Scored] =
+      graft.query.Oracle.topK(visible, "the", Int.MaxValue)
+        .join(visible.filter(toolPred).select("docId"), Seq("docId"), "left_semi")
+        .orderBy($"score".desc, $"docId".asc).limit(10)
+        .as[graft.model.Scored].collect().toSeq
+    val wantE = want($"tool".isNotNull)
+    val wantM = want($"tool".isNull)
+    assert(multi.searchBool("the", 10, exists = Seq("tool")).toSeq == wantE && wantE.nonEmpty)
+    assert(multi.searchBool("the", 10, missing = Seq("tool")).toSeq == wantM && wantM.nonEmpty)
+    assert(multi.matchCount("the", exists = Seq("tool"))
+      == theDocs.filter($"tool".isNotNull).count())
+    assert(multi.matchCount("the", missing = Seq("tool"))
+      == theDocs.filter($"tool".isNull).count())
+    // warm in-process path sees the same tombstone snapshot
+    val warm = new graft.query.MultiSearcher(spark, idx).warm()
+    assert(warm.searchBool("the", 10, exists = Seq("tool")).toSeq == wantE)
+    assert(warm.searchBool("the", 10, missing = Seq("tool")).toSeq == wantM)
+    // compaction drops the dead exists postings physically
+    val compacted = s"${TestSpark.tmpRoot}/stream-idx-exists-compacted"
+    graft.index.Compaction.compact(spark, idx, compacted)
+    val single = new Searcher(spark, compacted, 8)
+    assert(single.searchBool("the", 10, exists = Seq("tool")).toSeq == wantE)
+    assert(single.matchCount("the", exists = Seq("tool"))
+      == theDocs.filter($"tool".isNotNull).count())
+    visible.unpersist(blocking = false)
+    all.unpersist(blocking = false)
+  }
+
   test("scale-safe tombstones: driver cache disabled ≡ oracle (blocks-ride-the-scan path)") {
     // round-5: tombstone exclusion = per-(seg, bucket) delta blocks in
     // the pruned scan; df corrections = a distributed frame. Forcing the
