@@ -562,6 +562,26 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
       // n_chars (window group-limit — the per-shard-heap plan shape)
       new Searcher(s, documentsIndex(s, dir), 8)
         .facetTopHits(Bm25Query, "lang", "n_chars", 3)),
+    "q_significant_terms" -> ((s, dir) =>
+      // ES significant_terms: JLH-scored over-represented terms of the
+      // match set; background stats come from the DICTIONARY, never a
+      // second corpus scan
+      new Searcher(s, documentsIndex(s, dir), 8)
+        .significantTerms(Bm25Query, 10, minDocCount = 5L)
+        .select(col("term"), col("fg_count"), col("bg_count"),
+          round(col("score"), 4).as("score"))),
+    "q_suggest" -> ((s, dir) =>
+      // ES term suggester ("did you mean"): dictionary terms within 2
+      // edits of the misspelling, ranked (dist asc, df desc, term asc)
+      new Searcher(s, documentsIndex(s, dir), 8)
+        .suggestTerms("sprak", 5, maxDist = 2)),
+    "q_more_like_this" -> ((s, dir) => {
+      // ES more_like_this: doc 7's terms ranked by the integer-exact
+      // rare-first rule (tf desc, df asc, term asc), top 25 become an
+      // OR query, the source doc excluded from the hits
+      rankHits(s, new Searcher(s, documentsIndex(s, dir), 8)
+        .moreLikeThis(7L, 10))
+    }),
     "q_query_string" -> ((s, dir) => {
       // Lucene/ES query_string: the URI-search mini-language compiled
       // to the engine's bool query — scored OR words, a keyword filter,
@@ -1022,6 +1042,44 @@ r AS (SELECT value, doc_id, n_chars,
       FROM m)
 SELECT value, CAST(rank AS BIGINT) AS rank, doc_id, CAST(n_chars AS BIGINT) AS sort_value
 FROM r WHERE rank <= 3 ORDER BY value, rank""",
+      // significant_terms twin: same JLH arithmetic shape (one division
+      // per ratio, then subtract/divide/multiply) over fg counts from
+      // the match set and bg df = docs-containing-term
+      "q_significant_terms" ->
+        s"""${toksCte("documents", "doc_id")},
+m AS (SELECT DISTINCT doc_id FROM tok
+      WHERE term IN ${inList(Analyzer.analyzeQuery(Bm25Query).toSeq)}),
+fgn AS (SELECT count(*) AS n FROM m),
+nn AS (SELECT count(*) AS n FROM documents),
+fg AS (SELECT term, count(DISTINCT doc_id) AS fg_count FROM tok
+       WHERE doc_id IN (SELECT doc_id FROM m)
+       GROUP BY 1 HAVING count(DISTINCT doc_id) >= 5),
+bg AS (SELECT term, count(DISTINCT doc_id) AS bg_count FROM tok GROUP BY 1),
+s AS (SELECT term, fg_count, bg_count,
+             (CAST(fg_count AS DOUBLE) / fgn.n - CAST(bg_count AS DOUBLE) / nn.n)
+             * ((CAST(fg_count AS DOUBLE) / fgn.n) / (CAST(bg_count AS DOUBLE) / nn.n)) AS score
+      FROM fg JOIN bg USING (term) CROSS JOIN fgn CROSS JOIN nn)
+SELECT term, CAST(fg_count AS BIGINT) AS fg_count, CAST(bg_count AS BIGINT) AS bg_count,
+       round(score, 4) AS score
+FROM s WHERE score > 0 ORDER BY score DESC, term ASC LIMIT 10""",
+      "q_suggest" ->
+        s"""${toksCte("documents", "doc_id")},
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+cand AS (SELECT term, df FROM df
+         WHERE term <> 'sprak' AND levenshtein(term, 'sprak') <= 2
+         ORDER BY term ASC LIMIT 1000)
+SELECT term AS suggestion, CAST(levenshtein(term, 'sprak') AS INT) AS dist,
+       CAST(df AS BIGINT) AS df
+FROM cand ORDER BY dist ASC, df DESC, suggestion ASC LIMIT 5""",
+      // more_like_this twin: the engine's integer-exact term selection
+      // (tf desc, df asc, term asc, top 25 of doc 7) inside the term
+      // predicate; membership excludes the source doc, scores stay
+      // full-corpus BM25
+      "q_more_like_this" -> bm25Sql(Nil, 10, conjunctive = false,
+        termPred = "tf.term IN (SELECT s.term FROM " +
+          "(SELECT t2.term, count(*) AS f FROM tok t2 WHERE t2.doc_id = 7 GROUP BY 1) s " +
+          "JOIN df USING (term) ORDER BY s.f DESC, df.df ASC, s.term ASC LIMIT 25)",
+        docPred = "doc_id <> 7"),
       // query_string twin: the compiled bool query's membership rules —
       // keyword filter + numeric range + analyzed-term exclusion, scores
       // stay the full-corpus BM25 of the scored OR words

@@ -1483,6 +1483,103 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
       .orderBy(col("value"), col("rank"))
   }
 
+  /** Text-namespace background document frequencies across ALL
+    * segments, LWW-exact: per-segment dictionary rows summed, minus
+    * the removed-df corrections frame (tombstoned docs' terms) — the
+    * background model for [[significantTerms]] and the suggester,
+    * derived from index metadata (never a corpus scan).
+    */
+  private def bgDfFrame: DataFrame = {
+    val union = segDicts.map(_.filter(
+        !col("term").startsWith(FieldTerms.Prefix) &&
+          !col("term").startsWith(FieldTerms.TextPrefix))
+      .select(col("term"), col("df"))).reduce(_ unionByName _)
+      .groupBy(col("term")).agg(sum(col("df")).as("bg_count"))
+    removedDfDF match {
+      case Some(rm) => union.join(rm, Seq("term"), "left")
+        .select(col("term"),
+          (col("bg_count") - coalesce(col("removed"), lit(0L))).as("bg_count"))
+        .filter(col("bg_count") > lit(0L))
+      case None => union
+    }
+  }
+
+  /** ES `significant_terms` over the cross-segment match set — same
+    * JLH rule as the single-index searcher; background stats come from
+    * the merged dictionaries with exact tombstone subtraction.
+    */
+  def significantTerms(query: String, k: Int, minDocCount: Long = 3L,
+      filters: Seq[(String, String)] = Nil,
+      mustNot: Seq[(String, String)] = Nil,
+      numericRangeFilters: Seq[(String, Long, Long)] = Nil,
+      anyFilters: Seq[(String, Seq[String])] = Nil,
+      rangeFilters: Seq[(String, String, String)] = Nil,
+      exists: Seq[String] = Nil,
+      missing: Seq[String] = Nil): DataFrame = {
+    val empty = Seq.empty[(String, Long, Long, Double)]
+      .toDF("term", "fg_count", "bg_count", "score")
+    matchSet(query, filters, mustNot, numericRangeFilters, anyFilters, rangeFilters,
+      exists, missing) match {
+      case None => empty
+      case Some(m) =>
+        val fgN = m.count()
+        if (fgN == 0) return empty
+        val fg = rawDocs
+          .select(col("docId"),
+            explode(array_distinct(Analyzer.tokensCol(col("text")))).as("term"))
+          .join(m, Seq("docId"))
+          .groupBy(col("term")).agg(count(lit(1)).as("fg_count"))
+          .filter(col("fg_count") >= lit(minDocCount))
+        Searcher.jlhScore(fg.join(bgDfFrame, Seq("term")), fgN, n)
+          .orderBy(col("score").desc, col("term").asc).limit(k)
+    }
+  }
+
+  /** ES term suggester over the union of all segments — candidates
+    * from ONE unioned dictionary scan (merged df, exact tombstone
+    * subtraction), ranked (distance asc, df desc, term asc) like the
+    * single-index searcher.
+    */
+  def suggestTerms(word: String, k: Int, maxDist: Int = 1,
+      maxCandidates: Int = 1000): DataFrame = {
+    val toks = Analyzer.tokenize(word)
+    if (toks.isEmpty) return Seq.empty[(String, Int, Long)].toDF("suggestion", "dist", "df")
+    val w = toks(0)
+    val cands = bgDfFrame
+      .filter(col("term") =!= lit(w) &&
+        levenshtein(lit(w), col("term")) <= lit(maxDist))
+      .orderBy(col("term")).limit(maxCandidates)
+      .as[(String, Long)].collect()
+    cands.toSeq
+      .map { case (t, df) => (t, Expansion.levenshtein(w, t), df) }
+      .sortBy { case (t, d, df) => (d, -df, t) }
+      .take(k)
+      .toDF("suggestion", "dist", "df")
+  }
+
+  /** ES `more_like_this` over the union of all segments — the source
+    * doc comes from the LWW-visible store, term selection uses the
+    * merged exact df (same deterministic rare-first rule), and the
+    * source doc is excluded from the hits.
+    */
+  def moreLikeThis(docId: Long, k: Int, maxQueryTerms: Int = 25,
+      minTermFreq: Int = 1): Array[Scored] = {
+    val row = docs.filter(col("docId") === lit(docId))
+      .select(col("text")).limit(1).collect()
+    if (row.isEmpty) return Array.empty
+    val tf = Analyzer.tokenize(row(0).getString(0))
+      .groupBy(identity).map { case (t, xs) => t -> xs.length }
+      .filter(_._2 >= minTermFreq)
+    val (dfGlobal, _) = lookup(tf.keys.toSeq.sorted)
+    val selected = tf.toSeq
+      .flatMap { case (t, f) => dfGlobal.get(t).map(df => (t, f, df)) }
+      .sortBy { case (t, f, df) => (-f, df, t) }
+      .take(maxQueryTerms).map(_._1)
+    if (selected.isEmpty) return Array.empty
+    run(selected, k + 1, conjunctive = false)
+      .filter(_.docId != docId).take(k)
+  }
+
   /** Top-k resolved back to turn metadata + text (broadcast k hits
     * against the live doc store).
     */

@@ -128,6 +128,28 @@ private[query] object Expansion {
       case c if c == '%' || c == '_' || c == '\\' => "\\" + c
       case c => c.toString
     }
+
+  /** Unit-cost Levenshtein — MUST agree with Spark's
+    * functions.levenshtein and DuckDB's levenshtein (the oracle twins).
+    */
+  def levenshtein(a: String, b: String): Int = {
+    val dp = Array.tabulate(b.length + 1)(identity)
+    var i = 1
+    while (i <= a.length) {
+      var prev = dp(0)
+      dp(0) = i
+      var j = 1
+      while (j <= b.length) {
+        val cur = dp(j)
+        val sub = if (a.charAt(i - 1) == b.charAt(j - 1)) prev else prev + 1
+        dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1), sub)
+        prev = cur
+        j += 1
+      }
+      i += 1
+    }
+    dp(b.length)
+  }
 }
 
 private[query] object Searcher {
@@ -138,6 +160,20 @@ private[query] object Searcher {
     * term, so it can never collide with a real dictionary term).
     */
   val PrefixSlot = "\u0001prefix"
+
+  /** ES JLH significance score over a (term, fg_count, bg_count) frame:
+    * (fg% − bg%) · (fg% / bg%), positive-only (ES drops terms that are
+    * rarer in the foreground). The arithmetic shape (each ratio one
+    * division, then one subtraction/division/multiplication) is
+    * mirrored verbatim in the DuckDB twin so the rounded scores
+    * hash-match.
+    */
+  def jlhScore(joined: DataFrame, fgN: Long, n: Long): DataFrame = {
+    val fgPct = col("fg_count").cast("double") / lit(fgN.toDouble)
+    val bgPct = col("bg_count").cast("double") / lit(n.toDouble)
+    joined.withColumn("score", (fgPct - bgPct) * (fgPct / bgPct))
+      .filter(col("score") > lit(0.0))
+  }
 
   /** Shared ES `range`-aggregation body: every [from, to) bucket is a
     * conditional count in ONE agg over the (docId, field) match-set
@@ -915,25 +951,10 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
 
   /** Unit-cost Levenshtein — MUST agree with Spark's
     * functions.levenshtein and DuckDB's levenshtein (the oracle twins).
+    * Shared with the cross-segment searcher via [[Expansion]].
     */
-  private[graft] def levenshtein(a: String, b: String): Int = {
-    val dp = Array.tabulate(b.length + 1)(identity)
-    var i = 1
-    while (i <= a.length) {
-      var prev = dp(0)
-      dp(0) = i
-      var j = 1
-      while (j <= b.length) {
-        val cur = dp(j)
-        val sub = if (a.charAt(i - 1) == b.charAt(j - 1)) prev else prev + 1
-        dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1), sub)
-        prev = cur
-        j += 1
-      }
-      i += 1
-    }
-    dp(b.length)
-  }
+  private[graft] def levenshtein(a: String, b: String): Int =
+    Expansion.levenshtein(a, b)
 
   /** Matching dictionary terms for a predicate over the tokens of ONE
     * analyzed field (`"text"` = the main namespace; any other field
@@ -1018,6 +1039,58 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
         c => org.apache.spark.sql.functions.levenshtein(lit(t0), c) <= lit(maxDist),
         maxExpansions, field),
       k, Mode(conjunctive = false))
+  }
+
+  /** ES term suggester ("did you mean"): dictionary terms within
+    * `maxDist` edits of the analyzed input word, ranked (distance asc,
+    * df desc, term asc) — ES's default sort, deterministic. The
+    * candidate set is the ≤ `maxCandidates` term-asc dictionary terms
+    * matching the distance predicate (same deterministic cap rule as
+    * every expansion); the input word itself is excluded (ES
+    * suggest_mode=missing shape — you suggest for misspellings).
+    * Returns (suggestion, dist, df) rows, top `k`.
+    */
+  def suggestTerms(word: String, k: Int, maxDist: Int = 1,
+      maxCandidates: Int = 1000): DataFrame = {
+    val toks = Analyzer.tokenize(word)
+    if (toks.isEmpty) return Seq.empty[(String, Int, Long)].toDF("suggestion", "dist", "df")
+    val w = toks(0)
+    val cands = expand(
+      t => t != w && levenshtein(w, t) <= maxDist,
+      c => c =!= lit(w) &&
+        org.apache.spark.sql.functions.levenshtein(lit(w), c) <= lit(maxDist),
+      maxCandidates)
+    cands.values.toSeq
+      .map(ts => (ts.term, levenshtein(w, ts.term), ts.df))
+      .sortBy { case (t, d, df) => (d, -df, t) }
+      .take(k)
+      .toDF("suggestion", "dist", "df")
+  }
+
+  /** ES `more_like_this` (by document): the source doc's terms are
+    * ranked by the deterministic rare-first rule (tf desc, df asc,
+    * term asc — an integer-exact tf·idf proxy, so the oracle twin
+    * reproduces the selection bit-for-bit), the top `maxQueryTerms`
+    * become an OR query, and the source doc is excluded from the hits
+    * (ES `include = false` default).
+    */
+  def moreLikeThis(docId: Long, k: Int, maxQueryTerms: Int = 25,
+      minTermFreq: Int = 1): Array[Scored] = {
+    val row = docs.filter(col("docId") === lit(docId))
+      .select(col("text")).limit(1).collect()
+    if (row.isEmpty) return Array.empty
+    val tf = Analyzer.tokenize(row(0).getString(0))
+      .groupBy(identity).map { case (t, xs) => t -> xs.length }
+      .filter(_._2 >= minTermFreq)
+    val found = lookupTerms(tf.keys.toSeq.sorted)
+    val selected = tf.toSeq
+      .flatMap { case (t, f) => found.get(t).map(ts => (t, f, ts.df)) }
+      .sortBy { case (t, f, df) => (-f, df, t) }
+      .take(maxQueryTerms).map(_._1)
+    if (selected.isEmpty) return Array.empty
+    runFound(selected.map(t => t -> found(t)).toMap, k + 1,
+      Mode(conjunctive = false))
+      .filter(_.docId != docId).take(k)
   }
 
   /** Top-k resolved hits with ES-style highlighted fragments
@@ -1434,6 +1507,47 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
       .select(col("value"), col("rank").cast("long").as("rank"),
         col("docId").as("doc_id"), col(sortField).cast("long").as("sort_value"))
       .orderBy(col("value"), col("rank"))
+  }
+
+  /** ES `significant_terms` aggregation: terms over-represented in the
+    * match set relative to the whole corpus, scored with ES's JLH rule
+    * — score = (fg% − bg%) · (fg% / bg%) where fg% = fgCount/fgN over
+    * the match set and bg% = df/N from the DICTIONARY (no second
+    * corpus scan for background stats). Plan: match-set join → one
+    * re-tokenize pass over matching docs only → hash agg → broadcast-
+    * size join with the dictionary rows of the surviving terms. Terms
+    * below `minDocCount` foreground docs are dropped (ES default
+    * shape); top `k` by (score desc, term asc) — deterministic.
+    */
+  def significantTerms(query: String, k: Int, minDocCount: Long = 3L,
+      filters: Seq[(String, String)] = Nil,
+      mustNot: Seq[(String, String)] = Nil,
+      numericRangeFilters: Seq[(String, Long, Long)] = Nil,
+      anyFilters: Seq[(String, Seq[String])] = Nil,
+      rangeFilters: Seq[(String, String, String)] = Nil,
+      exists: Seq[String] = Nil,
+      missing: Seq[String] = Nil): DataFrame = {
+    val empty = Seq.empty[(String, Long, Long, Double)]
+      .toDF("term", "fg_count", "bg_count", "score")
+    matchSet(query, filters, mustNot, anyFilters, numericRangeFilters, rangeFilters,
+      exists, missing) match {
+      case None => empty
+      case Some(m) =>
+        val fgN = m.count()
+        if (fgN == 0) return empty
+        val fg = docs
+          .select(col("docId"),
+            explode(array_distinct(Analyzer.tokensCol(col("text")))).as("term"))
+          .join(m, Seq("docId"))
+          .groupBy(col("term")).agg(count(lit(1)).as("fg_count"))
+          .filter(col("fg_count") >= lit(minDocCount))
+        val bg = dict.filter(
+          !col("term").startsWith(graft.index.FieldTerms.Prefix) &&
+            !col("term").startsWith(graft.index.FieldTerms.TextPrefix))
+          .select(col("term"), col("df").as("bg_count"))
+        Searcher.jlhScore(fg.join(bg, Seq("term")), fgN, stats.n)
+          .orderBy(col("score").desc, col("term").asc).limit(k)
+    }
   }
 
   /** Top-k resolved back to turn metadata + text (SURVEY.md J4): the k

@@ -577,6 +577,56 @@ class QuerySurfaceSpec extends SparkSpec {
     }
   }
 
+  test("significant_terms, suggester, more_like_this ≡ direct computation") {
+    val terms = Analyzer.analyzeQuery("zanzibar quasar").toSeq
+    val mDocs = tok.filter(col("term").isin(terms: _*)).select("docId").distinct().cache()
+    val fgN = mDocs.count()
+    assert(fgN > 0)
+    // significant_terms: marker-doc vocabulary is over-represented
+    val got = searcher.significantTerms("zanzibar quasar", 10, minDocCount = 2L)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got.nonEmpty && got.forall(_._4 > 0))
+    // scores are (score desc, term asc)-ordered and counts are exact
+    assert(got == got.sortBy { case (t, _, _, sc) => (-sc, t) })
+    val bgAll = tok.groupBy(col("term")).agg(countDistinct(col("docId")).as("bg"))
+      .as[(String, Long)].collect().toMap
+    val fgAll = tok.join(mDocs, Seq("docId")).groupBy(col("term"))
+      .agg(countDistinct(col("docId")).as("fg")).as[(String, Long)].collect().toMap
+    for ((t, fgc, bgc, _) <- got) {
+      assert(fgc == fgAll(t) && bgc == bgAll(t) && fgc >= 2)
+    }
+    // the planted markers dominate: their fg% is 100% of the match set
+    assert(got.map(_._1).contains("zanzibar") || got.map(_._1).contains("quasar"))
+
+    // suggester: 'thee' (absent) → 'the' (dist 1, giant df) ranks first
+    val sg = searcher.suggestTerms("thee", 5, maxDist = 1)
+      .as[(String, Int, Long)].collect().toSeq
+    assert(sg.nonEmpty && sg.head._1 == "the" && sg.head._2 == 1)
+    assert(sg.map(_._1).forall(t => searcher.levenshtein("thee", t) <= 1 && t != "thee"))
+    assert(sg == sg.sortBy { case (t, d, df) => (d, -df, t) })
+
+    // more_like_this: reconstruct the selection rule and pin identity
+    val srcId = mDocs.orderBy(col("docId")).as[Long].head()
+    val srcText = docsDF.filter(col("docId") === srcId).select(col("text"))
+      .as[String].head()
+    val tfMap = Analyzer.tokenize(srcText).groupBy(identity)
+      .map { case (t, xs) => t -> xs.length }
+    val dfMap = tok.filter(col("term").isin(tfMap.keys.toSeq: _*))
+      .groupBy(col("term")).agg(countDistinct(col("docId")).as("df"))
+      .as[(String, Long)].collect().toMap
+    val selected = tfMap.toSeq
+      .map { case (t, f) => (t, f, dfMap(t)) }
+      .sortBy { case (t, f, df) => (-f, df, t) }.take(25).map(_._1)
+    val wantMlt = Oracle.topK(docsDF, selected.mkString(" "), Int.MaxValue)
+      .filter(col("docId") =!= srcId)
+      .orderBy(col("score").desc, col("docId").asc).limit(10)
+      .as[Scored].collect().toSeq
+    val gotMlt = searcher.moreLikeThis(srcId, 10)
+    assert(gotMlt.toSeq == wantMlt && gotMlt.nonEmpty)
+    assert(!gotMlt.map(_.docId).contains(srcId))
+    mDocs.unpersist(blocking = false)
+  }
+
   test("cross-segment parity: MultiSearcher answers the full surface like the compacted index") {
     val segIdx = s"${TestSpark.tmpRoot}/surface-segmented"
     val all = Transcripts.generate(spark, 120L).cache()
@@ -696,6 +746,19 @@ class QuerySurfaceSpec extends SparkSpec {
     assert(multi.searchPhrasePrefix("the t1", 10).toSeq
       == single.searchPhrasePrefix("the t1", 10).toSeq)
     assert(multi.searchPhrasePrefix("the t1", 10).nonEmpty)
+
+    // round-6 parity: significant_terms / suggester / more_like_this
+    assert(multi.significantTerms("zanzibar quasar", 10, minDocCount = 1L)
+        .as[(String, Long, Long, Double)].collect().toSeq
+      == single.significantTerms("zanzibar quasar", 10, minDocCount = 1L)
+        .as[(String, Long, Long, Double)].collect().toSeq)
+    assert(multi.significantTerms("zanzibar quasar", 10, minDocCount = 1L).count() > 0)
+    assert(multi.suggestTerms("thee", 5).as[(String, Int, Long)].collect().toSeq
+      == single.suggestTerms("thee", 5).as[(String, Int, Long)].collect().toSeq)
+    assert(multi.suggestTerms("thee", 5).count() > 0)
+    val mltSrc = 3L
+    assert(multi.moreLikeThis(mltSrc, 10).toSeq == single.moreLikeThis(mltSrc, 10).toSeq)
+    assert(multi.moreLikeThis(mltSrc, 10).nonEmpty)
 
     // round-6 parity: query_string + mustNotText across segments
     val qsSchema = graft.query.QueryString.Schema(keywordFields = Set("role"),
