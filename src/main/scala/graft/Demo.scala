@@ -29,7 +29,8 @@ object Demo {
     // role is a keyword filter field; 'opener' (the turn's first 4
     // tokens) is a SECOND analyzed text field with its own BM25 stats
     val cfg = IndexConfig(numBuckets = 4, numShards = 8, partitions = 8,
-      fieldCols = Seq("role"), textFieldCols = Seq("opener"))
+      fieldCols = Seq("role", "tool"), numericFieldCols = Seq("dl"),
+      textFieldCols = Seq("opener"))
 
     println(s"== building index over $nConvs conversations -> $indexDir")
     val t0 = System.nanoTime()
@@ -102,6 +103,28 @@ object Demo {
       mm.map(h => f"${h.score}%.4f").mkString(", "))
     println("== sub-aggregation: dl stats per role bucket of the 'the' match set:")
     searcher.facetStats("the", "role", "dl").show(false)
+
+    // round-6 surface: exists/missing, query_string, suggester,
+    // significant_terms, more_like_this, top_hits
+    println(s"== exists/missing on 'tool' (the _field_names marker): " +
+      s"exists=${searcher.matchCount("the", exists = Seq("tool"))} " +
+      s"missing=${searcher.matchCount("the", missing = Seq("tool"))} " +
+      s"of ${searcher.matchCount("the")} matching docs")
+    val qs = searcher.searchQueryString("the AND a role:user dl:[30 TO 80]", 3,
+      graft.query.QueryString.Schema(keywordFields = Set("role"), numericFields = Set("dl")))
+    println(s"== query_string 'the AND a role:user dl:[30 TO 80]' -> " +
+      s"${qs.length} hits, top docId ${qs.headOption.map(_.docId).getOrElse(-1L)}")
+    val sug = searcher.suggestTerms("thee", 3).collect()
+    println(s"== suggest 'thee' -> " +
+      sug.map(r => s"${r.getString(0)} (dist ${r.getInt(1)}, df ${r.getLong(2)})").mkString(", "))
+    val sig = searcher.significantTerms(query, 5, minDocCount = 1L).collect()
+    println(s"== significant_terms of '$query' (JLH vs dictionary background): " +
+      sig.map(r => f"${r.getString(0)} ${r.getDouble(3)}%.2f").mkString(", "))
+    val mltSrc = searcher.search(query, 1).headOption.map(_.docId).getOrElse(0L)
+    println(s"== more_like_this(doc $mltSrc) -> top docIds " +
+      searcher.moreLikeThis(mltSrc, 3).map(_.docId).mkString(", "))
+    println("== top_hits: per-role top-2 by dl (pre-shuffle window group limit):")
+    searcher.facetTopHits("the", "role", "dl", 2).show(6, truncate = false)
 
     // cross-segment LWW upsert + delete (streaming dir; re-ingested key
     // supersedes, deleted key vanishes; crash-atomic compaction)
