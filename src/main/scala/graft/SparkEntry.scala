@@ -557,6 +557,14 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
       new Searcher(s, documentsIndex(s, dir), 8)
         .rangesAgg(Bm25Query, "n_chars",
           Seq((None, Some(500L)), (Some(500L), Some(2000L)), (Some(2000L), None)))),
+    "q_filters_agg" -> ((s, dir) =>
+      // ES filters aggregation: named keyword-predicate buckets, each
+      // an independent conditional count in ONE pass (overlap allowed)
+      new Searcher(s, documentsIndex(s, dir), 8)
+        .filtersAgg(Bm25Query, Seq(
+          "english" -> ("lang", "en"),
+          "src1" -> ("source", "src1"),
+          "german" -> ("lang", "de")))),
     "q_top_hits" -> ((s, dir) =>
       // ES top_hits sub-aggregation: per-lang top-3 matching docs by
       // n_chars (window group-limit — the per-shard-heap plan shape)
@@ -1032,6 +1040,16 @@ UNION ALL
 SELECT '500-2000', CAST(count(*) FILTER (n_chars >= 500 AND n_chars < 2000) AS BIGINT) FROM m
 UNION ALL
 SELECT '2000-*', CAST(count(*) FILTER (n_chars >= 2000) AS BIGINT) FROM m""",
+      "q_filters_agg" ->
+        s"""${toksCte("documents", "doc_id")},
+m AS (SELECT lang, source FROM documents
+      WHERE doc_id IN (SELECT DISTINCT doc_id FROM tok
+                       WHERE term IN ${inList(Analyzer.analyzeQuery(Bm25Query).toSeq)}))
+SELECT 'english' AS key, CAST(count(*) FILTER (lang = 'en') AS BIGINT) AS n_docs FROM m
+UNION ALL
+SELECT 'src1', CAST(count(*) FILTER (source = 'src1') AS BIGINT) FROM m
+UNION ALL
+SELECT 'german', CAST(count(*) FILTER (lang = 'de') AS BIGINT) FROM m""",
       "q_top_hits" ->
         s"""${toksCte("documents", "doc_id")},
 m AS (SELECT d.lang AS value, d.doc_id, d.n_chars FROM documents d

@@ -1483,6 +1483,25 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
       .orderBy(col("value"), col("rank"))
   }
 
+  /** ES `filters` aggregation over the cross-segment match set — same
+    * one-pass named-bucket body as the single-index searcher.
+    */
+  def filtersAgg(query: String, buckets: Seq[(String, (String, String))],
+      filters: Seq[(String, String)] = Nil,
+      mustNot: Seq[(String, String)] = Nil,
+      numericRangeFilters: Seq[(String, Long, Long)] = Nil,
+      anyFilters: Seq[(String, Seq[String])] = Nil,
+      rangeFilters: Seq[(String, String, String)] = Nil,
+      exists: Seq[String] = Nil,
+      missing: Seq[String] = Nil): DataFrame = {
+    require(buckets.nonEmpty, "filters aggregation needs >= 1 named bucket")
+    val cols = buckets.map(_._2._1).distinct
+    val joined = rawDocs.select(col("docId") +: cols.map(col): _*)
+      .join(matchingOrEmpty(query, filters, mustNot, numericRangeFilters, anyFilters,
+        rangeFilters, exists, missing), Seq("docId"))
+    Searcher.filtersAggOf(joined, buckets)
+  }
+
   /** Text-namespace background document frequencies across ALL
     * segments, LWW-exact: per-segment dictionary rows summed, minus
     * the removed-df corrections frame (tombstoned docs' terms) — the

@@ -175,6 +175,23 @@ private[query] object Searcher {
       .filter(col("score") > lit(0.0))
   }
 
+  /** Shared ES `filters`-aggregation body: one conditional count per
+    * named (field = value) bucket in a single agg, `stack`-unpivoted
+    * in request order.
+    */
+  def filtersAggOf(joined: DataFrame,
+      buckets: Seq[(String, (String, String))]): DataFrame = {
+    val aggs = buckets.zipWithIndex.map { case ((_, (f, v)), i) =>
+      count(when(col(f) === lit(v), 1)).as(s"__b_$i")
+    }
+    val stackArgs = buckets.zipWithIndex.map { case ((name, _), i) =>
+      require(!name.contains("'"), s"bucket name '$name' must not contain quotes")
+      s"'$name', __b_$i"
+    }.mkString(", ")
+    joined.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${buckets.size}, $stackArgs) as (key, n_docs)")
+  }
+
   /** Shared ES `range`-aggregation body: every [from, to) bucket is a
     * conditional count in ONE agg over the (docId, field) match-set
     * join, unpivoted to rows via `stack` — single pass, no driver
@@ -1507,6 +1524,29 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
       .select(col("value"), col("rank").cast("long").as("rank"),
         col("docId").as("doc_id"), col(sortField).cast("long").as("sort_value"))
       .orderBy(col("value"), col("rank"))
+  }
+
+  /** ES `filters` aggregation: one NAMED bucket per keyword
+    * (field = value) predicate, each an independent doc count over the
+    * match set (buckets may overlap — they're separate counters). ONE
+    * pass: every bucket is a conditional count in a single agg over
+    * the match-set join, unpivoted via `stack` in request order —
+    * bucket count never multiplies scans.
+    */
+  def filtersAgg(query: String, buckets: Seq[(String, (String, String))],
+      filters: Seq[(String, String)] = Nil,
+      mustNot: Seq[(String, String)] = Nil,
+      numericRangeFilters: Seq[(String, Long, Long)] = Nil,
+      anyFilters: Seq[(String, Seq[String])] = Nil,
+      rangeFilters: Seq[(String, String, String)] = Nil,
+      exists: Seq[String] = Nil,
+      missing: Seq[String] = Nil): DataFrame = {
+    require(buckets.nonEmpty, "filters aggregation needs >= 1 named bucket")
+    val cols = buckets.map(_._2._1).distinct
+    val joined = docs.select(col("docId") +: cols.map(col): _*)
+      .join(matchingOrEmpty(query, filters, mustNot, numericRangeFilters, anyFilters,
+        rangeFilters, exists, missing), Seq("docId"))
+    Searcher.filtersAggOf(joined, buckets)
   }
 
   /** ES `significant_terms` aggregation: terms over-represented in the

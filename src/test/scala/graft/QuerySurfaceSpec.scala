@@ -496,6 +496,16 @@ class QuerySurfaceSpec extends SparkSpec {
       "*-*" -> nAll))
     assert(gotR.map(_._2).sum > nAll) // the overlap really double-counts
 
+    // --- filters agg: named keyword buckets, one pass, overlap allowed ---
+    val nUser = matching.filter(col("role") === "user").count()
+    val nTool = matching.filter(col("role") === "tool").count()
+    val gotF = searcher.filtersAgg("the", Seq(
+      "users" -> ("role", "user"), "tools" -> ("role", "tool"),
+      "users2" -> ("role", "user")))
+      .as[(String, Long)].collect().toSeq
+    assert(gotF == Seq("users" -> nUser, "tools" -> nTool, "users2" -> nUser))
+    assert(nUser > 0 && nTool > 0)
+
     // --- top_hits: per-bucket top-k ≡ direct window computation ---
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("role")).orderBy(col("dl").desc, col("docId").asc)
@@ -794,6 +804,10 @@ class QuerySurfaceSpec extends SparkSpec {
     assert(multi.rangesAgg("the", "dl", rgs).as[(String, Long)].collect().toSeq
       == single.rangesAgg("the", "dl", rgs).as[(String, Long)].collect().toSeq)
     assert(multi.rangesAgg("the", "dl", rgs).as[(String, Long)].collect().map(_._2).sum > 0)
+    val fb = Seq("users" -> ("role", "user"), "tools" -> ("role", "tool"))
+    assert(multi.filtersAgg("the", fb).as[(String, Long)].collect().toSeq
+      == single.filtersAgg("the", fb).as[(String, Long)].collect().toSeq)
+    assert(multi.filtersAgg("the", fb).as[(String, Long)].collect().forall(_._2 > 0))
 
     // warm() pins the segment frames; results identical on every path
     val warmMulti = new graft.query.MultiSearcher(spark, segIdx).warm()
