@@ -126,6 +126,26 @@ object Demo {
     println("== top_hits: per-role top-2 by dl (pre-shuffle window group limit):")
     searcher.facetTopHits("the", "role", "dl", 2).show(6, truncate = false)
 
+    // round-7 surface: regexp, match fuzziness, dis_max, nested aggs,
+    // phrase suggester, multi-fragment highlight
+    println(s"== regexp 'zanz.bar' -> ${searcher.searchRegexp("zanz.bar", 3).length} hits; " +
+      s"match+fuzziness 'thee zanzibat' -> ${searcher.searchMatchFuzzy("thee zanzibat", 3).length} hits")
+    val dm = searcher.searchDisMax(Seq("zanzibar quasar", "the"), 3, tieBreaker = 0.3)
+    println(s"== dis_max([zanzibar quasar | the], tb=0.3) top scores: " +
+      dm.map(h => f"${h.score}%.4f").mkString(", "))
+    println("== nested agg tree (terms role -> date_histogram day -> dl stats), one rollup pass:")
+    searcher.nestedAgg("the", Seq(
+      graft.query.TermsLevel("role", "k1"),
+      graft.query.DateHistLevel("ts", "day", "k2")), statField = Some("dl"))
+      .show(6, truncate = false)
+    val ps = searcher.phraseSuggest("thee zanzibat", 3, maxDist = 1).collect()
+    println(s"== phrase_suggest 'thee zanzibat' (bigram doc-counts from positional postings): " +
+      ps.map(r => s"'${r.getString(0)}' (${r.getLong(1)})").mkString(", "))
+    val hl = searcher.searchHighlighted("zanzibar", 1, window = 2, numberOfFragments = 2)
+      .select("fragments").collect()
+    println(s"== multi-fragment highlight: " +
+      hl.headOption.map(_.getSeq[String](0).mkString(" … ")).getOrElse("(none)"))
+
     // cross-segment LWW upsert + delete (streaming dir; re-ingested key
     // supersedes, deleted key vanishes; crash-atomic compaction)
     println("== cross-segment upsert/delete demo:")

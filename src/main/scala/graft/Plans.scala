@@ -42,6 +42,17 @@ object Plans {
         col("termId").isin(ids.map(_.getLong(0)).toSeq: _*))
     println(blocks.queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode))
+
+    // fuzzy/suggest cold dict scan: the stored bare-token `len` range
+    // must PUSH DOWN to parquet (round-7) so levenshtein evaluates only
+    // on length-plausible rows
+    println("\n===================== fuzzy dict scan (len pushdown) =====================")
+    val w = "zanzibat"
+    val dictScan = spark.read.parquet(s"$idxDir/dict")
+      .filter(col("len").between(lit(w.length - 1), lit(w.length + 1)) &&
+        levenshtein(lit(w), col("term")) <= lit(1))
+    println(dictScan.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode))
     spark.stop()
   }
 }

@@ -442,6 +442,25 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
       import s.implicits._
       rankHits(s, new Searcher(s, documentsIndex(s, dir), 8).searchFuzzy("sprak", 10, maxDist = 2))
     }),
+    "q_bm25_regexp" -> ((s, dir) => {
+      // ES `regexp` query: whole-term anchoring (Lucene), deterministic
+      // term-asc capped expansion, BM25 OR — 'sp.rk|wind.w' expands to
+      // {spark, window}
+      rankHits(s, new Searcher(s, documentsIndex(s, dir), 8).searchRegexp("sp.rk|wind.w", 10))
+    }),
+    "q_bm25_match_fuzzy" -> ((s, dir) => {
+      // ES match + fuzziness: EVERY query token expands (per-token cap)
+      // and the union scores as one BM25 OR; each expansion scores with
+      // its own idf (documented deviation from ES's blended rewrite)
+      rankHits(s, new Searcher(s, documentsIndex(s, dir), 8)
+        .searchMatchFuzzy("sprak windoq", 10, maxDist = 2))
+    }),
+    "q_dis_max" -> ((s, dir) => {
+      // ES dis_max as a general combinator: best sub-query's BM25 sum +
+      // tie_breaker · the others (the best-fields fold over query groups)
+      rankHits(s, new Searcher(s, documentsIndex(s, dir), 8)
+        .searchDisMax(Seq("spark window", "query merge"), 10, tieBreaker = 0.3))
+    }),
     "q_bm25_filtered" -> ((s, dir) => {
       // ES bool query, filter context: score = plain BM25 under FULL
       // corpus stats, membership restricted by the fielded keyword term
@@ -583,6 +602,12 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
       // edits of the misspelling, ranked (dist asc, df desc, term asc)
       new Searcher(s, documentsIndex(s, dir), 8)
         .suggestTerms("sprak", 5, maxDist = 2)),
+    "q_phrase_suggest" -> ((s, dir) =>
+      // ES phrase suggester: per-slot correction candidates (term-
+      // suggester rank, incl. the token itself), candidate phrases
+      // scored by adjacent-bigram doc-counts from POSITIONAL postings
+      new Searcher(s, documentsIndex(s, dir), 8)
+        .phraseSuggest("marge sort", 5, maxDist = 2, maxPerSlot = 3)),
     "q_more_like_this" -> ((s, dir) => {
       // ES more_like_this: doc 7's terms ranked by the integer-exact
       // rare-first rule (tf desc, df asc, term asc), top 25 become an
@@ -643,6 +668,16 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
         .select(col("n_docs"), col("min").cast("long").as("min"),
           col("max").cast("long").as("max"), round(col("avg"), 6).as("avg"),
           col("sum").cast("long").as("sum"))),
+    "q_nested_aggs" -> ((s, dir) =>
+      // ES nested sub-aggregation tree, 3 levels (terms lang → terms
+      // source → n_chars histogram) + stats, EVERY level from ONE
+      // match-set join + ONE rollup pass; depth = defined key count
+      new Searcher(s, documentsIndex(s, dir), 8)
+        .nestedAgg(Bm25Query, Seq(
+          graft.query.TermsLevel("lang", "k1"),
+          graft.query.TermsLevel("source", "k2"),
+          graft.query.HistogramLevel("n_chars", 1000L, "k3")),
+          statField = Some("n_chars"))),
     "q_facet_stats" -> ((s, dir) =>
       // ES sub-aggregation: terms buckets over lang with nested stats of
       // n_chars per bucket — one groupBy on the match-set join
@@ -942,6 +977,43 @@ SELECT CAST(count(*) AS BIGINT) AS n_docs, round(avg(dl), 6) AS avgdl FROM dl"""
         termPred = "tf.term LIKE 's%a%'"),
       "q_bm25_fuzzy" -> bm25Sql(Nil, 10, conjunctive = false,
         termPred = "levenshtein(tf.term, 'sprak') <= 2"),
+      "q_bm25_regexp" -> bm25Sql(Nil, 10, conjunctive = false,
+        termPred = "regexp_full_match(tf.term, 'sp.rk|wind.w')"),
+      "q_bm25_match_fuzzy" -> bm25Sql(Nil, 10, conjunctive = false,
+        termPred =
+          "(levenshtein(tf.term, 'sprak') <= 2 OR levenshtein(tf.term, 'windoq') <= 2)"),
+      // dis_max twin: per-group ordered-term sums pick the best group
+      // (sum desc, group asc — the engine's first-max rule), then every
+      // term contribution re-sums weighted (1 best / 0.3 others) in
+      // GLOBAL ascending term order — the exact FP association of the
+      // engine's best-fields fold
+      "q_dis_max" -> {
+        val score = Bm25.scoreSql("tf.tf", "df.df", "dl.dl", "st.n", "st.avgdl")
+        s"""${toksCte("documents", "doc_id")},
+dl AS (SELECT d.doc_id, coalesce(t.n, 0) AS dl FROM documents d
+       LEFT JOIN (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id) t ON d.doc_id = t.doc_id),
+st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+contrib AS (
+  SELECT tf.doc_id, tf.term,
+         CASE WHEN tf.term IN ('spark','window') THEN 0 ELSE 1 END AS g,
+         $score AS s
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE tf.term IN ('spark','window','query','merge')),
+gs AS (SELECT doc_id, g, sum(s ORDER BY term ASC) AS sg FROM contrib GROUP BY 1, 2),
+best AS (SELECT doc_id, g AS bg FROM (
+           SELECT doc_id, g, row_number() OVER (PARTITION BY doc_id ORDER BY sg DESC, g ASC) AS rn
+           FROM gs) WHERE rn = 1),
+scored AS (
+  SELECT c.doc_id,
+         sum((CASE WHEN c.g = b.bg THEN 1.0 ELSE 0.3 END) * c.s ORDER BY c.term ASC) AS score
+  FROM contrib c JOIN best b USING (doc_id)
+  GROUP BY c.doc_id)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, round(score, 4) AS score
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10"""
+      },
       "q_bm25_filtered" -> bm25Sql(Analyzer.analyzeQuery(Bm25Query).toSeq, 10,
         conjunctive = false, docPred = "lang = 'fr'"),
       // IS DISTINCT FROM, not <>: the engine's must_not semantics (ES
@@ -1089,6 +1161,25 @@ cand AS (SELECT term, df FROM df
 SELECT term AS suggestion, CAST(levenshtein(term, 'sprak') AS INT) AS dist,
        CAST(df AS BIGINT) AS df
 FROM cand ORDER BY dist ASC, df DESC, suggestion ASC LIMIT 5""",
+      // phrase-suggester twin: positions via zipped unnest, per-slot
+      // candidate rank (dist asc, df desc, term asc) via QUALIFY, and
+      // the integer bigram-doc-count scoring — bit-reproducible
+      "q_phrase_suggest" ->
+        s"""WITH arrs AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '$SqlTokRegex'), x -> x <> '') AS arr FROM documents),
+pos AS (SELECT doc_id, unnest(arr) AS term, unnest(range(1, len(arr)+1)) AS p FROM arrs),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM pos GROUP BY 1),
+c1 AS (SELECT term FROM df WHERE levenshtein(term,'marge') <= 2
+       QUALIFY row_number() OVER (ORDER BY levenshtein(term,'marge') ASC, df DESC, term ASC) <= 3),
+c2 AS (SELECT term FROM df WHERE levenshtein(term,'sort') <= 2
+       QUALIFY row_number() OVER (ORDER BY levenshtein(term,'sort') ASC, df DESC, term ASC) <= 3),
+big AS (SELECT p1.term AS a, p2.term AS b, count(DISTINCT p1.doc_id) AS n
+        FROM pos p1 JOIN pos p2 ON p1.doc_id = p2.doc_id AND p2.p = p1.p + 1
+        WHERE p1.term IN (SELECT term FROM c1) AND p2.term IN (SELECT term FROM c2)
+        GROUP BY 1, 2),
+ph AS (SELECT c1.term || ' ' || c2.term AS suggestion, coalesce(big.n, 0) AS score
+       FROM c1 CROSS JOIN c2 LEFT JOIN big ON big.a = c1.term AND big.b = c2.term)
+SELECT suggestion, CAST(score AS BIGINT) AS score
+FROM ph ORDER BY score DESC, suggestion ASC LIMIT 5""",
       // more_like_this twin: the engine's integer-exact term selection
       // (tf desc, df asc, term asc, top 25 of doc 7) inside the term
       // predicate; membership excludes the source doc, scores stay
@@ -1143,6 +1234,22 @@ SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(min(n_chars) AS BIGINT) AS "min"
 FROM documents
 WHERE doc_id IN (SELECT DISTINCT doc_id FROM tok
                  WHERE term IN ${inList(Analyzer.analyzeQuery(Bm25Query).toSeq)})""",
+      // nested-agg twin: DuckDB GROUP BY ROLLUP over the same projected
+      // keys; depth = 3 − ΣGROUPING(k) bit-matches Spark's grouping()
+      "q_nested_aggs" ->
+        s"""${toksCte("documents", "doc_id")},
+b AS (SELECT lang AS k1, source AS k2,
+             CAST(floor(n_chars/1000)*1000 AS BIGINT) AS k3, n_chars
+      FROM documents
+      WHERE doc_id IN (SELECT DISTINCT doc_id FROM tok
+                       WHERE term IN ${inList(Analyzer.analyzeQuery(Bm25Query).toSeq)}))
+SELECT k1, k2, k3,
+       CAST(3 - (GROUPING(k1) + GROUPING(k2) + GROUPING(k3)) AS INT) AS depth,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(n_chars) AS BIGINT) AS "min", CAST(max(n_chars) AS BIGINT) AS "max",
+       round(avg(n_chars), 6) AS "avg", CAST(sum(n_chars) AS BIGINT) AS "sum"
+FROM b GROUP BY ROLLUP (k1, k2, k3)
+ORDER BY depth, k1, k2, k3""",
       "q_facet_stats" ->
         s"""${toksCte("documents", "doc_id")}
 SELECT d.lang AS value, CAST(count(*) AS BIGINT) AS n_docs,

@@ -345,6 +345,7 @@ object Compaction {
       .join(maxs, Seq("termId"))
       .select(col("term"), col("termId"), col("shard"), col("df"), col("cf"), col("maxScore"))
       .as[TermStats]
+      .withColumn("len", graft.index.FieldTerms.bareLenCol(col("term")))
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/dict")
     val nVocab = spark.read.parquet(s"$outDir/dict").count()
 
@@ -372,6 +373,12 @@ object Compaction {
       out.writeManifest(BuildManifest(s"bucket=$b", b, 0, maxDocId + 1, snap, p, y, "done", 0))
     }
     out.writeManifest(BuildManifest("finalize", -1, 0, n, snap, nVocab, 0, "done", 0))
+    // format flag of the merged segment = min over the inputs: postings
+    // (incl. exists markers) are payload-preserved, so the merge carries
+    // markers iff EVERY input did — a legacy input keeps the output
+    // legacy so exists/missing still fails loudly instead of silently
+    IndexFormat.write(hfs, outDir,
+      segments.map(s => IndexFormat.version(hfs, s)).min)
     // key bloom for the merged segment: future appends prune their
     // upsert key-lookup against it like any built segment's
     Tombstones.writeKeyBloom(spark, outDir, spark.read.parquet(s"$outDir/docs"), n)

@@ -30,6 +30,61 @@ object GraftHash {
     java.lang.Math.floorMod(fnv1a64(term), numShards.toLong).toInt
 }
 
+/** On-disk index format version flag (`format.props` next to the
+  * stores). Version 2 = exists markers ([[FieldTerms.existsTerm]]) are
+  * emitted for every configured field column; an index WITHOUT the flag
+  * predates them — an `exists` clause against it would return ZERO hits
+  * and a `missing` clause would be silently dropped (inverted results),
+  * so both searchers fail loudly instead (round-6 review).
+  */
+object IndexFormat {
+  /** Current writer version. */
+  val Version = 2
+  /** Version implied by a missing flag file (pre-marker index). */
+  val Legacy = 1
+
+  private def flagPath(indexDir: String) = new Path(indexDir, "format.props")
+
+  /** Stamp `indexDir` with `version` (atomic tmp+rename, idempotent). */
+  def write(fs: org.apache.hadoop.fs.FileSystem, indexDir: String,
+      version: Int = Version): Unit = {
+    val p = flagPath(indexDir)
+    val tmp = new Path(indexDir, "format.props.tmp")
+    val out = fs.create(tmp, true)
+    out.write(s"formatVersion=$version\n".getBytes(StandardCharsets.UTF_8))
+    out.close()
+    fs.delete(p, false)
+    fs.rename(tmp, p)
+  }
+
+  /** The index's format version ([[Legacy]] when unflagged). */
+  def version(fs: org.apache.hadoop.fs.FileSystem, indexDir: String): Int = {
+    val p = flagPath(indexDir)
+    if (!fs.exists(p)) return Legacy
+    val in = fs.open(p)
+    val bytes = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](256)
+    var r = in.read(buf)
+    while (r > 0) { bytes.write(buf, 0, r); r = in.read(buf) }
+    in.close()
+    bytes.toString("UTF-8").linesIterator
+      .collectFirst { case l if l.startsWith("formatVersion=") =>
+        l.stripPrefix("formatVersion=").trim.toInt }
+      .getOrElse(Legacy)
+  }
+
+  /** Loud guard for `exists`/`missing` clauses: throws on an index whose
+    * format predates the `_field_names`-style markers.
+    */
+  def requireExistsMarkers(hasMarkers: Boolean, indexDir: String,
+      exists: Seq[String], missing: Seq[String]): Unit =
+    if ((exists.nonEmpty || missing.nonEmpty) && !hasMarkers)
+      throw new IllegalStateException(
+        s"index at $indexDir predates exists markers (formatVersion < $Version): " +
+          "an exists/missing clause would silently return wrong results — " +
+          "rebuild the index (or compact from marker-bearing segments)")
+}
+
 /** Fielded keyword terms for ES bool-query filter context (the keyword
   * sub-field pattern: a metadata value is indexed as ONE posting per doc
   * in the same dictionary/postings as the text terms, namespaced so the
@@ -81,6 +136,23 @@ object FieldTerms {
     */
   def isNamespaced(term: String): Boolean =
     term.startsWith(Prefix) || term.startsWith(TextPrefix)
+
+  /** Bare-token length of a dictionary term (the `len` dict column,
+    * format v2+): namespaced terms (`#field:v` / `%field:tok`) measure
+    * the part after the FIRST ':' (analyzer tokens never contain ':',
+    * so that colon is always the namespace separator; exists markers
+    * `#field!` have none and fall back to full length — they never
+    * join an edit-distance expansion). Stored at write time so fuzzy/
+    * suggest dictionary scans push a plain int range filter to the
+    * parquet reader — levenshtein ≥ |length difference|, so pruning to
+    * |len − |w|| ≤ maxDist is exact — instead of evaluating the
+    * distance over the entire vocabulary (round-6 review).
+    */
+  def bareLenCol(term: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{instr, length, when}
+    when(term.startsWith(Prefix) || term.startsWith(TextPrefix),
+      length(term) - instr(term, ":")).otherwise(length(term))
+  }
 
   /** The exists-marker term of an indexed field — ES's `_field_names`
     * meta-field pattern (the `exists`/`missing` query is a term lookup
@@ -638,8 +710,12 @@ class IndexBuilder(
     val stats = spark.read.parquet(statsPath).as[IndexStats].head()
     val n = stats.n
     val avgdl = stats.avgdl
-    if (n == 0)
+    if (n == 0) {
+      // even an empty index carries this writer's format (an unflagged
+      // empty segment would mark a whole multi-segment index legacy)
+      IndexFormat.write(fs, indexDir)
       return BuildReport(0, 0.0, 0, 0, 0, built.toSeq, skipped.toSeq)
+    }
     val idBound = readManifest("docs").map(_.docIdHi).getOrElse(n)
     val bucketWidth = math.max(1L, (idBound + cfg.numBuckets - 1) / cfg.numBuckets)
 
@@ -917,7 +993,14 @@ class IndexBuilder(
         .select(col("term"), col("termId"), col("shard"), col("df"), col("cf"), col("maxScore"))
         .observe(obs, count(lit(1)).as("vocab"))
         .as[TermStats]
-      dict.write.mode(SaveMode.Overwrite).parquet(dictPath)
+      // `len` (bare-token length) rides along for edit-distance scan
+      // pruning; TermStats readers ignore it by name-binding
+      dict.withColumn("len", FieldTerms.bareLenCol(col("term")))
+        .write.mode(SaveMode.Overwrite).parquet(dictPath)
+      // stamp the format flag HERE (not after the phase loop): a resumed
+      // build that skips every phase must not claim markers an older
+      // writer never emitted
+      IndexFormat.write(fs, indexDir)
       BuildManifest("finalize", -1, 0, n, snapshotId,
         obs.get("vocab").asInstanceOf[Long], 0, "done", 0)
     }

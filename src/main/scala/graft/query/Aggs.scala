@@ -1,0 +1,123 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Nested / composite aggregation trees (round-6 review "What's missing
+  * #1" — the top remaining ES user surface: Kibana-style multi-level
+  * bucket dashboards, e.g. terms→date_histogram→stats or
+  * terms→terms→count, over the dynamic-mapped keyword/date fields the
+  * reference's ES mapping exposes, mapping.json:4-25).
+  *
+  * Execution shape: ONE match-set join + ONE `rollup` aggregation — a
+  * single shuffle pass computes EVERY level of the bucket tree (each
+  * prefix grouping set is one tree level: depth d rows are the level-d
+  * buckets with their own doc counts and metrics, exactly ES's nested
+  * response flattened). `rollup` is Spark's grouping-sets expansion:
+  * map-side partial aggregation applies per grouping set, the shuffle
+  * keys on the grouping-set id + keys, and no level needs its own pass
+  * over the match set — at 10^12 docs the cost is one pass regardless
+  * of tree depth. Per-level `size` caps (ES terms-agg bucket pruning)
+  * prune AFTER the one-pass agg on the (tiny) bucket frame: ranked by
+  * (count desc, key asc — ES's default deterministic order) within the
+  * parent bucket, descendants of dropped buckets pruned via semi-joins
+  * on the bucket frame itself, never a second match-set pass.
+  *
+  * Bucket-key NULL convention: rollup rows use NULL for aggregated-out
+  * deeper keys, so a NULL in a real bucket key would be ambiguous —
+  * callers aggregate on non-null fields (the `depth` column
+  * disambiguates programmatically: a level-d row has exactly d
+  * non-aggregated keys).
+  */
+sealed trait BucketLevel {
+  /** Source column of this level's bucket key. */
+  def field: String
+
+  /** Output column name of this level's bucket key. */
+  def as: String
+
+  /** ES terms-agg `size` (> 0 keeps the top `size` buckets per parent
+    * by doc count desc, key asc); 0 = all buckets. Non-terms levels
+    * are never size-capped (ES shape).
+    */
+  def size: Int = 0
+}
+
+/** `terms` bucket over a keyword/numeric field. */
+final case class TermsLevel(field: String, as: String,
+    override val size: Int = 0) extends BucketLevel
+
+/** `date_histogram` (calendar_interval = a `date_trunc` unit). */
+final case class DateHistLevel(field: String, interval: String,
+    as: String) extends BucketLevel
+
+/** Fixed-width numeric `histogram` (bucket = floor(v/width)·width). */
+final case class HistogramLevel(field: String, width: Long,
+    as: String) extends BucketLevel
+
+object Aggs {
+
+  /** The bucket-key projection of one level. */
+  private def keyCol(l: BucketLevel): Column = l match {
+    case TermsLevel(f, as, _) => col(f).as(as)
+    case DateHistLevel(f, iv, as) => date_trunc(iv, col(f)).as(as)
+    case HistogramLevel(f, w, as) =>
+      (floor(col(f) / lit(w)) * lit(w)).cast("long").as(as)
+  }
+
+  /** One-pass nested aggregation over `joined` — the (docId ⋈ match
+    * set) frame carrying every level's source column (+ `statField`).
+    * Output: one row per bucket at EVERY tree level — key columns (NULL
+    * = aggregated out at this level), `depth` (number of defined keys;
+    * 0 = the grand-total row), `n_docs`, and min/max/avg/sum of
+    * `statField` when given. Deterministically ordered (depth asc, keys
+    * asc NULLS FIRST).
+    */
+  def nestedAggOf(joined: DataFrame, levels: Seq[BucketLevel],
+      statField: Option[String]): DataFrame = {
+    require(levels.nonEmpty, "nested aggregation needs >= 1 bucket level")
+    require(levels.map(_.as).distinct.size == levels.size,
+      "bucket levels must have distinct output names")
+    val names = levels.map(_.as)
+    val base = joined.select(levels.map(keyCol) ++ statField.map(col): _*)
+    // depth = levels − Σ grouping(k): grouping() is 1 when the rollup
+    // aggregated the key out — the exact GROUPING() bit DuckDB computes,
+    // so the SQL twin reproduces depth verbatim
+    val depth = (lit(levels.size) -
+      names.map(n => grouping(col(n)).cast("int")).reduce(_ + _)).as("depth")
+    val statAggs = statField.toSeq.flatMap { f =>
+      Seq(min(col(f)).as("min"), max(col(f)).as("max"),
+        round(avg(col(f)), 6).as("avg"), sum(col(f)).as("sum"))
+    }
+    val aggCols = Seq(depth, count(lit(1)).as("n_docs")) ++ statAggs
+    val full = base.rollup(names.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+    // per-level terms `size` pruning on the bucket frame (post-agg,
+    // cheap): keep top-size per parent at depth i+1, drop descendants
+    var out = full
+    for ((l, i) <- levels.zipWithIndex if l.size > 0) {
+      val kept =
+        if (i == 0)
+          // root level: TakeOrderedAndProject (per-partition heaps),
+          // never an unpartitioned window over the bucket frame
+          out.filter(col("depth") === lit(1))
+            .orderBy(col("n_docs").desc, col(names(0)).asc)
+            .limit(l.size)
+            .select(col(names(0)))
+        else {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(names.take(i).map(col): _*)
+            .orderBy(col("n_docs").desc, col(names(i)).asc)
+          out.filter(col("depth") === lit(i + 1))
+            .withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") <= lit(l.size))
+            .select(names.take(i + 1).map(col): _*)
+        }
+      // rows at depth ≤ i are ancestors/totals (unaffected); rows with
+      // this level defined must descend from a kept bucket
+      out = out.filter(col("depth") <= lit(i))
+        .unionByName(out.filter(col("depth") > lit(i))
+          .join(kept, names.take(i + 1), "left_semi"))
+    }
+    out.orderBy(col("depth").asc +: names.map(col(_).asc_nulls_first): _*)
+  }
+}

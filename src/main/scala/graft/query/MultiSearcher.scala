@@ -196,6 +196,18 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
   val segments: Seq[String] = SegmentCatalog.liveSegments(fs, indexDir)
   require(segments.nonEmpty, s"no live seg-* sub-indexes under $indexDir")
 
+  /** Every live segment stores exists markers (format ≥ 2)? A mixed-
+    * generation index fails `exists`/`missing` loudly — one legacy
+    * segment would silently invert results for its docs (round-6
+    * review).
+    */
+  private lazy val allSegsHaveExistsMarkers: Boolean =
+    segments.forall(s =>
+      graft.index.IndexFormat.version(fs, s) >= graft.index.IndexFormat.Version)
+  private def guardExists(exists: Seq[String], missing: Seq[String]): Unit =
+    graft.index.IndexFormat.requireExistsMarkers(
+      allSegsHaveExistsMarkers, indexDir, exists, missing)
+
   private val segStats: Seq[IndexStats] =
     segments.map(s => spark.read.parquet(s"$s/stats").as[IndexStats].head())
 
@@ -902,6 +914,7 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
       multiMatchBest: Boolean = false,
       tieBreaker: Double = 0.0
   ): Array[Scored] = {
+    guardExists(exists, missing)
     val mm = multiMatchFields
     require(mm.isEmpty || (!phrase && !conjunctive),
       "multiMatchFields is OR-mode only (like multiMatch)")
@@ -947,6 +960,7 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
     * exact LWW statistics.
     */
   def searchManyBool(specs: Seq[BoolQuerySpec], k: Int): Seq[Array[Scored]] = {
+    specs.foreach(sp => guardExists(sp.exists, sp.missing))
     // ALL specs' lexicographic ranges expand in ONE batched unioned scan
     val rangeExp: Map[(String, String, String), Seq[String]] =
       expandFieldRanges(specs.flatMap(_.rangeFilters).distinct)
@@ -1114,7 +1128,14 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
     * so a compacted index answers identically. ONE unioned dict scan.
     */
   private def expand(sqlPredOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
-      maxExpansions: Int, field: String = "text"): Seq[String] = {
+      maxExpansions: Int, field: String = "text",
+      /** Bare-token length bounds implied by an edit-distance
+        * predicate: pushed to each segment dict's stored `len` column
+        * (format v2) so the parquet reader prunes before levenshtein
+        * ever evaluates; legacy dicts skip the prune (the predicate
+        * implies it — correctness unchanged).
+        */
+      lenRange: Option[(Int, Int)] = None): Seq[String] = {
     val pred =
       if (field == "text")
         !col("term").startsWith(FieldTerms.Prefix) &&
@@ -1125,7 +1146,12 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
           sqlPredOf(col("term").substr(lit(pfx.length + 1), lit(Int.MaxValue)))
       }
     segDicts.map { d =>
-      d.filter(pred).select(col("term"))
+      val base = lenRange match {
+        case Some((lo, hi)) if d.columns.contains("len") =>
+          d.filter(col("len").between(lit(lo), lit(hi)))
+        case _ => d
+      }
+      base.filter(pred).select(col("term"))
     }.reduce(_ unionByName _).distinct()
       .orderBy(col("term")).limit(maxExpansions)
       .as[String].collect().toSeq
@@ -1148,13 +1174,66 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
     run(expand(_.like(like), maxExpansions, field), k, conjunctive = false)
   }
 
-  /** Fuzzy query (ES `fuzziness`) over the union of all segments. */
+  /** Fuzzy query (ES `fuzziness`) over the union of all segments —
+    * the dict scans prune by the stored bare-token `len` range first.
+    */
   def searchFuzzy(term: String, k: Int, maxDist: Int = 1,
       maxExpansions: Int = 50, field: String = "text"): Array[Scored] = {
     val toks = Analyzer.tokenize(term)
     if (toks.isEmpty) return Array.empty
-    run(expand(c => levenshtein(lit(toks(0)), c) <= lit(maxDist), maxExpansions, field),
+    run(expand(c => levenshtein(lit(toks(0)), c) <= lit(maxDist), maxExpansions, field,
+        lenRange = Some((math.max(1, toks(0).length - maxDist), toks(0).length + maxDist))),
       k, conjunctive = false)
+  }
+
+  /** ES `regexp` query over the union of all segments (Lucene whole-
+    * term anchoring; same deterministic term-asc capped rewrite as the
+    * single-index searcher).
+    */
+  def searchRegexp(pattern: String, k: Int, maxExpansions: Int = 50,
+      field: String = "text"): Array[Scored] = {
+    val anchored = "^(?:" + pattern + ")$"
+    run(expand(_.rlike(anchored), maxExpansions, field), k, conjunctive = false)
+  }
+
+  /** ES `match` with `fuzziness` over the union of all segments: per-
+    * token capped expansion (ONE unioned dict scan for ALL tokens,
+    * length-pruned), union scored as one BM25 OR — identical rewrite
+    * rule to [[Searcher.searchMatchFuzzy]] so the two searchers agree.
+    */
+  def searchMatchFuzzy(query: String, k: Int, maxDist: Int = 1,
+      maxExpansionsPerTerm: Int = 50, field: String = "text"): Array[Scored] = {
+    val toks = Analyzer.analyzeQuery(query).toSeq.sorted
+    if (toks.isEmpty) return Array.empty
+    val lo = math.max(1, toks.map(_.length).min - maxDist)
+    val hi = toks.map(_.length).max + maxDist
+    val cands = expand(
+      c => toks.map(w => levenshtein(lit(w), c) <= lit(maxDist)).reduce(_ || _),
+      Int.MaxValue, field, lenRange = Some((lo, hi)))
+    val bare: String => String =
+      if (field == "text") identity
+      else { val p = FieldTerms.textTerm(field, ""); t => t.substring(p.length) }
+    val selected = toks.flatMap { w =>
+      cands.filter(t => Expansion.levenshtein(w, bare(t)) <= maxDist)
+        .sorted.take(maxExpansionsPerTerm)
+    }.distinct
+    run(selected, k, conjunctive = false)
+  }
+
+  /** ES `dis_max` as a general combinator over the union of all
+    * segments — the [[Wand.BestFields]] fold over query groups, same
+    * semantics as [[Searcher.searchDisMax]].
+    */
+  def searchDisMax(queries: Seq[String], k: Int,
+      tieBreaker: Double = 0.0): Array[Scored] = {
+    val groups = queries.map(q => Analyzer.analyzeQuery(q).toSeq.distinct.sorted)
+    val flat = groups.flatten
+    require(flat.nonEmpty, "dis_max needs >= 1 non-empty sub-query")
+    require(flat.distinct.size == flat.size,
+      "dis_max sub-queries must have disjoint analyzed term sets")
+    val fieldOf = groups.zipWithIndex.flatMap { case (ts, i) => ts.map(_ -> i) }.toMap
+    run(flat, k, conjunctive = false,
+      bestFields = new Wand.BestFields(fieldOf, groups.size, tieBreaker))
   }
 
   // --- match-set operators (facets / aggs / sort / count) -----------------
@@ -1193,6 +1272,7 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
       rangeFilters: Seq[(String, String, String)] = Nil,
       exists: Seq[String] = Nil,
       missing: Seq[String] = Nil): Option[DataFrame] = {
+    guardExists(exists, missing)
     val terms = Analyzer.analyzeQuery(query).toSeq
     val clauses: Seq[Seq[String]] =
       filters.map { case (f, v) => Seq(FieldTerms.term(f, v)) } ++
@@ -1403,6 +1483,26 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
     * (same semantics as the single-index searcher: exact distributed
     * count-distinct, or the HyperLogLog++ sketch when `approximate`).
     */
+  /** Nested / composite aggregation tree over the cross-segment match
+    * set — same one-pass rollup contract as the single-index searcher
+    * ([[Aggs.nestedAggOf]]).
+    */
+  def nestedAgg(query: String, levels: Seq[BucketLevel],
+      statField: Option[String] = None,
+      filters: Seq[(String, String)] = Nil,
+      mustNot: Seq[(String, String)] = Nil,
+      numericRangeFilters: Seq[(String, Long, Long)] = Nil,
+      anyFilters: Seq[(String, Seq[String])] = Nil,
+      rangeFilters: Seq[(String, String, String)] = Nil,
+      exists: Seq[String] = Nil,
+      missing: Seq[String] = Nil): DataFrame = {
+    val srcCols = (levels.map(_.field) ++ statField.toSeq).distinct
+    val joined = rawDocs.select(col("docId") +: srcCols.map(col): _*)
+      .join(matchingOrEmpty(query, filters, mustNot, numericRangeFilters, anyFilters,
+        rangeFilters, exists, missing), Seq("docId"))
+    Aggs.nestedAggOf(joined, levels, statField)
+  }
+
   def cardinality(query: String, field: String,
       filters: Seq[(String, String)] = Nil,
       mustNot: Seq[(String, String)] = Nil,
@@ -1438,11 +1538,11 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
       approximate: Boolean = false): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
       "percentiles must be in [0, 1]")
-    val arrSql = ps.mkString("array(", ",", ")")
-    val aggExpr =
-      if (approximate) expr(s"percentile_approx($field, $arrSql, 10000)")
-      else expr(s"percentile($field, $arrSql)")
+    // Column API, not an expr() SQL string (round-6 review — injection)
     val pLits = array(ps.map(lit): _*)
+    val aggExpr =
+      if (approximate) percentile_approx(col(field), pLits, lit(10000))
+      else percentile(col(field), pLits)
     rawDocs.select(col("docId"), col(field))
       .join(matchingOrEmpty(query, filters, mustNot, numericRangeFilters, anyFilters,
         rangeFilters, exists, missing), Seq("docId"))
@@ -1508,11 +1608,20 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
     * background model for [[significantTerms]] and the suggester,
     * derived from index metadata (never a corpus scan).
     */
-  private def bgDfFrame: DataFrame = {
-    val union = segDicts.map(_.filter(
+  private def bgDfFrame(lenRange: Option[(Int, Int)] = None): DataFrame = {
+    val union = segDicts.map { d =>
+      val base = lenRange match {
+        // stored bare-token length: pushed prune for edit-distance
+        // candidate scans (suggester); legacy dicts skip it
+        case Some((lo, hi)) if d.columns.contains("len") =>
+          d.filter(col("len").between(lit(lo), lit(hi)))
+        case _ => d
+      }
+      base.filter(
         !col("term").startsWith(FieldTerms.Prefix) &&
           !col("term").startsWith(FieldTerms.TextPrefix))
-      .select(col("term"), col("df"))).reduce(_ unionByName _)
+        .select(col("term"), col("df"))
+    }.reduce(_ unionByName _)
       .groupBy(col("term")).agg(sum(col("df")).as("bg_count"))
     removedDfDF match {
       case Some(rm) => union.join(rm, Seq("term"), "left")
@@ -1534,22 +1643,30 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
       anyFilters: Seq[(String, Seq[String])] = Nil,
       rangeFilters: Seq[(String, String, String)] = Nil,
       exists: Seq[String] = Nil,
-      missing: Seq[String] = Nil): DataFrame = {
+      missing: Seq[String] = Nil,
+      /** Same `sampler`-style foreground cap as the single-index
+        * searcher (lowest `sampleSize` docIds, deterministic); 0 = off.
+        */
+      sampleSize: Int = 0): DataFrame = {
     val empty = Seq.empty[(String, Long, Long, Double)]
       .toDF("term", "fg_count", "bg_count", "score")
     matchSet(query, filters, mustNot, numericRangeFilters, anyFilters, rangeFilters,
       exists, missing) match {
       case None => empty
-      case Some(m) =>
+      case Some(m0) =>
+        val m = if (sampleSize > 0) m0.orderBy(col("docId")).limit(sampleSize) else m0
         val fgN = m.count()
         if (fgN == 0) return empty
+        if (sampleSize > 0 && fgN == sampleSize)
+          org.slf4j.LoggerFactory.getLogger(getClass)
+            .info(s"significant_terms: foreground sampled to $sampleSize docs (sampler cap)")
         val fg = rawDocs
           .select(col("docId"),
             explode(array_distinct(Analyzer.tokensCol(col("text")))).as("term"))
           .join(m, Seq("docId"))
           .groupBy(col("term")).agg(count(lit(1)).as("fg_count"))
           .filter(col("fg_count") >= lit(minDocCount))
-        Searcher.jlhScore(fg.join(bgDfFrame, Seq("term")), fgN, n)
+        Searcher.jlhScore(fg.join(bgDfFrame(), Seq("term")), fgN, n)
           .orderBy(col("score").desc, col("term").asc).limit(k)
     }
   }
@@ -1564,7 +1681,7 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
     val toks = Analyzer.tokenize(word)
     if (toks.isEmpty) return Seq.empty[(String, Int, Long)].toDF("suggestion", "dist", "df")
     val w = toks(0)
-    val cands = bgDfFrame
+    val cands = bgDfFrame(Some((math.max(1, w.length - maxDist), w.length + maxDist)))
       .filter(col("term") =!= lit(w) &&
         levenshtein(lit(w), col("term")) <= lit(maxDist))
       .orderBy(col("term")).limit(maxCandidates)
@@ -1574,6 +1691,76 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
       .sortBy { case (t, d, df) => (d, -df, t) }
       .take(k)
       .toDF("suggestion", "dist", "df")
+  }
+
+  /** ES phrase suggester over the union of all segments — identical
+    * rewrite/scoring rule to [[Searcher.phraseSuggest]] (per-slot
+    * candidates from the LWW-exact merged df, bigram doc-counts from
+    * the segments' positional postings with tombstoned docs excluded),
+    * so a pre-compaction stream answers like the compacted index.
+    */
+  def phraseSuggest(phrase: String, k: Int, maxDist: Int = 1,
+      maxPerSlot: Int = 3): DataFrame = {
+    val slots = Analyzer.tokenize(phrase).toSeq
+    val empty = Seq.empty[(String, Long)].toDF("suggestion", "score")
+    if (slots.length < 2) return empty
+    val lo = math.max(1, slots.map(_.length).min - maxDist)
+    val hi = slots.map(_.length).max + maxDist
+    val cands0 = bgDfFrame(Some((lo, hi)))
+      .filter(slots.distinct.map(w =>
+        levenshtein(lit(w), col("term")) <= lit(maxDist)).reduce(_ || _))
+      .as[(String, Long)].collect().toSeq
+    val slotCands: Seq[Seq[String]] = slots.map { w =>
+      cands0.map { case (t, df) => (t, Expansion.levenshtein(w, t), df) }
+        .filter(_._2 <= maxDist)
+        .sortBy { case (t, d, df) => (d, -df, t) }
+        .take(maxPerSlot).map(_._1)
+    }
+    if (slotCands.exists(_.isEmpty)) return empty
+    val bigram = bigramDocCounts(Searcher.slotPairs(slotCands))
+    Searcher.phraseSuggestFrom(spark, slotCands, bigram, k)
+  }
+
+  /** Cross-segment adjacent-bigram doc-counts from positional postings:
+    * per-segment shard+termId-pruned block scans (seg-local termIds
+    * resolved via the lookup map), decoded to (term, docId, pos) with
+    * tombstoned docs anti-joined out, then the shared (docId, pos+1)
+    * equi-self-join.
+    */
+  private def bigramDocCounts(pairs: Seq[(String, String)]): Map[(String, String), Long] = {
+    if (pairs.isEmpty) return Map.empty
+    val terms = pairs.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    val (dfGlobal, perSeg) = lookup(terms)
+    val pairsFound = pairs.distinct.filter(p =>
+      dfGlobal.contains(p._1) && dfGlobal.contains(p._2))
+    if (pairsFound.isEmpty) return Map.empty
+    val pruned = segBlocks.zipWithIndex.flatMap { case (b, i) =>
+      val ids = perSeg.collect { case ((`i`, _), ts) => ts }.toSeq
+      if (ids.isEmpty) None
+      else Some(b.filter(col("shard").isin(ids.map(_.shard).distinct: _*) &&
+          col("termId").isin(ids.map(_.termId): _*))
+        .withColumn("seg", lit(i)))
+    }
+    if (pruned.isEmpty) return Map.empty
+    val mapDF = perSeg.toSeq.map { case ((i, t), ts) => (i, ts.termId, t) }
+      .toDF("seg", "termId", "term")
+    val exploded = pruned.reduce(_ unionByName _)
+      .select(col("seg").as("_1"), struct(all_block_cols: _*).as("_2"))
+      .as[(Int, PostingBlock)]
+      .flatMap { case (seg, b) =>
+        val d = graft.index.Codec.decodeBlock(b)
+        val poss = graft.index.Codec.decodePositions(b, d.tfs)
+        if (poss == null) Iterator.empty
+        else for {
+          i <- d.docIds.indices.iterator
+          p <- poss(i).iterator
+        } yield (seg, b.termId, d.docIds(i), p)
+      }.toDF("seg", "termId", "docId", "pos")
+      .join(broadcast(mapDF), Seq("seg", "termId"))
+      .select(col("term"), col("docId"), col("pos"))
+    val visible =
+      if (hasTombstones) exploded.join(tombDF, Seq("docId"), "left_anti") else exploded
+    Searcher.bigramCountsOf(visible, pairsFound)
   }
 
   /** ES `more_like_this` over the union of all segments — the source
@@ -1619,12 +1806,22 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
     * stored column).
     */
   def searchHighlighted(query: String, k: Int, window: Int = 5,
-      field: String = "text"): DataFrame = {
+      field: String = "text",
+      /** ES `number_of_fragments` — same rule as the single-index
+        * searcher: 1 = first-match `fragment`, > 1 = best-N
+        * non-overlapping `fragments` array.
+        */
+      numberOfFragments: Int = 1): DataFrame = {
     val terms = Analyzer.analyzeQuery(query).toSet
-    val frag = udf((text: String) =>
-      Highlight.fragment(if (text == null) "" else text, terms, window))
+    val nf = numberOfFragments
+    val frag =
+      if (nf <= 1) udf((text: String) =>
+        Highlight.fragment(if (text == null) "" else text, terms, window))
+      else udf((text: String) =>
+        Highlight.fragments(if (text == null) "" else text, terms, window, nf))
+    val fragCol = if (nf <= 1) "fragment" else "fragments"
     if (field == "text")
-      searchResolved(query, k).withColumn("fragment", frag(col("text")))
+      searchResolved(query, k).withColumn(fragCol, frag(col("text")))
     else {
       val hits = searchField(field, query, k)
       val hitsDF = hits.toSeq.zipWithIndex
@@ -1633,7 +1830,7 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
         .select(col("rank"), col("docId"), col("score"), col("conv_id"), col("turn_idx"),
           col("role"), col(field).cast("string").as(field))
         .orderBy(col("rank"))
-        .withColumn("fragment", frag(col(field)))
+        .withColumn(fragCol, frag(col(field)))
     }
   }
 

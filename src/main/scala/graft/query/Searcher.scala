@@ -175,6 +175,65 @@ private[query] object Searcher {
       .filter(col("score") > lit(0.0))
   }
 
+  /** Shared phrase-suggester tail (round-7, both searchers): enumerate
+    * candidate phrases from the per-slot candidate lists (Cartesian
+    * product in slot-rank order, capped at `maxPhrases` — deterministic),
+    * score each as the SUM of its adjacent bigram doc-counts (integer —
+    * the unsmoothed bigram-likelihood numerator; ES's phrase suggester
+    * ranks by a smoothed bigram language model, deviation documented),
+    * rank (score desc, phrase asc), top k.
+    */
+  def phraseSuggestFrom(spark: SparkSession, slotCands: Seq[Seq[String]],
+      bigram: Map[(String, String), Long], k: Int,
+      maxPhrases: Int = 1000): DataFrame = {
+    import spark.implicits._
+    val phrases = slotCands
+      .foldLeft(Seq(Seq.empty[String])) { (acc, cs) =>
+        (for (p <- acc.iterator; c <- cs.iterator) yield p :+ c).take(maxPhrases).toSeq
+      }
+    phrases.map { p =>
+      val score = p.sliding(2)
+        .map { case Seq(a, b) => bigram.getOrElse((a, b), 0L); case _ => 0L }.sum
+      (p.mkString(" "), score)
+    }.sortBy { case (s, sc) => (-sc, s) }
+      .take(k)
+      .toDF("suggestion", "score")
+  }
+
+  /** Adjacent candidate pairs of the slot lists (the bigrams whose
+    * corpus doc-counts the phrase suggester needs).
+    */
+  def slotPairs(slotCands: Seq[Seq[String]]): Seq[(String, String)] =
+    slotCands.sliding(2).flatMap {
+      case Seq(a, b) => for (x <- a; y <- b) yield (x, y)
+      case _ => Nil
+    }.toSeq.distinct
+
+  /** Doc-counts of the requested adjacent bigrams over an exploded
+    * (term, docId, pos) position frame: equi-self-join on (docId,
+    * pos + 1) restricted to the pair list (broadcast — it is tiny),
+    * count distinct docs per pair. Shared by both searchers' phrase
+    * suggesters.
+    */
+  def bigramCountsOf(exploded: DataFrame,
+      pairs: Seq[(String, String)]): Map[(String, String), Long] = {
+    val spark = exploded.sparkSession
+    import spark.implicits._
+    val pairsDF = pairs.toDF("a", "b")
+    val lhs = exploded
+      .join(broadcast(pairsDF.select(col("a")).distinct()), col("term") === col("a"))
+      .select(col("term").as("ta"), col("docId"), (col("pos") + lit(1)).as("nxt"))
+    val rhs = exploded
+      .join(broadcast(pairsDF.select(col("b")).distinct()), col("term") === col("b"))
+      .select(col("term").as("tb"), col("docId"), col("pos").as("nxt"))
+    lhs.join(rhs, Seq("docId", "nxt"))
+      .join(broadcast(pairsDF), col("ta") === col("a") && col("tb") === col("b"), "left_semi")
+      .groupBy(col("ta"), col("tb"))
+      .agg(countDistinct(col("docId")).as("n"))
+      .as[(String, String, Long)].collect()
+      .map { case (a, b, n) => (a, b) -> n }.toMap
+  }
+
   /** Shared ES `filters`-aggregation body: one conditional count per
     * named (field = value) bucket in a single agg, `stack`-unpivoted
     * in request order.
@@ -240,8 +299,11 @@ private[query] object Searcher {
     val fSet = mode.filterClauses.flatten.toSet
     val eSet = mode.excludeTerms.toSet
     val sSet = mode.shouldTerms.toSet
+    // an expansion that IS one of the fixed phrase terms (query "the th")
+    // must keep its scored iterator — the union slot builds its own fresh
+    // member iterators, so only expansion-ONLY terms leave the scored set
     val pSet = if (mode.prefixExpansions == null) Set.empty[String]
-      else mode.prefixExpansions.toSet
+      else mode.prefixExpansions.toSet -- Option(mode.slots).getOrElse(Nil)
     val byName = entries.toMap
     def iterOf(t: String, s: TermStats): Option[Wand.TermIterator] =
       byTerm.get(s.termId).map { bs =>
@@ -321,6 +383,19 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
   private lazy val dict = spark.read.parquet(s"$indexDir/dict")
   private lazy val blocks = spark.read.parquet(s"$indexDir/blocks")
   lazy val docs: DataFrame = spark.read.parquet(s"$indexDir/docs")
+
+  /** Format ≥ 2 = the index stores `_field_names`-style exists markers.
+    * Checked once; `exists`/`missing` clauses on a legacy index throw
+    * instead of silently returning inverted results (round-6 review).
+    */
+  private lazy val hasExistsMarkers: Boolean = {
+    val p = new org.apache.hadoop.fs.Path(indexDir)
+    graft.index.IndexFormat.version(
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration), indexDir) >=
+      graft.index.IndexFormat.Version
+  }
+  private def guardExists(exists: Seq[String], missing: Seq[String]): Unit =
+    graft.index.IndexFormat.requireExistsMarkers(hasExistsMarkers, indexDir, exists, missing)
 
   // driver-side dictionary (populated by warm() when the vocabulary fits;
   // otherwise lookups stay distributed — the 100 TB path)
@@ -591,6 +666,7 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
     * ranges expand off ONE OR-predicate dictionary scan.
     */
   def searchManyBool(specs: Seq[BoolQuerySpec], k: Int): Seq[Array[Scored]] = {
+    specs.foreach(sp => guardExists(sp.exists, sp.missing))
     final case class Prep(scoredTerms: Seq[String], slots: Seq[String],
         clauses: Seq[Seq[String]], excludeTerms: Seq[String], shouldTerms: Seq[String],
         ranges: Seq[(String, String, String)], boosts: Map[String, Double],
@@ -845,6 +921,7 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
       multiMatchBest: Boolean = false,
       tieBreaker: Double = 0.0
   ): Array[Scored] = {
+    guardExists(exists, missing)
     val mm = multiMatchFields
     require(mm.isEmpty || (!phrase && !conjunctive),
       "multiMatchFields is OR-mode only (like multiMatch)")
@@ -989,8 +1066,23 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
       scalaPred: String => Boolean,
       sqlPredOf: Column => Column,
       maxExpansions: Int,
-      field: String = "text"
+      field: String = "text",
+      /** Bare-token length bounds implied by the predicate (edit-
+        * distance queries: |len − |w|| ≤ maxDist). The cold dict scan
+        * pushes it to the STORED `len` column (format v2 dicts — a
+        * plain int range the parquet reader evaluates before any
+        * levenshtein), so the per-row predicate only runs on length-
+        * plausible survivors; legacy dicts without the column skip the
+        * prune (the predicate already implies it — correctness
+        * unchanged). Round-6 review "What's wrong #3".
+        */
+      lenRange: Option[(Int, Int)] = None
   ): Map[String, TermStats] = {
+    def pruned(d: DataFrame): DataFrame = lenRange match {
+      case Some((lo, hi)) if d.columns.contains("len") =>
+        d.filter(col("len").between(lit(lo), lit(hi)))
+      case _ => d
+    }
     val all =
       if (field == "text") {
         // main-text namespace only: fielded keyword terms ('#field:v')
@@ -1004,14 +1096,15 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
           dictMap.valuesIterator
             .filter(ts => !graft.index.FieldTerms.isNamespaced(ts.term) && scalaPred(ts.term))
             .toSeq
-        else dict.filter(notField && sqlPredOf(col("term"))).as[TermStats].collect().toSeq
+        else pruned(dict).filter(notField && sqlPredOf(col("term")))
+          .as[TermStats].collect().toSeq
       } else {
         val pfx = graft.index.FieldTerms.textTerm(field, "")
         if (dictMap != null)
           dictMap.valuesIterator
             .filter(ts => ts.term.startsWith(pfx) && scalaPred(ts.term.substring(pfx.length)))
             .toSeq
-        else dict.filter(col("term").startsWith(pfx) &&
+        else pruned(dict).filter(col("term").startsWith(pfx) &&
             sqlPredOf(col("term").substr(lit(pfx.length + 1), lit(Int.MaxValue))))
           .as[TermStats].collect().toSeq
       }
@@ -1044,7 +1137,10 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
   }
 
   /** Fuzzy query (ES `fuzziness`): BM25 OR over index terms within
-    * edit distance maxDist of the analyzed term.
+    * edit distance maxDist of the analyzed term. Both scan paths prune
+    * by bare-token length FIRST (levenshtein ≥ |len difference|, so the
+    * bound is exact): the warm driver map with an int compare, the cold
+    * dict scan with the stored `len` column's pushed range filter.
     */
   def searchFuzzy(term: String, k: Int, maxDist: Int = 1,
       maxExpansions: Int = 50, field: String = "text"): Array[Scored] = {
@@ -1052,10 +1148,95 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
     if (toks.isEmpty) return Array.empty
     val t0 = toks(0)
     runFound(
-      expand(t => levenshtein(t0, t) <= maxDist,
+      expand(t => math.abs(t.length - t0.length) <= maxDist && levenshtein(t0, t) <= maxDist,
         c => org.apache.spark.sql.functions.levenshtein(lit(t0), c) <= lit(maxDist),
-        maxExpansions, field),
+        maxExpansions, field,
+        lenRange = Some((math.max(1, t0.length - maxDist), t0.length + maxDist))),
       k, Mode(conjunctive = false))
+  }
+
+  /** ES `regexp` query: the pattern anchors to the WHOLE analyzed term
+    * (Lucene regexp semantics — `sp.rk` matches `spark`, never a term
+    * merely containing it); BM25 OR over the ≤ maxExpansions matching
+    * dictionary terms (term-asc — the deterministic rewrite). The
+    * compiled predicate rides the same `expand` machinery as prefix/
+    * wildcard/fuzzy; `field` expands within that analyzed field's
+    * namespace. Cold path is one dict scan (`rlike` with the anchored
+    * pattern); warm path matches the driver map.
+    */
+  def searchRegexp(pattern: String, k: Int, maxExpansions: Int = 50,
+      field: String = "text"): Array[Scored] = {
+    val p = java.util.regex.Pattern.compile(pattern)
+    val anchored = "^(?:" + pattern + ")$"
+    runFound(
+      expand(t => p.matcher(t).matches(), _.rlike(anchored), maxExpansions, field),
+      k, Mode(conjunctive = false))
+  }
+
+  /** ES `match` with `fuzziness` (round-6 review "What's missing #4"):
+    * EVERY analyzed query token expands to the dictionary terms within
+    * `maxDist` edits of it (per-token term-asc cap — the ES per-term
+    * rewrite; dist 0 keeps the token itself when indexed), and the
+    * union scores as ONE BM25 OR. Documented deviation from ES: each
+    * expansion scores with its OWN df/idf (ES's blended rewrite reuses
+    * the original term's df across its expansions) — the integer-exact
+    * per-token selection keeps the SQL twin bit-reproducible. Cold path
+    * is ONE dict scan for ALL tokens (length-pruned to the union of the
+    * per-token `len` windows), never a scan per token.
+    */
+  def searchMatchFuzzy(query: String, k: Int, maxDist: Int = 1,
+      maxExpansionsPerTerm: Int = 50, field: String = "text"): Array[Scored] = {
+    val toks = Analyzer.analyzeQuery(query).toSeq.sorted
+    if (toks.isEmpty) return Array.empty
+    runFound(multiFuzzyExpand(toks, maxDist, maxExpansionsPerTerm, field),
+      k, Mode(conjunctive = false))
+  }
+
+  /** Per-token capped fuzzy expansion of `toks`, ONE dictionary scan:
+    * the cold scan's predicate is the OR of the tokens' levenshtein
+    * bounds under the union length window; the per-token term-asc cap
+    * is applied on the collected (small) candidate set.
+    */
+  private def multiFuzzyExpand(toks: Seq[String], maxDist: Int,
+      perTermCap: Int, field: String): Map[String, TermStats] = {
+    val lo = math.max(1, toks.map(_.length).min - maxDist)
+    val hi = toks.map(_.length).max + maxDist
+    val cands = expand(
+      t => toks.exists(w => math.abs(t.length - w.length) <= maxDist &&
+        levenshtein(w, t) <= maxDist),
+      c => toks.map(w =>
+        org.apache.spark.sql.functions.levenshtein(lit(w), c) <= lit(maxDist))
+        .reduce(_ || _),
+      Int.MaxValue, field, lenRange = Some((lo, hi)))
+    val bare: String => String =
+      if (field == "text") identity
+      else { val p = graft.index.FieldTerms.textTerm(field, ""); t => t.substring(p.length) }
+    toks.iterator.flatMap { w =>
+      cands.iterator
+        .filter { case (t, _) => levenshtein(w, bare(t)) <= maxDist }
+        .toSeq.sortBy(_._1).take(perTermCap)
+    }.toMap
+  }
+
+  /** ES `dis_max` as a general combinator (round-6 review "What's
+    * missing #4"): score = best-scoring sub-query's BM25 sum +
+    * `tieBreaker` · Σ(the other matching sub-queries' sums) — the
+    * [[Wand.BestFields]] fold generalized from multi_match fields to
+    * arbitrary match sub-queries (tie_breaker = 1 degenerates to the
+    * plain bool-OR sum, pinned by test). Sub-queries must have disjoint
+    * analyzed term sets (a shared term could not attribute its
+    * contribution to one group); docs matching ANY sub-query rank.
+    */
+  def searchDisMax(queries: Seq[String], k: Int,
+      tieBreaker: Double = 0.0): Array[Scored] = {
+    val groups = queries.map(q => Analyzer.analyzeQuery(q).toSeq.distinct.sorted)
+    val flat = groups.flatten
+    require(flat.nonEmpty, "dis_max needs >= 1 non-empty sub-query")
+    require(flat.distinct.size == flat.size,
+      "dis_max sub-queries must have disjoint analyzed term sets")
+    val fieldOf = groups.zipWithIndex.flatMap { case (ts, i) => ts.map(_ -> i) }.toMap
+    runPerBucket(flat, k, Mode(conjunctive = false).copy(
+      bestFields = new Wand.BestFields(fieldOf, groups.size, tieBreaker)))
   }
 
   /** ES term suggester ("did you mean"): dictionary terms within
@@ -1073,15 +1254,86 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
     if (toks.isEmpty) return Seq.empty[(String, Int, Long)].toDF("suggestion", "dist", "df")
     val w = toks(0)
     val cands = expand(
-      t => t != w && levenshtein(w, t) <= maxDist,
+      t => t != w && math.abs(t.length - w.length) <= maxDist &&
+        levenshtein(w, t) <= maxDist,
       c => c =!= lit(w) &&
         org.apache.spark.sql.functions.levenshtein(lit(w), c) <= lit(maxDist),
-      maxCandidates)
+      maxCandidates,
+      lenRange = Some((math.max(1, w.length - maxDist), w.length + maxDist)))
     cands.values.toSeq
       .map(ts => (ts.term, levenshtein(w, ts.term), ts.df))
       .sortBy { case (t, d, df) => (d, -df, t) }
       .take(k)
       .toDF("suggestion", "dist", "df")
+  }
+
+  /** ES phrase suggester ("did you mean" over whole queries, round-6
+    * review "What's missing #5"): every analyzed input token expands to
+    * its ≤ `maxPerSlot` best correction candidates (dist ≤ maxDist
+    * INCLUDING the token itself when indexed, ranked dist asc / df desc
+    * / term asc — the term-suggester rule), candidate phrases are the
+    * slot product, and each phrase is scored by the SUM of its adjacent
+    * bigram doc-counts — derived from the POSITIONAL POSTINGS already
+    * stored (one pruned block scan + one self-join on (docId, pos+1);
+    * never a corpus re-tokenize). Integer-exact and deterministic, so
+    * the DuckDB twin reproduces scores bit-for-bit (ES ranks by a
+    * smoothed bigram LM — deviation documented). Returns (suggestion,
+    * score) rows, top `k` by (score desc, phrase asc).
+    */
+  def phraseSuggest(phrase: String, k: Int, maxDist: Int = 1,
+      maxPerSlot: Int = 3): DataFrame = {
+    val slots = Analyzer.tokenize(phrase).toSeq
+    val empty = Seq.empty[(String, Long)].toDF("suggestion", "score")
+    if (slots.length < 2) return empty
+    val lo = math.max(1, slots.map(_.length).min - maxDist)
+    val hi = slots.map(_.length).max + maxDist
+    val candMap = expand(
+      t => slots.exists(w => math.abs(t.length - w.length) <= maxDist &&
+        levenshtein(w, t) <= maxDist),
+      c => slots.distinct.map(w =>
+        org.apache.spark.sql.functions.levenshtein(lit(w), c) <= lit(maxDist))
+        .reduce(_ || _),
+      Int.MaxValue, "text", lenRange = Some((lo, hi)))
+    val slotCands: Seq[Seq[String]] = slots.map { w =>
+      candMap.values.toSeq
+        .map(ts => (ts.term, levenshtein(w, ts.term), ts.df))
+        .filter(_._2 <= maxDist)
+        .sortBy { case (t, d, df) => (d, -df, t) }
+        .take(maxPerSlot).map(_._1)
+    }
+    if (slotCands.exists(_.isEmpty)) return empty
+    val bigram = bigramDocCounts(Searcher.slotPairs(slotCands))
+    Searcher.phraseSuggestFrom(spark, slotCands, bigram, k)
+  }
+
+  /** Corpus doc-counts of adjacent bigrams (a at position p, b at p+1)
+    * for the requested (a, b) pairs, from the positional postings: ONE
+    * shard+termId-pruned block scan over the pairs' terms, decoded to
+    * (term, docId, pos), self-joined on the equi-key (docId, pos+1) —
+    * both sides hash-partition on docId, no driver materialization of
+    * position streams. Cost is bounded by the candidate terms' posting
+    * sizes (exactly what ES's phrase suggester reads for its collate).
+    */
+  private def bigramDocCounts(pairs: Seq[(String, String)]): Map[(String, String), Long] = {
+    if (pairs.isEmpty) return Map.empty
+    val terms = pairs.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    val found = lookupTerms(terms)
+    val pairsFound = pairs.distinct.filter(p => found.contains(p._1) && found.contains(p._2))
+    if (pairsFound.isEmpty) return Map.empty
+    val idToTerm = found.map { case (t, ts) => (ts.termId, t) }.toSeq.toDF("termId", "term")
+    val exploded = selectBlocks(found.values).as[PostingBlock]
+      .flatMap { b =>
+        val d = graft.index.Codec.decodeBlock(b)
+        val poss = graft.index.Codec.decodePositions(b, d.tfs)
+        if (poss == null) Iterator.empty
+        else for {
+          i <- d.docIds.indices.iterator
+          p <- poss(i).iterator
+        } yield (b.termId, d.docIds(i), p)
+      }.toDF("termId", "docId", "pos")
+      .join(broadcast(idToTerm), Seq("termId"))
+      .select(col("term"), col("docId"), col("pos"))
+    Searcher.bigramCountsOf(exploded, pairsFound)
   }
 
   /** ES `more_like_this` (by document): the source doc's terms are
@@ -1121,12 +1373,23 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
     * that field's text.
     */
   def searchHighlighted(query: String, k: Int, window: Int = 5,
-      field: String = "text"): DataFrame = {
+      field: String = "text",
+      /** ES `number_of_fragments`: 1 (default) keeps the single
+        * first-match `fragment` column; > 1 returns a `fragments`
+        * array column instead — the best N non-overlapping windows
+        * ([[Highlight.fragments]]).
+        */
+      numberOfFragments: Int = 1): DataFrame = {
     val terms = Analyzer.analyzeQuery(query).toSet
-    val frag = udf((text: String) =>
-      Highlight.fragment(if (text == null) "" else text, terms, window))
+    val nf = numberOfFragments
+    val frag =
+      if (nf <= 1) udf((text: String) =>
+        Highlight.fragment(if (text == null) "" else text, terms, window))
+      else udf((text: String) =>
+        Highlight.fragments(if (text == null) "" else text, terms, window, nf))
+    val fragCol = if (nf <= 1) "fragment" else "fragments"
     if (field == "text")
-      searchResolved(query, k).withColumn("fragment", frag(col("text")))
+      searchResolved(query, k).withColumn(fragCol, frag(col("text")))
     else {
       val hits = searchField(field, query, k)
       val hitsDF = hits.toSeq.zipWithIndex
@@ -1135,7 +1398,7 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
         .select(col("rank"), col("docId"), col("score"), col("conv_id"), col("turn_idx"),
           col("role"), col(field).cast("string").as(field))
         .orderBy(col("rank"))
-        .withColumn("fragment", frag(col(field)))
+        .withColumn(fragCol, frag(col(field)))
     }
   }
 
@@ -1184,6 +1447,7 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
       rangeFilters: Seq[(String, String, String)] = Nil,
       exists: Seq[String] = Nil,
       missing: Seq[String] = Nil): Option[DataFrame] = {
+    guardExists(exists, missing)
     val terms = Analyzer.analyzeQuery(query).toSeq
     val clauses: Seq[Seq[String]] =
       filters.map { case (f, v) => Seq(graft.index.FieldTerms.term(f, v)) } ++
@@ -1428,6 +1692,30 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
         sum(col(statField)).as("sum"))
       .orderBy(col("value"))
 
+  /** Nested / composite aggregation tree over the match set (ES
+    * multi-level sub-aggregations — terms→date_histogram→stats,
+    * terms→terms→count, any [[BucketLevel]] composition): ONE match-set
+    * join + ONE rollup pass computes every tree level — see
+    * [[Aggs.nestedAggOf]] for the output contract (key columns, depth,
+    * n_docs, optional min/max/avg/sum of `statField`) and the one-pass
+    * scale argument.
+    */
+  def nestedAgg(query: String, levels: Seq[BucketLevel],
+      statField: Option[String] = None,
+      filters: Seq[(String, String)] = Nil,
+      mustNot: Seq[(String, String)] = Nil,
+      numericRangeFilters: Seq[(String, Long, Long)] = Nil,
+      anyFilters: Seq[(String, Seq[String])] = Nil,
+      rangeFilters: Seq[(String, String, String)] = Nil,
+      exists: Seq[String] = Nil,
+      missing: Seq[String] = Nil): DataFrame = {
+    val srcCols = (levels.map(_.field) ++ statField.toSeq).distinct
+    val joined = docs.select(col("docId") +: srcCols.map(col): _*)
+      .join(matchingOrEmpty(query, filters, mustNot, numericRangeFilters, anyFilters,
+        rangeFilters, exists, missing), Seq("docId"))
+    Aggs.nestedAggOf(joined, levels, statField)
+  }
+
   /** ES `cardinality` aggregation: number of DISTINCT values of `field`
     * among the match set (docs missing the field don't count — ES
     * semantics; countDistinct ignores nulls). `approximate = false`
@@ -1478,11 +1766,12 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
       approximate: Boolean = false): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
       "percentiles must be in [0, 1]")
-    val arrSql = ps.mkString("array(", ",", ")")
-    val aggExpr =
-      if (approximate) expr(s"percentile_approx($field, $arrSql, 10000)")
-      else expr(s"percentile($field, $arrSql)")
+    // Column API, not an expr() SQL string — field names with special
+    // characters must never reach a SQL parser (round-6 review)
     val pLits = array(ps.map(lit): _*)
+    val aggExpr =
+      if (approximate) percentile_approx(col(field), pLits, lit(10000))
+      else percentile(col(field), pLits)
     docs.select(col("docId"), col(field))
       .join(matchingOrEmpty(query, filters, mustNot, numericRangeFilters, anyFilters,
         rangeFilters, exists, missing), Seq("docId"))
@@ -1566,15 +1855,30 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
       anyFilters: Seq[(String, Seq[String])] = Nil,
       rangeFilters: Seq[(String, String, String)] = Nil,
       exists: Seq[String] = Nil,
-      missing: Seq[String] = Nil): DataFrame = {
+      missing: Seq[String] = Nil,
+      /** ES `sampler`-agg cap on the foreground pass (round-6 review
+        * "What's wrong #4"): > 0 bounds the re-tokenized match set to
+        * the `sampleSize` LOWEST docIds (deterministic — ES samples by
+        * shard score; the deviation is documented) so a broad query at
+        * corpus scale never re-tokenizes the whole corpus. fg counts
+        * and fg% then describe the SAMPLE (exact ES sampler semantics);
+        * the cap is disclosed via log. 0 = off.
+        */
+      sampleSize: Int = 0): DataFrame = {
     val empty = Seq.empty[(String, Long, Long, Double)]
       .toDF("term", "fg_count", "bg_count", "score")
     matchSet(query, filters, mustNot, anyFilters, numericRangeFilters, rangeFilters,
       exists, missing) match {
       case None => empty
-      case Some(m) =>
+      case Some(m0) =>
+        // TakeOrderedAndProject: per-partition heaps of ≤ sampleSize,
+        // never a global sort of the match set
+        val m = if (sampleSize > 0) m0.orderBy(col("docId")).limit(sampleSize) else m0
         val fgN = m.count()
         if (fgN == 0) return empty
+        if (sampleSize > 0 && fgN == sampleSize)
+          org.slf4j.LoggerFactory.getLogger(getClass)
+            .info(s"significant_terms: foreground sampled to $sampleSize docs (sampler cap)")
         val fg = docs
           .select(col("docId"),
             explode(array_distinct(Analyzer.tokensCol(col("text")))).as("term"))
@@ -1780,6 +2084,74 @@ object Oracle {
       .select(col("docId"), col("key"),
         (when(col("fld") === col("bfld"), lit(1.0)).otherwise(lit(tieBreaker)) * col("s"))
           .as("s"))
+      .groupBy(col("docId"))
+      .agg(orderedKeySum.as("score"))
+      .orderBy(col("score").desc, col("docId").asc)
+      .limit(k)
+  }
+
+  /** best_fields + bool `should` oracle (round-6 advice): the should
+    * tokens' MAIN-TEXT contributions fold at weight 1 in the same
+    * global ascending-key order and never enter any field's dis-max sum
+    * (ES semantics — separate bool clauses add at full weight). Docs
+    * matching only should terms are dropped (the must-group ≥ 1 rule).
+    * `should` tokens must be disjoint from the query's scored terms.
+    */
+  def topKMultiBestShould(docs: DataFrame, query: String,
+      fields: Seq[(String, Double)], tieBreaker: Double, should: String,
+      k: Int): DataFrame = {
+    val toks = Analyzer.analyzeQuery(query).toSeq
+    val sToks = Analyzer.analyzeQuery(should).toSeq
+    if (toks.isEmpty || fields.isEmpty)
+      return docs.sparkSession.emptyDataFrame
+        .withColumn("docId", lit(0L)).withColumn("score", lit(0.0)).limit(0)
+    val ordered = fields.map(_._1).sortBy(f =>
+      if (f == "text") "\uffff" else graft.index.FieldTerms.textTerm(f, ""))
+    val ordOf: Map[String, Int] = ordered.zipWithIndex.toMap
+    val mm = fields.map { case (f, b) =>
+      fieldContribs(docs, f, toks, b).withColumn("fld", lit(ordOf(f)))
+    }.reduce(_ unionByName _)
+    val sh = fieldContribs(docs, "text", sToks, 1.0).withColumn("fld", lit(-1))
+    val per = mm.groupBy(col("docId"), col("fld")).agg(orderedKeySum.as("sf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("docId")).orderBy(col("sf").desc, col("fld").asc)
+    val best = per.withColumn("rn", row_number().over(w)).filter(col("rn") === lit(1))
+      .select(col("docId"), col("fld").as("bfld"))
+    mm.unionByName(sh).join(best, Seq("docId")) // inner: must-group ≥ 1
+      .select(col("docId"), col("key"),
+        (when(col("fld") === lit(-1) || col("fld") === col("bfld"), lit(1.0))
+          .otherwise(lit(tieBreaker)) * col("s")).as("s"))
+      .groupBy(col("docId"))
+      .agg(orderedKeySum.as("score"))
+      .orderBy(col("score").desc, col("docId").asc)
+      .limit(k)
+  }
+
+  /** General `dis_max` oracle (round-7): per-sub-query group sums in
+    * ascending term order pick the best group (sum desc, group ordinal
+    * asc — the engine's first-max rule), then every term's contribution
+    * is weighted (1 for the best group, tieBreaker otherwise) and the
+    * final score sums in GLOBAL ascending term order — the exact FP
+    * association of the WAND best-fields fold.
+    */
+  def topKDisMax(docs: DataFrame, subQueries: Seq[String], tieBreaker: Double,
+      k: Int): DataFrame = {
+    val groups = subQueries.map(q => Analyzer.analyzeQuery(q).toSeq.distinct)
+    val toks = groups.flatten
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val gOf = groups.zipWithIndex.flatMap { case (ts, i) => ts.map(_ -> i) }
+      .toDF("key", "g")
+    val contribs = fieldContribs(docs, "text", toks, 1.0)
+      .join(broadcast(gOf), Seq("key"))
+    val per = contribs.groupBy(col("docId"), col("g")).agg(orderedKeySum.as("sg"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("docId")).orderBy(col("sg").desc, col("g").asc)
+    val best = per.withColumn("rn", row_number().over(w)).filter(col("rn") === lit(1))
+      .select(col("docId"), col("g").as("bg"))
+    contribs.join(best, Seq("docId"))
+      .select(col("docId"), col("key"),
+        (when(col("g") === col("bg"), lit(1.0)).otherwise(lit(tieBreaker)) * col("s")).as("s"))
       .groupBy(col("docId"))
       .agg(orderedKeySum.as("score"))
       .orderBy(col("score").desc, col("docId").asc)

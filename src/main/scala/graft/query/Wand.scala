@@ -358,9 +358,13 @@ object Wand {
     val isShould = byTerm.map(it => shouldSet.contains(it.term))
     val bf = bestFields
     // best_fields scratch (reused per candidate — no per-doc allocation):
-    // contribution + matched flag per list, one accumulator per field
+    // contribution + matched flag per list, one accumulator per field.
+    // Terms outside the multi_match field map (bool `should` terms riding
+    // a best_fields query) get ordinal -1 — a 'no field' bucket whose
+    // contributions always carry weight 1.0 (ES adds separate bool
+    // clauses at full weight) and never enter any field's dis-max sum.
     val bfFieldIdx: Array[Int] =
-      if (bf == null) null else byTerm.map(it => bf.fieldOf.getOrElse(it.term, 0))
+      if (bf == null) null else byTerm.map(it => bf.fieldOf.getOrElse(it.term, -1))
     val bfContrib: Array[Double] = if (bf == null) null else new Array[Double](byTerm.length)
     val bfMatched: Array[Boolean] = if (bf == null) null else new Array[Boolean](byTerm.length)
     val bfSums: Array[Double] = if (bf == null) null else new Array[Double](bf.nFields)
@@ -457,7 +461,7 @@ object Wand {
                     val c = it.score
                     bfContrib(t) = c
                     bfMatched(t) = true
-                    bfSums(bfFieldIdx(t)) += c
+                    if (bfFieldIdx(t) >= 0) bfSums(bfFieldIdx(t)) += c
                     if (isShould(t)) nShould += 1 else nMust += 1
                   } else bfMatched(t) = false
                   t += 1
@@ -472,7 +476,8 @@ object Wand {
                 t = 0
                 while (t < byTerm.length) {
                   if (bfMatched(t)) {
-                    val w = if (bfFieldIdx(t) == best) 1.0 else bf.tieBreaker
+                    val w = if (bfFieldIdx(t) < 0 || bfFieldIdx(t) == best) 1.0
+                      else bf.tieBreaker
                     s += w * bfContrib(t)
                   }
                   t += 1

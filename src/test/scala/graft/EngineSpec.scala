@@ -128,6 +128,89 @@ class EngineSpec extends SparkSpec {
     assert(searcher.levenshtein("", "abc") == 3 && searcher.levenshtein("abc", "abc") == 0)
   }
 
+  test("regexp query: whole-term anchoring, BM25 OR over the expansion (round-7)") {
+    // 'zanz.bar' matches exactly {zanzibar} → identical to a term query
+    assert(searcher.searchRegexp("zanz.bar", 10).toSeq
+      == searcher.search("zanzibar", 10).toSeq)
+    assert(searcher.searchRegexp("zanz.bar", 10).nonEmpty)
+    // '.*bar' ≡ wildcard '*bar' (same expansion rule, same ranking)
+    assert(searcher.searchRegexp(".*bar", 10).toSeq
+      == searcher.searchWildcard("*bar", 10).toSeq)
+    // Lucene semantics anchor to the WHOLE term: a mere substring match
+    // is NOT a hit ('anzibar' matches no full term)
+    assert(searcher.searchRegexp("anzibar", 10).isEmpty)
+    // warm driver-map path identical
+    val warm = new Searcher(spark, indexDir, cfg.numShards).warm()
+    assert(warm.searchRegexp("zanz.bar", 10).toSeq
+      == searcher.searchRegexp("zanz.bar", 10).toSeq)
+    assert(warm.searchRegexp(".*bar", 10).toSeq == searcher.searchRegexp(".*bar", 10).toSeq)
+  }
+
+  test("match fuzziness: per-token capped expansion, union scored as one OR (round-7)") {
+    // recompute the engine's expansion rule from the raw vocabulary
+    val vocab = docsDF
+      .select(explode(array_distinct(graft.analysis.Analyzer.tokensCol(col("text")))).as("t"))
+      .distinct().as[String].collect().toSet
+    def exp(w: String, d: Int) = vocab.filter(t =>
+      math.abs(t.length - w.length) <= d && searcher.levenshtein(w, t) <= d)
+      .toSeq.sorted.take(50)
+    for ((q, d) <- Seq(("zanzibat quasat", 1), ("zanzibar lattice", 1))) {
+      val toks = graft.analysis.Analyzer.analyzeQuery(q).toSeq
+      val selected = toks.flatMap(exp(_, d)).distinct.sorted
+      val want = Oracle.topK(docsDF, selected.mkString(" "), 10).as[Scored].collect().toSeq
+      val got = searcher.searchMatchFuzzy(q, 10, maxDist = d)
+      assert(got.toSeq == want && got.nonEmpty, s"matchFuzzy '$q' d=$d:\n got=${got.toSeq}\n want=$want")
+    }
+    // dist 0 keeps an indexed token itself: matchFuzzy ⊇ plain match
+    assert(searcher.searchMatchFuzzy("zanzibar quasar", 10, maxDist = 0).toSeq
+      == searcher.search("zanzibar quasar", 10).toSeq)
+    // warm path identical
+    val warm = new Searcher(spark, indexDir, cfg.numShards).warm()
+    assert(warm.searchMatchFuzzy("zanzibat quasat", 10).toSeq
+      == searcher.searchMatchFuzzy("zanzibat quasat", 10).toSeq)
+  }
+
+  test("dis_max: best group + tie_breaker · others; tie_breaker = 1 ≡ bool OR sum (round-7)") {
+    val subs = Seq("zanzibar quasar", "the lattice")
+    // identity: tie_breaker = 1 degenerates to the plain one-sum OR
+    assert(searcher.searchDisMax(subs, 10, tieBreaker = 1.0).toSeq
+      == searcher.search("zanzibar quasar the lattice", 10).toSeq)
+    // general tie_breaker: the FP-exact dis-max oracle (best group by
+    // ordered-term sums, per-term weighted re-sum in global term order)
+    for (tb <- Seq(0.0, 0.4)) {
+      val want = Oracle.topKDisMax(docsDF, subs, tb, 10).as[Scored].collect().toSeq
+      val got = searcher.searchDisMax(subs, 10, tieBreaker = tb)
+      assert(got.toSeq == want && got.nonEmpty, s"dis_max tb=$tb:\n got=${got.toSeq}\n want=$want")
+    }
+    // overlapping term sets are rejected loudly (attribution is ambiguous)
+    intercept[IllegalArgumentException] {
+      searcher.searchDisMax(Seq("the zanzibar", "the quasar"), 10)
+    }
+  }
+
+  test("fuzzy/suggest serve unchanged on a legacy dict WITHOUT the len column (round-7)") {
+    built
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val legacyDir = s"${TestSpark.tmpRoot}/index-golden-legacy-len"
+    fs.delete(new org.apache.hadoop.fs.Path(legacyDir), true)
+    org.apache.hadoop.fs.FileUtil.copy(fs, new org.apache.hadoop.fs.Path(indexDir),
+      fs, new org.apache.hadoop.fs.Path(legacyDir), false, spark.sparkContext.hadoopConfiguration)
+    // strip the len column (an index written before round 7)
+    val stripped = spark.read.parquet(s"$legacyDir/dict").drop("len")
+    stripped.write.mode("overwrite").parquet(s"$legacyDir/dict2")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$legacyDir/dict"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$legacyDir/dict2"),
+      new org.apache.hadoop.fs.Path(s"$legacyDir/dict"))
+    val legacy = new Searcher(spark, legacyDir, cfg.numShards)
+    assert(legacy.searchFuzzy("zanzibat", 10).toSeq
+      == searcher.searchFuzzy("zanzibat", 10).toSeq)
+    assert(legacy.suggestTerms("zanzibat", 5).collect().toSeq
+      == searcher.suggestTerms("zanzibat", 5).collect().toSeq)
+    assert(legacy.searchMatchFuzzy("zanzibat quasat", 10).toSeq
+      == searcher.searchMatchFuzzy("zanzibat quasat", 10).toSeq)
+  }
+
   test("bool query: filter context + must_not ≡ global-stats oracle with semi/anti-join") {
     // separate index with fielded keyword terms enabled; the TEXT index
     // content is byte-identical to the plain build (field terms live in a
@@ -269,6 +352,34 @@ class EngineSpec extends SparkSpec {
     assert(Highlight.fragment("no hits here", Set("marker"), 5) == null)
     assert(Highlight.fragment("x marker y marker z", Set("marker"), 2)
       == "x <em>marker</em> y <em>marker</em>…")
+  }
+
+  test("multi-fragment highlighting: best-N non-overlapping windows, ellipsis joining (round-7)") {
+    import graft.query.Highlight
+    // two separated matches → two ranked fragments, each own ellipses;
+    // the 2-distinct-term window outranks the earlier 1-term window
+    val text = "alpha MARKER beta x1 x2 x3 x4 x5 gamma MARKER other delta"
+    assert(Highlight.fragments(text, Set("marker", "other"), 1, 5)
+      == Seq("…gamma <em>MARKER</em> <em>other</em>…", "alpha <em>MARKER</em> beta…"))
+    // overlap suppression: adjacent matches collapse into ONE window
+    // (the first match's window [0,3] wins; the second's overlaps)
+    assert(Highlight.fragments("a MARKER b MARKER c", Set("marker"), 2, 5)
+      == Seq("a <em>MARKER</em> b <em>MARKER</em>…"))
+    // maxFragments cap is honored; rank order = distinct desc, first asc
+    val many = "m1 p q r s t u m2 p q r s t u m3"
+    assert(Highlight.fragments(many, Set("m1", "m2", "m3"), 1, 2)
+      == Seq("<em>m1</em> p…", "…u <em>m2</em> p…"))
+    // no match → empty; zero budget → empty
+    assert(Highlight.fragments("nothing here", Set("marker"), 3, 5).isEmpty)
+    assert(Highlight.fragments("MARKER", Set("marker"), 3, 0).isEmpty)
+    // resolved-hit wiring: the fragments column is a non-empty array
+    // whose every entry wraps the marker
+    val rows = searcher.searchHighlighted("zanzibar", 5, window = 3, numberOfFragments = 3)
+      .select("docId", "fragments").as[(Long, Seq[String])].collect()
+    assert(rows.nonEmpty)
+    for ((_, frs) <- rows) {
+      assert(frs.nonEmpty && frs.forall(_.contains("<em>zanzibar</em>")), s"fragments: $frs")
+    }
   }
 
   test("searchMany (batched) ≡ per-query search for the whole query set") {

@@ -292,6 +292,34 @@ class FieldSearchSpec extends SparkSpec {
     }
   }
 
+  test("best_fields + should: should terms add at FULL weight outside the dis-max (round-6 advice)") {
+    val fields = Seq("text" -> 1.0, "title" -> 2.0)
+    // the should term must co-occur with the must query for the clause
+    // to bite ('zanzibar' markers ride normal transcript turns)
+    val co = docsDF.filter(
+      array_contains(Analyzer.tokensCol(col("text")), "zanzibar") &&
+        array_contains(Analyzer.tokensCol(col("text")), "the")).count()
+    assert(co > 0)
+    for (tb <- Seq(0.0, 0.3)) {
+      val want = scored(Oracle.topKMultiBestShould(docsDF, "the", fields, tb, "zanzibar", 10))
+      val got = searcher.searchBool("the", 10, multiMatchFields = fields,
+        multiMatchBest = true, tieBreaker = tb, should = "zanzibar").toSeq
+      assert(got == want && got.nonEmpty, s"bf+should tb=$tb:\n got=$got\n want=$want")
+      assert(warmed.searchBool("the", 10, multiMatchFields = fields,
+        multiMatchBest = true, tieBreaker = tb, should = "zanzibar").toSeq == want)
+      // batch parity
+      assert(searcher.searchManyBool(Seq(graft.query.BoolQuerySpec("the",
+        multiMatchFields = fields, multiMatchBest = true, tieBreaker = tb,
+        should = "zanzibar")), 10).head.toSeq == want)
+    }
+    // the should contribution actually changes the ranking (tb = 0: the
+    // old fold gave it tieBreaker weight inside field ordinal 0)
+    assert(searcher.searchBool("the", 10, multiMatchFields = fields,
+        multiMatchBest = true, tieBreaker = 0.0, should = "zanzibar").toSeq
+      != searcher.searchBool("the", 10, multiMatchFields = fields,
+        multiMatchBest = true, tieBreaker = 0.0).toSeq)
+  }
+
   test("fielded searchBool: field + multiMatchFields with filter clauses ≡ batch ≡ oracle") {
     built
     // per-field match restricted by a keyword filter — the standalone

@@ -557,6 +557,50 @@ class QuerySurfaceSpec extends SparkSpec {
     assert(searcher.searchPhrasePrefix("the zzzz", 10).isEmpty)
   }
 
+  test("match_phrase_prefix: expansion set containing a FIXED phrase term (round-6 advice)") {
+    // 'the' startsWith 'th' — the last-slot expansion set contains the
+    // fixed phrase term, which must KEEP its scored iterator (the union
+    // slot builds its own fresh member cursors); this used to throw
+    // inside the Spark task ("phrase terms must each have an iterator")
+    val exp = tok.select("term").distinct().as[String].collect()
+      .filter(_.startsWith("th")).sorted.take(50).toSet
+    assert(exp.contains("the"), s"expansion $exp must contain the fixed term")
+    val texts = docsDF.select(col("docId"), col("text")).as[(Long, String)].collect()
+    val memberDocs = texts.filter { case (_, txt) =>
+      val ts = Analyzer.tokenize(txt)
+      (0 until ts.length - 1).exists(i => ts(i) == "the" && exp.contains(ts(i + 1)))
+    }.map(_._1).toSeq
+    assert(memberDocs.nonEmpty)
+    val want = Oracle.topK(docsDF, "the", Int.MaxValue)
+      .join(memberDocs.toDF("docId"), Seq("docId"), "left_semi")
+      .orderBy(col("score").desc, col("docId").asc).limit(10).as[Scored].collect().toSeq
+    val got = searcher.searchPhrasePrefix("the th", 10)
+    assert(got.toSeq == want && got.nonEmpty)
+    assert(warmed.searchPhrasePrefix("the th", 10).toSeq == want)
+  }
+
+  test("exists/missing on a legacy (pre-marker) index fails loudly (round-6 advice)") {
+    val dir = s"${TestSpark.tmpRoot}/index-legacy-exists"
+    val docs = DocIds.assign(DocIds.dedup(Transcripts.generate(spark, 20L)), 4)
+    new IndexBuilder(spark, dir, "snap-legacy-1",
+      cfg.copy(numBuckets = 1, partitions = 4)).build(docs)
+    val flagged = new Searcher(spark, dir, cfg.numShards)
+    assert(flagged.searchBool("the", 5, exists = Seq("tool")).nonEmpty)
+    // simulate an index built before exists markers: strip the flag
+    val p = new org.apache.hadoop.fs.Path(s"$dir/format.props")
+    val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(hfs.delete(p, false))
+    val legacy = new Searcher(spark, dir, cfg.numShards)
+    intercept[IllegalStateException] { legacy.searchBool("the", 5, exists = Seq("tool")) }
+    intercept[IllegalStateException] { legacy.searchBool("the", 5, missing = Seq("tool")) }
+    intercept[IllegalStateException] { legacy.matchCount("the", exists = Seq("tool")) }
+    intercept[IllegalStateException] {
+      legacy.searchManyBool(Seq(graft.query.BoolQuerySpec("the", missing = Seq("tool"))), 5)
+    }
+    // everything WITHOUT exists/missing still serves on the legacy index
+    assert(legacy.searchBool("the", 5, filters = Seq("role" -> "user")).nonEmpty)
+  }
+
   test("query_string end-to-end: parsed specs ≡ structured calls; mustNotText ≡ oracle") {
     val schema = graft.query.QueryString.Schema(
       keywordFields = Set("role", "tool"), numericFields = Set("dl"))
@@ -587,6 +631,82 @@ class QuerySurfaceSpec extends SparkSpec {
     }
   }
 
+  test("nested aggregation tree: one rollup pass ≡ per-level direct grouping; size caps prune per parent (round-7)") {
+    import graft.query.{DateHistLevel, HistogramLevel, TermsLevel}
+    val q = "the zanzibar"
+    val levels = Seq(TermsLevel("role", "k1"), DateHistLevel("ts", "day", "k2"),
+      HistogramLevel("dl", 20L, "k3"))
+    val got = searcher.nestedAgg(q, levels, statField = Some("dl")).collect().toSeq
+    // direct oracle: each depth computed with its own plain groupBy
+    val m = tok.filter(col("term").isin("the", "zanzibar")).select("docId").distinct()
+    val base = docsDF.select(col("docId"), col("role"), col("ts"), col("dl"))
+      .join(m, Seq("docId"))
+      .select(col("role").as("k1"), date_trunc("day", col("ts")).as("k2"),
+        (floor(col("dl") / lit(20)) * lit(20)).cast("long").as("k3"), col("dl"))
+    def lvl(keys: Seq[String], depth: Int) = {
+      val sel = Seq("k1", "k2", "k3").map(n =>
+        if (keys.contains(n)) col(n) else lit(null).cast(base.schema(n).dataType).as(n))
+      val g = if (keys.isEmpty) base.groupBy() else base.groupBy(keys.map(col): _*)
+      g.agg(count(lit(1)).as("n_docs"), min(col("dl")).as("min"), max(col("dl")).as("max"),
+          round(avg(col("dl")), 6).as("avg"), sum(col("dl")).as("sum"))
+        .select(sel ++ Seq(lit(depth).as("depth"), col("n_docs"), col("min"), col("max"),
+          col("avg"), col("sum")): _*)
+    }
+    val want = Seq(lvl(Nil, 0), lvl(Seq("k1"), 1), lvl(Seq("k1", "k2"), 2),
+      lvl(Seq("k1", "k2", "k3"), 3)).reduce(_ unionByName _).collect().toSeq
+    assert(got.nonEmpty && got.toSet == want.toSet,
+      s"nestedAgg mismatch: extra=${got.toSet -- want.toSet} missing=${want.toSet -- got.toSet}")
+    // every tree level is populated from the single pass
+    assert((0 to 3).forall(d => got.exists(_.getAs[Int]("depth") == d)))
+
+    // size cap at the ROOT level: only the top-1 role bucket (count
+    // desc, key asc) and its descendants survive; the grand total stays
+    val top1 = searcher.nestedAgg(q, Seq(TermsLevel("role", "k1", size = 1),
+      levels(1), levels(2)), statField = Some("dl")).collect().toSeq
+    val bestRole = got.filter(_.getAs[Int]("depth") == 1)
+      .maxBy(r => (r.getAs[Long]("n_docs"), r.getAs[String]("k1")))(
+        Ordering.Tuple2(Ordering.Long, Ordering.String.reverse)).getAs[String]("k1")
+    assert(top1.filter(_.getAs[Int]("depth") >= 1).forall(_.getAs[String]("k1") == bestRole))
+    assert(top1.count(_.getAs[Int]("depth") == 0) == 1)
+    assert(top1.filter(_.getAs[Int]("depth") == 0).head.getAs[Long]("n_docs")
+      == got.filter(_.getAs[Int]("depth") == 0).head.getAs[Long]("n_docs"))
+    // cap ≥ bucket count is a no-op
+    assert(searcher.nestedAgg(q, Seq(TermsLevel("role", "k1", size = 100),
+      levels(1), levels(2)), statField = Some("dl")).collect().toSeq == got)
+  }
+
+  test("phrase suggester: slot candidates × bigram doc-counts ≡ direct computation (round-7)") {
+    val texts = docsDF.select(col("docId"), col("text")).as[(Long, String)].collect()
+    val toksByDoc = texts.map { case (id, t) => id -> Analyzer.tokenize(t).toSeq }
+    val dfMap = toksByDoc.flatMap(_._2.distinct).groupBy(identity)
+      .map { case (t, xs) => t -> xs.length.toLong }
+    def cands(w: String, d: Int, cap: Int): Seq[String] = dfMap.keys.toSeq
+      .map(t => (t, searcher.levenshtein(w, t), dfMap(t)))
+      .filter(_._2 <= d)
+      .sortBy { case (t, dd, dfc) => (dd, -dfc, t) }.take(cap).map(_._1)
+    def bigramCount(a: String, b: String): Long = toksByDoc.count { case (_, ts) =>
+      (0 until ts.length - 1).exists(i => ts(i) == a && ts(i + 1) == b)
+    }.toLong
+    for ((phrase, d) <- Seq(("zanzibat quasat", 1), ("thee zanzibat", 1))) {
+      val slots = Analyzer.tokenize(phrase).toSeq
+      val cs = slots.map(cands(_, d, 3))
+      assert(cs.forall(_.nonEmpty))
+      val want = (for (a <- cs(0); b <- cs(1)) yield (s"$a $b", bigramCount(a, b)))
+        .sortBy { case (s, sc) => (-sc, s) }.take(5)
+      val got = searcher.phraseSuggest(phrase, 5, maxDist = d, maxPerSlot = 3)
+        .as[(String, Long)].collect().toSeq
+      assert(got == want && got.nonEmpty, s"phraseSuggest '$phrase':\n got=$got\n want=$want")
+      assert(warmed.phraseSuggest(phrase, 5, maxDist = d, maxPerSlot = 3)
+        .as[(String, Long)].collect().toSeq == want)
+    }
+    // the planted adjacent phrase gives a POSITIVE bigram score
+    val top = searcher.phraseSuggest("zanzibat quasat", 1, maxDist = 1)
+      .as[(String, Long)].collect().head
+    assert(top._1 == "zanzibar quasar" && top._2 > 0)
+    // sub-2-token inputs return the empty frame
+    assert(searcher.phraseSuggest("zanzibat", 5).isEmpty)
+  }
+
   test("significant_terms, suggester, more_like_this ≡ direct computation") {
     val terms = Analyzer.analyzeQuery("zanzibar quasar").toSeq
     val mDocs = tok.filter(col("term").isin(terms: _*)).select("docId").distinct().cache()
@@ -607,6 +727,23 @@ class QuerySurfaceSpec extends SparkSpec {
     }
     // the planted markers dominate: their fg% is 100% of the match set
     assert(got.map(_._1).contains("zanzibar") || got.map(_._1).contains("quasar"))
+
+    // sampler cap (round-7): a cap LARGER than the match set is a
+    // no-op (cap-on ≡ cap-off, exactly); a smaller cap recomputes over
+    // the lowest-docId sample — fg counts match a direct computation
+    // over that sample and fgN-dependent scores stay internally exact
+    assert(searcher.significantTerms("zanzibar quasar", 10, minDocCount = 2L,
+        sampleSize = fgN.toInt + 1000)
+      .as[(String, Long, Long, Double)].collect().toSeq == got)
+    val capN = math.max(1, fgN.toInt / 2)
+    val sampleIds = mDocs.orderBy(col("docId")).limit(capN)
+    val fgSample = tok.join(sampleIds, Seq("docId")).groupBy(col("term"))
+      .agg(countDistinct(col("docId")).as("fg")).as[(String, Long)].collect().toMap
+    val capped = searcher.significantTerms("zanzibar quasar", 10, minDocCount = 1L,
+        sampleSize = capN).as[(String, Long, Long, Double)].collect().toSeq
+    assert(capped.nonEmpty)
+    for ((t, fgc, bgc, _) <- capped)
+      assert(fgc == fgSample(t) && bgc == bgAll(t), s"sampled counts for '$t'")
 
     // suggester: 'thee' (absent) → 'the' (dist 1, giant df) ranks first
     val sg = searcher.suggestTerms("thee", 5, maxDist = 1)
@@ -756,6 +893,11 @@ class QuerySurfaceSpec extends SparkSpec {
     assert(multi.searchPhrasePrefix("the t1", 10).toSeq
       == single.searchPhrasePrefix("the t1", 10).toSeq)
     assert(multi.searchPhrasePrefix("the t1", 10).nonEmpty)
+    // round-7: expansion set containing a fixed phrase term — both
+    // searchers must agree (the single-index path used to throw)
+    assert(multi.searchPhrasePrefix("the th", 10).toSeq
+      == single.searchPhrasePrefix("the th", 10).toSeq)
+    assert(multi.searchPhrasePrefix("the th", 10).nonEmpty)
 
     // round-6 parity: significant_terms / suggester / more_like_this
     assert(multi.significantTerms("zanzibar quasar", 10, minDocCount = 1L)
@@ -769,6 +911,35 @@ class QuerySurfaceSpec extends SparkSpec {
     val mltSrc = 3L
     assert(multi.moreLikeThis(mltSrc, 10).toSeq == single.moreLikeThis(mltSrc, 10).toSeq)
     assert(multi.moreLikeThis(mltSrc, 10).nonEmpty)
+
+    // round-7 parity: nested aggregation tree across segments
+    {
+      import graft.query.{DateHistLevel, TermsLevel}
+      val lv = Seq(TermsLevel("role", "k1"), DateHistLevel("ts", "day", "k2"))
+      assert(multi.nestedAgg("the", lv, statField = Some("dl")).collect().toSeq
+        == single.nestedAgg("the", lv, statField = Some("dl")).collect().toSeq)
+      assert(multi.nestedAgg("the", lv, statField = Some("dl")).count() > 0)
+    }
+
+    // round-7 parity: phrase suggester across segments (positions +
+    // merged df + tombstone exclusion ≡ the compacted index)
+    assert(multi.phraseSuggest("zanzibat quasat", 5, maxDist = 1)
+        .as[(String, Long)].collect().toSeq
+      == single.phraseSuggest("zanzibat quasat", 5, maxDist = 1)
+        .as[(String, Long)].collect().toSeq)
+    assert(multi.phraseSuggest("zanzibat quasat", 5, maxDist = 1).count() > 0)
+
+    // round-7 parity: regexp / match-fuzziness / dis_max across segments
+    assert(multi.searchRegexp("th.", 10).toSeq == single.searchRegexp("th.", 10).toSeq)
+    assert(multi.searchRegexp("th.", 10).nonEmpty)
+    assert(multi.searchMatchFuzzy("thee quasat", 10).toSeq
+      == single.searchMatchFuzzy("thee quasat", 10).toSeq)
+    assert(multi.searchMatchFuzzy("thee quasat", 10).nonEmpty)
+    for (tb <- Seq(0.0, 0.5, 1.0)) {
+      assert(multi.searchDisMax(Seq("zanzibar quasar", "the"), 10, tb).toSeq
+        == single.searchDisMax(Seq("zanzibar quasar", "the"), 10, tb).toSeq, s"dis_max tb=$tb")
+      assert(multi.searchDisMax(Seq("zanzibar quasar", "the"), 10, tb).nonEmpty)
+    }
 
     // round-6 parity: query_string + mustNotText across segments
     val qsSchema = graft.query.QueryString.Schema(keywordFields = Set("role"),
