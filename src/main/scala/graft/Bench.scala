@@ -222,7 +222,10 @@ object Bench {
         "q_facet_lang", "q_facet_histogram", "q_stats_field",
         "q_sort_by_field", "q_tf", "q_df", "q_agg_lineitem",
         "q_join_broadcast", "q_minhash_lsh", "q_simhash_pairs", "q_ann_cosine",
-        "q_ann_lsh", "q_langid", "q_quality", "q_dedup_exact", "q_window_rank")) {
+        "q_ann_lsh", "q_langid", "q_quality", "q_dedup_exact", "q_window_rank",
+        // round-7 operators
+        "q_bm25_regexp", "q_bm25_match_fuzzy", "q_dis_max", "q_nested_aggs",
+        "q_phrase_suggest")) {
       time(name) { SparkEntry.queries(name)(spark, sfDir).count() }
     }
 
