@@ -101,6 +101,30 @@ object SparkEntry {
       out
     })
 
+  /** Two NAMED indexes over the documents table split by source
+    * ('src1' vs the rest) under one root, plus an `all` alias — the
+    * multi-index / alias surface fixture ([[graft.query.Indices]]).
+    * Each index scores with its OWN stats (ES query_then_fetch).
+    */
+  private val multiIdxCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def documentsMultiIndexRoot(spark: SparkSession, dir: String): String =
+    multiIdxCache.computeIfAbsent(dir, _ => {
+      val root = java.nio.file.Files.createTempDirectory("graft-docs-indices").toString
+      val docs = documentsDocsDF(spark, dir)
+      for ((name, pred) <- Seq(
+          "idx-src1" -> (col("source") === lit("src1")),
+          "idx-rest" -> (col("source") =!= lit("src1")))) {
+        val part = docs.filter(pred)
+        val cfg = IndexConfig.sized(part.count(), spark.sparkContext.defaultParallelism)
+          .copy(numShards = 8)
+        new IndexBuilder(spark, s"$root/$name", s"docs:$dir:$name", cfg).buildFrom(part)
+      }
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      graft.query.Aliases.add(fs, root, "all", Seq("idx-rest", "idx-src1"))
+      root
+    })
+
   private def rankHits(spark: SparkSession, hits: Array[graft.model.Scored],
       rankBase: Long = 0L): DataFrame = {
     import spark.implicits._
@@ -602,6 +626,16 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
       // edits of the misspelling, ranked (dist asc, df desc, term asc)
       new Searcher(s, documentsIndex(s, dir), 8)
         .suggestTerms("sprak", 5, maxDist = 2)),
+    "q_multi_index" -> ((s, dir) => {
+      // ES multi-index search (name patterns + aliases): per-index
+      // LOCAL-stats top-k (query_then_fetch), merged (score desc,
+      // index asc, docId asc) — alias 'all' ≡ pattern 'idx-*', pinned
+      // in IndicesSpec
+      val root = documentsMultiIndexRoot(s, dir)
+      new graft.query.Indices(s, root, 8).search("idx-*", Bm25Query, 10)
+        .select(col("index"), col("docId").as("doc_id"),
+          round(col("score"), 4).as("score"))
+    }),
     "q_phrase_suggest" -> ((s, dir) =>
       // ES phrase suggester: per-slot correction candidates (term-
       // suggester rank, incl. the token itself), candidate phrases
@@ -1161,6 +1195,29 @@ cand AS (SELECT term, df FROM df
 SELECT term AS suggestion, CAST(levenshtein(term, 'sprak') AS INT) AS dist,
        CAST(df AS BIGINT) AS df
 FROM cand ORDER BY dist ASC, df DESC, suggestion ASC LIMIT 5""",
+      // multi-index twin: each index's half scores with its OWN
+      // (n, avgdl, df) — ES query_then_fetch across indexes — then one
+      // global (score desc, index asc, doc_id asc) merge
+      "q_multi_index" -> {
+        val score = Bm25.scoreSql("tf.tf", "df.df", "dl.dl", "st.n", "st.avgdl")
+        s"""${toksCte("documents", "doc_id")},
+h AS (SELECT doc_id, CASE WHEN source = 'src1' THEN 'idx-src1' ELSE 'idx-rest' END AS idx
+      FROM documents),
+tokh AS (SELECT t.doc_id, t.term, h.idx FROM tok t JOIN h USING (doc_id)),
+dl AS (SELECT d.doc_id, h.idx, coalesce(t.n, 0) AS dl
+       FROM documents d JOIN h USING (doc_id)
+       LEFT JOIN (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id) t USING (doc_id)),
+st AS (SELECT idx, count(*) AS n, avg(dl) AS avgdl FROM dl GROUP BY 1),
+tf AS (SELECT idx, term, doc_id, count(*) AS tf FROM tokh GROUP BY 1, 2, 3),
+df AS (SELECT idx, term, count(*) AS df FROM tf GROUP BY 1, 2),
+scored AS (
+  SELECT tf.doc_id, tf.idx, sum($score ORDER BY tf.term ASC) AS score
+  FROM tf JOIN df USING (idx, term) JOIN dl USING (idx, doc_id) JOIN st USING (idx)
+  WHERE tf.term IN ${inList(Analyzer.analyzeQuery(Bm25Query).toSeq)}
+  GROUP BY 1, 2)
+SELECT idx AS "index", doc_id, round(score, 4) AS score
+FROM scored ORDER BY score DESC, idx ASC, doc_id ASC LIMIT 10"""
+      },
       // phrase-suggester twin: positions via zipped unnest, per-slot
       // candidate rank (dist asc, df desc, term asc) via QUALIFY, and
       // the integer bigram-doc-count scoring — bit-reproducible
@@ -1249,6 +1306,7 @@ SELECT k1, k2, k3,
        CAST(min(n_chars) AS BIGINT) AS "min", CAST(max(n_chars) AS BIGINT) AS "max",
        round(avg(n_chars), 6) AS "avg", CAST(sum(n_chars) AS BIGINT) AS "sum"
 FROM b GROUP BY ROLLUP (k1, k2, k3)
+HAVING count(*) > 0
 ORDER BY depth, k1, k2, k3""",
       "q_facet_stats" ->
         s"""${toksCte("documents", "doc_id")}

@@ -28,6 +28,13 @@ import org.apache.spark.sql.functions._
   * callers aggregate on non-null fields (the `depth` column
   * disambiguates programmatically: a level-d row has exactly d
   * non-aggregated keys).
+  *
+  * Empty match set → EMPTY frame (Spark grouping-sets semantics: no
+  * input groups, no rows — including the grand-total set). Note the
+  * divergence from plain SQL `GROUP BY ROLLUP`, which emits a 0-count
+  * grand-total row on empty input; the DuckDB twin carries
+  * `HAVING count(*) > 0` (a no-op on any non-empty input, where every
+  * grouping-set row counts ≥ 1) to pin the same contract.
   */
 sealed trait BucketLevel {
   /** Source column of this level's bucket key. */

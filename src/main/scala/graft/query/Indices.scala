@@ -1,0 +1,172 @@
+package graft.query
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Scored
+
+/** Named indexes, aliases and multi-index search (round-6 review
+  * "What's missing #6" — the reference lets operators create many named
+  * indexes, NeoFinderToES.java:184-192, and its ES users search
+  * `name1,name2`, `index-*` patterns and aliases across them).
+  *
+  * Layout: a ROOT directory whose sub-directories are the named
+  * indexes — each either a plain built index (IndexBuilder output) or
+  * a streaming seg-* index (MultiSearcher layout); `aliases.props` at
+  * the root maps alias → index-name list (atomic tmp+rename writes,
+  * same recipe as the segment catalog).
+  *
+  * Scoring semantics: ES's default `query_then_fetch` — every index
+  * scores with its OWN corpus statistics (df, N, avgdl), and per-index
+  * top-k hits merge by (score desc, index name asc, docId asc). This
+  * is exactly what an ES user gets across indexes (global-stats
+  * `dfs_query_then_fetch` is the documented non-default); single-index
+  * searches through this surface are therefore bit-identical to a
+  * direct `Searcher`/`MultiSearcher` call. Execution: one top-k job
+  * per matched index (each internally parallel and pruned), driver
+  * merge of ≤ k·indexes tiny rows — at scale, per-index serving state
+  * stays per-index (exactly ES's per-index shards).
+  */
+object Aliases {
+  private def path(root: String) = new Path(root, "aliases.props")
+
+  /** alias → index names; empty map when the file does not exist. */
+  def load(fs: org.apache.hadoop.fs.FileSystem, root: String): Map[String, Seq[String]] = {
+    val p = path(root)
+    if (!fs.exists(p)) return Map.empty
+    val in = fs.open(p)
+    val bytes = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    var r = in.read(buf)
+    while (r > 0) { bytes.write(buf, 0, r); r = in.read(buf) }
+    in.close()
+    bytes.toString("UTF-8").linesIterator
+      .filter(l => l.nonEmpty && l.contains("="))
+      .map { l =>
+        val i = l.indexOf('=')
+        l.substring(0, i) -> l.substring(i + 1).split(",").toSeq.filter(_.nonEmpty)
+      }.toMap
+  }
+
+  private def write(fs: org.apache.hadoop.fs.FileSystem, root: String,
+      m: Map[String, Seq[String]]): Unit = {
+    val tmp = new Path(root, "aliases.props.tmp")
+    val out = fs.create(tmp, true)
+    out.write(m.toSeq.sortBy(_._1)
+      .map { case (a, ns) => s"$a=${ns.mkString(",")}" }
+      .mkString("", "\n", "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    fs.delete(path(root), false)
+    fs.rename(tmp, path(root))
+  }
+
+  /** Add (or replace) `alias` → `indexes` (ES `_aliases` add action). */
+  def add(fs: org.apache.hadoop.fs.FileSystem, root: String, alias: String,
+      indexes: Seq[String]): Unit = {
+    require(alias.nonEmpty && !alias.contains("=") && !alias.contains(","),
+      s"invalid alias name '$alias'")
+    write(fs, root, load(fs, root) + (alias -> indexes))
+  }
+
+  /** Remove `alias` (ES `_aliases` remove action; idempotent). */
+  def remove(fs: org.apache.hadoop.fs.FileSystem, root: String, alias: String): Unit =
+    write(fs, root, load(fs, root) - alias)
+}
+
+/** Multi-index search over the named indexes under `root` — see
+  * [[Aliases]] for the layout and the ES scoring contract.
+  * `numShards` must match the indexes' build config (one value for all,
+  * like one cluster-wide shard setting).
+  */
+class Indices(spark: SparkSession, root: String, numShards: Int = 8) {
+  private val fs = new Path(root)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The named indexes currently under the root: sub-directories that
+    * contain either a built index (`stats/`) or a streaming segment
+    * catalog / seg-* sub-dirs.
+    */
+  def indexNames: Seq[String] = {
+    val st = fs.listStatus(new Path(root)).filter(_.isDirectory)
+    st.map(_.getPath).filter { p =>
+      fs.exists(new Path(p, "stats")) || fs.exists(new Path(p, "segments.props")) ||
+        fs.listStatus(p).exists(s => s.isDirectory && s.getPath.getName.startsWith("seg-"))
+    }.map(_.getName).toSeq.sorted
+  }
+
+  /** Resolve an ES-style index expression: comma-separated names,
+    * `*`/`?` glob patterns, and aliases (resolved first, one level).
+    * Result is name-sorted and distinct; unknown literal names fail
+    * loudly (ES 404 semantics), unmatched globs resolve to empty.
+    */
+  def resolve(expr: String): Seq[String] = {
+    val aliases = Aliases.load(fs, root)
+    val names = indexNames
+    val parts = expr.split(",").map(_.trim).filter(_.nonEmpty)
+    val resolved = parts.flatMap { p =>
+      aliases.get(p) match {
+        case Some(ns) => ns
+        case None if p.contains("*") || p.contains("?") =>
+          val rx = ("^" + p.flatMap {
+            case '*' => ".*"
+            case '?' => "."
+            case c if "\\.[]{}()+-^$|".indexOf(c) >= 0 => "\\" + c
+            case c => c.toString
+          } + "$").r
+          names.filter(n => rx.findFirstIn(n).isDefined)
+        case None =>
+          require(names.contains(p), s"no such index '$p' under $root")
+          Seq(p)
+      }
+    }
+    resolved.distinct.sorted.toSeq
+  }
+
+  /** Is `name` a streaming (seg-*) index? */
+  private def isSegmented(name: String): Boolean = {
+    val p = new Path(root, name)
+    fs.exists(new Path(p, "segments.props")) ||
+      (!fs.exists(new Path(p, "stats")) &&
+        fs.listStatus(p).exists(s => s.isDirectory && s.getPath.getName.startsWith("seg-")))
+  }
+
+  /** Per-index top-k under the index's OWN stats. */
+  private def topK(name: String, query: String, k: Int,
+      conjunctive: Boolean): Array[Scored] = {
+    val dir = new Path(root, name).toString
+    if (isSegmented(name)) {
+      val ms = new MultiSearcher(spark, dir)
+      if (conjunctive) ms.searchConjunctive(query, k) else ms.search(query, k)
+    } else {
+      val s = new Searcher(spark, dir, numShards)
+      if (conjunctive) s.searchConjunctive(query, k) else s.search(query, k)
+    }
+  }
+
+  /** Multi-index BM25 top-k (`GET name1,idx-*,alias/_search` shape):
+    * per-index local-stats top-k, merged (score desc, index asc,
+    * docId asc), global top `k`. Returns (index, docId, score) rows.
+    */
+  def search(expr: String, query: String, k: Int,
+      conjunctive: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val hits = resolve(expr).flatMap { n =>
+      topK(n, query, k, conjunctive).map(h => (n, h.docId, h.score))
+    }
+    hits.sortBy { case (n, id, s) => (-s, n, id) }.take(k)
+      .toDF("index", "docId", "score")
+  }
+
+  /** Total hits per index (the ES per-index `_count` shape). */
+  def counts(expr: String, query: String): DataFrame = {
+    import spark.implicits._
+    resolve(expr).map { n =>
+      val dir = new Path(root, n).toString
+      val c =
+        if (isSegmented(n)) new MultiSearcher(spark, dir).matchCount(query)
+        else new Searcher(spark, dir, numShards).matchCount(query)
+      (n, c)
+    }.toDF("index", "n_docs")
+  }
+}

@@ -1750,8 +1750,10 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
       .flatMap { case (seg, b) =>
         val d = graft.index.Codec.decodeBlock(b)
         val poss = graft.index.Codec.decodePositions(b, d.tfs)
-        if (poss == null) Iterator.empty
-        else for {
+        // loud like the phrase executor (see the single-index twin)
+        if (poss == null) throw new IllegalStateException(
+          "index stores no positions — phrase_suggest needs storePositions=true")
+        for {
           i <- d.docIds.indices.iterator
           p <- poss(i).iterator
         } yield (seg, b.termId, d.docIds(i), p)

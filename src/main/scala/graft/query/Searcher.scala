@@ -1325,8 +1325,11 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
       .flatMap { b =>
         val d = graft.index.Codec.decodeBlock(b)
         val poss = graft.index.Codec.decodePositions(b, d.tfs)
-        if (poss == null) Iterator.empty
-        else for {
+        // loud like the phrase executor — a silent empty would return
+        // all-zero bigram scores (wrong ranking), not an obvious error
+        if (poss == null) throw new IllegalStateException(
+          "index stores no positions — phrase_suggest needs storePositions=true")
+        for {
           i <- d.docIds.indices.iterator
           p <- poss(i).iterator
         } yield (b.termId, d.docIds(i), p)

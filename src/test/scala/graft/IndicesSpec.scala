@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.corpus.Transcripts
+import graft.index.{DocIds, IndexBuilder, IndexConfig}
+import graft.query.{Aliases, Indices, MultiSearcher, Searcher}
+
+/** Named indexes, aliases and multi-index search (round 7): resolution
+  * (literals, globs, aliases, 404s), ES query_then_fetch scoring (each
+  * index its OWN stats — single-index parity with a direct searcher),
+  * deterministic cross-index merge, and the mixed built/streaming
+  * layout.
+  */
+class IndicesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val root = s"${TestSpark.tmpRoot}/indices-root"
+  private lazy val cfg = IndexConfig(numBuckets = 2, numShards = 8, blockSize = 32,
+    partitions = 4)
+  private lazy val fs = new org.apache.hadoop.fs.Path(root)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  // three named indexes over disjoint conv ranges: two plain builds and
+  // one streaming seg-* index (exercises both searcher dispatches)
+  private lazy val built: Unit = {
+    val all = Transcripts.generate(spark, 240L)
+    val third = 240L / 3
+    def slice(i: Long) = all.filter(
+      col("conv_id") >= f"conv-${i * third}%08d" &&
+        col("conv_id") < f"conv-${(i + 1) * third}%08d").as[graft.model.Turn]
+    new IndexBuilder(spark, s"$root/idx-a", "snap-ia", cfg)
+      .build(DocIds.assign(DocIds.dedup(slice(0)), 4))
+    new IndexBuilder(spark, s"$root/idx-b", "snap-ib", cfg)
+      .build(DocIds.assign(DocIds.dedup(slice(1)), 4))
+    graft.streaming.StreamingIngest.appendSegment(spark,
+      slice(2), s"$root/idx-stream", 0L, cfg)
+    Aliases.add(fs, root, "ab", Seq("idx-a", "idx-b"))
+  }
+  private lazy val ix = { built; new Indices(spark, root, cfg.numShards) }
+
+  test("resolution: names, globs, aliases; unknown literal fails loudly") {
+    built
+    assert(ix.indexNames == Seq("idx-a", "idx-b", "idx-stream"))
+    assert(ix.resolve("idx-a") == Seq("idx-a"))
+    assert(ix.resolve("idx-*") == Seq("idx-a", "idx-b", "idx-stream"))
+    assert(ix.resolve("idx-?") == Seq("idx-a", "idx-b"))
+    assert(ix.resolve("ab") == Seq("idx-a", "idx-b"))
+    assert(ix.resolve("ab,idx-stream") == Seq("idx-a", "idx-b", "idx-stream"))
+    assert(ix.resolve("idx-a,idx-a") == Seq("idx-a")) // distinct
+    assert(ix.resolve("nomatch-*").isEmpty)
+    intercept[IllegalArgumentException] { ix.resolve("missing-index") }
+    // alias CRUD round-trip
+    Aliases.add(fs, root, "tmp", Seq("idx-b"))
+    assert(ix.resolve("tmp") == Seq("idx-b"))
+    Aliases.remove(fs, root, "tmp")
+    intercept[IllegalArgumentException] { ix.resolve("tmp") }
+  }
+
+  test("single-index search through Indices ≡ direct searcher (local stats)") {
+    built
+    for (q <- Seq("the", "zanzibar", "the a of")) {
+      val direct = new Searcher(spark, s"$root/idx-a", cfg.numShards).search(q, 10)
+      val viaIx = ix.search("idx-a", q, 10).as[(String, Long, Double)].collect()
+      assert(viaIx.toSeq == direct.map(h => ("idx-a", h.docId, h.score)).toSeq, s"'$q'")
+      val directSeg = new MultiSearcher(spark, s"$root/idx-stream").search(q, 10)
+      assert(ix.search("idx-stream", q, 10).as[(String, Long, Double)].collect().toSeq
+        == directSeg.map(h => ("idx-stream", h.docId, h.score)).toSeq, s"seg '$q'")
+    }
+  }
+
+  test("multi-index merge: per-index top-k under OWN stats, (score, index, docId) order") {
+    built
+    val q = "the a"
+    val perIndex = Seq(
+      "idx-a" -> new Searcher(spark, s"$root/idx-a", cfg.numShards).search(q, 10),
+      "idx-b" -> new Searcher(spark, s"$root/idx-b", cfg.numShards).search(q, 10),
+      "idx-stream" -> new MultiSearcher(spark, s"$root/idx-stream").search(q, 10))
+    val want = perIndex.flatMap { case (n, hs) => hs.map(h => (n, h.docId, h.score)) }
+      .sortBy { case (n, id, s) => (-s, n, id) }.take(10)
+    val got = ix.search("idx-*", q, 10).as[(String, Long, Double)].collect().toSeq
+    assert(got == want && got.nonEmpty)
+    // all three indexes hold 'the' docs, and scores differ across
+    // indexes for the same corpus slice sizes — local stats are real
+    assert(ix.counts("idx-*", "the").as[(String, Long)].collect()
+      .forall(_._2 > 0))
+    // alias + explicit name ≡ glob
+    assert(ix.search("ab,idx-stream", q, 10).as[(String, Long, Double)].collect().toSeq
+      == got)
+    // conjunctive dispatch
+    val gotAnd = ix.search("idx-*", "the a", 10, conjunctive = true)
+      .as[(String, Long, Double)].collect().toSeq
+    val wantAnd = Seq(
+      "idx-a" -> new Searcher(spark, s"$root/idx-a", cfg.numShards).searchConjunctive(q, 10),
+      "idx-b" -> new Searcher(spark, s"$root/idx-b", cfg.numShards).searchConjunctive(q, 10),
+      "idx-stream" -> new MultiSearcher(spark, s"$root/idx-stream").searchConjunctive(q, 10))
+      .flatMap { case (n, hs) => hs.map(h => (n, h.docId, h.score)) }
+      .sortBy { case (n, id, s) => (-s, n, id) }.take(10)
+    assert(gotAnd == wantAnd && gotAnd.nonEmpty)
+  }
+}

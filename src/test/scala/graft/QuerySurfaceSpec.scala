@@ -673,6 +673,9 @@ class QuerySurfaceSpec extends SparkSpec {
     // cap ≥ bucket count is a no-op
     assert(searcher.nestedAgg(q, Seq(TermsLevel("role", "k1", size = 100),
       levels(1), levels(2)), statField = Some("dl")).collect().toSeq == got)
+    // empty match set → EMPTY frame (Spark grouping-sets semantics;
+    // the DuckDB twin pins the same via HAVING count(*) > 0)
+    assert(searcher.nestedAgg("notavocabword", levels, statField = Some("dl")).isEmpty)
   }
 
   test("phrase suggester: slot candidates × bigram doc-counts ≡ direct computation (round-7)") {
