@@ -53,6 +53,17 @@ object Plans {
         levenshtein(lit(w), col("term")) <= lit(1))
     println(dictScan.queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode))
+
+    // nested aggregation tree (round-7): EVERY level must come from ONE
+    // Expand + ONE partial/final HashAggregate pair over ONE match-set
+    // join — no per-level pass, no extra shuffle per depth
+    println("\n===================== nested agg tree (one rollup pass) =====================")
+    val searcher = new graft.query.Searcher(spark, idxDir, 8)
+    val tree = searcher.nestedAgg("the", Seq(
+      graft.query.TermsLevel("role", "k1"),
+      graft.query.DateHistLevel("ts", "day", "k2")), statField = Some("dl"))
+    println(tree.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode))
     spark.stop()
   }
 }

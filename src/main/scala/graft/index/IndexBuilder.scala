@@ -45,7 +45,11 @@ object IndexFormat {
 
   private def flagPath(indexDir: String) = new Path(indexDir, "format.props")
 
-  /** Stamp `indexDir` with `version` (atomic tmp+rename, idempotent). */
+  /** Stamp `indexDir` with `version` — ATOMIC overwrite rename via
+    * FileContext (the SegmentCatalog pointer recipe): a plain
+    * delete-then-rename would have a crash window in which the flag is
+    * GONE and a marker-bearing index reads Legacy (round-7 review).
+    */
   def write(fs: org.apache.hadoop.fs.FileSystem, indexDir: String,
       version: Int = Version): Unit = {
     val p = flagPath(indexDir)
@@ -53,8 +57,9 @@ object IndexFormat {
     val out = fs.create(tmp, true)
     out.write(s"formatVersion=$version\n".getBytes(StandardCharsets.UTF_8))
     out.close()
-    fs.delete(p, false)
-    fs.rename(tmp, p)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, fs.getConf)
+    fc.rename(fc.makeQualified(tmp), fc.makeQualified(p),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** The index's format version ([[Legacy]] when unflagged). */
@@ -662,6 +667,17 @@ class IndexBuilder(
     val docsIn = docsFrame
     val built = scala.collection.mutable.ArrayBuffer[String]()
     val skipped = scala.collection.mutable.ArrayBuffer[String]()
+    // Format-flag provenance (round-7 review): the flag must record the
+    // writer of the cells that CARRY exists markers. A FRESH build (no
+    // pre-existing manifest cells) stamps this writer's version up
+    // front — the build's lineage then belongs to this writer, so any
+    // same-version crash-resume keeps it. A resume over ANOTHER
+    // writer's cells finds either that writer's flag or none (= Legacy)
+    // and the finalize stamp below takes min(existing, Version):
+    // postings an older writer emitted are never claimed as
+    // marker-bearing (the silent-inversion hole the flag exists to
+    // close).
+    if (!resume || allManifests.isEmpty) IndexFormat.write(fs, indexDir)
     def phase[T](cell: String)(body: => BuildManifest): Unit =
       if (resume && isDone(cell)) skipped += cell
       else {
@@ -711,9 +727,11 @@ class IndexBuilder(
     val n = stats.n
     val avgdl = stats.avgdl
     if (n == 0) {
-      // even an empty index carries this writer's format (an unflagged
-      // empty segment would mark a whole multi-segment index legacy)
-      IndexFormat.write(fs, indexDir)
+      // even an empty index carries a format (an unflagged empty
+      // segment would mark a whole multi-segment index legacy) — but
+      // never a NEWER one than its lineage (min rule, see buildFrom top)
+      IndexFormat.write(fs, indexDir,
+        math.min(IndexFormat.version(fs, indexDir), IndexFormat.Version))
       return BuildReport(0, 0.0, 0, 0, 0, built.toSeq, skipped.toSeq)
     }
     val idBound = readManifest("docs").map(_.docIdHi).getOrElse(n)
@@ -997,10 +1015,13 @@ class IndexBuilder(
       // pruning; TermStats readers ignore it by name-binding
       dict.withColumn("len", FieldTerms.bareLenCol(col("term")))
         .write.mode(SaveMode.Overwrite).parquet(dictPath)
-      // stamp the format flag HERE (not after the phase loop): a resumed
-      // build that skips every phase must not claim markers an older
-      // writer never emitted
-      IndexFormat.write(fs, indexDir)
+      // provenance stamp: min(existing lineage, this writer) — a fresh
+      // build's start-stamp makes this Version; a resume over an OLDER
+      // writer's posting cells finds no flag (Legacy) and stays Legacy,
+      // so exists/missing on those marker-less postings fails loudly
+      // instead of silently inverting (round-7 review)
+      IndexFormat.write(fs, indexDir,
+        math.min(IndexFormat.version(fs, indexDir), IndexFormat.Version))
       BuildManifest("finalize", -1, 0, n, snapshotId,
         obs.get("vocab").asInstanceOf[Long], 0, "done", 0)
     }

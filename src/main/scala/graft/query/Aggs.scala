@@ -120,10 +120,17 @@ object Aggs {
             .select(names.take(i + 1).map(col): _*)
         }
       // rows at depth ≤ i are ancestors/totals (unaffected); rows with
-      // this level defined must descend from a kept bucket
+      // this level defined must descend from a kept bucket. The prune
+      // join is NULL-SAFE (<=>): a real NULL bucket key at depth i+1 is
+      // unambiguous (depth separates it from rollup NULLs) and must
+      // survive its own size selection — a plain equi-join would
+      // silently drop it and every descendant (round-7 review)
+      val keyNames = names.take(i + 1)
+      val keptR = kept.toDF(keyNames.map("__kept_" + _): _*)
+      val cond = keyNames.map(n => col(n) <=> col(s"__kept_$n")).reduce(_ && _)
       out = out.filter(col("depth") <= lit(i))
         .unionByName(out.filter(col("depth") > lit(i))
-          .join(kept, names.take(i + 1), "left_semi"))
+          .join(keptR, cond, "left_semi"))
     }
     out.orderBy(col("depth").asc +: names.map(col(_).asc_nulls_first): _*)
   }

@@ -57,15 +57,31 @@ object Aliases {
       .map { case (a, ns) => s"$a=${ns.mkString(",")}" }
       .mkString("", "\n", "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     out.close()
-    fs.delete(path(root), false)
-    fs.rename(tmp, path(root))
+    // ATOMIC overwrite rename (the SegmentCatalog pointer recipe) — a
+    // delete-then-rename would have a crash window that loses EVERY
+    // alias (round-7 review)
+    val p = path(root)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, fs.getConf)
+    fc.rename(fc.makeQualified(tmp), fc.makeQualified(p),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
-  /** Add (or replace) `alias` → `indexes` (ES `_aliases` add action). */
+  /** Add (or replace) `alias` → `indexes` (ES `_aliases` add action).
+    * Rejected loudly (ES parity, round-7 review): alias names that
+    * shadow an EXISTING index (resolution checks aliases first — a
+    * collision would silently hijack the real index), names with glob
+    * metacharacters (would shadow patterns), and target names that
+    * would corrupt the props line format.
+    */
   def add(fs: org.apache.hadoop.fs.FileSystem, root: String, alias: String,
       indexes: Seq[String]): Unit = {
-    require(alias.nonEmpty && !alias.contains("=") && !alias.contains(","),
+    require(alias.nonEmpty && "=,*?".forall(c => !alias.contains(c)),
       s"invalid alias name '$alias'")
+    require(indexes.nonEmpty && indexes.forall(n =>
+        n.nonEmpty && "=,*?".forall(c => !n.contains(c))),
+      s"invalid alias target list $indexes")
+    require(!fs.exists(new Path(root, alias)),
+      s"alias '$alias' would shadow an existing index of the same name")
     write(fs, root, load(fs, root) + (alias -> indexes))
   }
 
@@ -106,7 +122,12 @@ class Indices(spark: SparkSession, root: String, numShards: Int = 8) {
     val parts = expr.split(",").map(_.trim).filter(_.nonEmpty)
     val resolved = parts.flatMap { p =>
       aliases.get(p) match {
-        case Some(ns) => ns
+        case Some(ns) =>
+          // a dangling alias (target index deleted since `add`) fails
+          // HERE, not later inside a parquet read (round-7 review)
+          ns.foreach(n => require(names.contains(n),
+            s"alias '$p' points at missing index '$n' under $root"))
+          ns
         case None if p.contains("*") || p.contains("?") =>
           val rx = ("^" + p.flatMap {
             case '*' => ".*"
@@ -123,6 +144,20 @@ class Indices(spark: SparkSession, root: String, numShards: Int = 8) {
     resolved.distinct.sorted.toSeq
   }
 
+  // per-name serving state, built once per Indices instance: a fresh
+  // Searcher/MultiSearcher per CALL would re-read segment catalogs +
+  // per-segment stats on every query (round-7 review). A new index
+  // appearing under the root is picked up by a new Indices instance
+  // (same contract as MultiSearcher's segment snapshot).
+  private val searchers =
+    new java.util.concurrent.ConcurrentHashMap[String, Either[Searcher, MultiSearcher]]()
+  private def searcherFor(name: String): Either[Searcher, MultiSearcher] =
+    searchers.computeIfAbsent(name, { n =>
+      val dir = new Path(root, n).toString
+      if (isSegmented(n)) Right(new MultiSearcher(spark, dir))
+      else Left(new Searcher(spark, dir, numShards))
+    })
+
   /** Is `name` a streaming (seg-*) index? */
   private def isSegmented(name: String): Boolean = {
     val p = new Path(root, name)
@@ -133,15 +168,11 @@ class Indices(spark: SparkSession, root: String, numShards: Int = 8) {
 
   /** Per-index top-k under the index's OWN stats. */
   private def topK(name: String, query: String, k: Int,
-      conjunctive: Boolean): Array[Scored] = {
-    val dir = new Path(root, name).toString
-    if (isSegmented(name)) {
-      val ms = new MultiSearcher(spark, dir)
+      conjunctive: Boolean): Array[Scored] = searcherFor(name) match {
+    case Right(ms) =>
       if (conjunctive) ms.searchConjunctive(query, k) else ms.search(query, k)
-    } else {
-      val s = new Searcher(spark, dir, numShards)
+    case Left(s) =>
       if (conjunctive) s.searchConjunctive(query, k) else s.search(query, k)
-    }
   }
 
   /** Multi-index BM25 top-k (`GET name1,idx-*,alias/_search` shape):
@@ -162,10 +193,10 @@ class Indices(spark: SparkSession, root: String, numShards: Int = 8) {
   def counts(expr: String, query: String): DataFrame = {
     import spark.implicits._
     resolve(expr).map { n =>
-      val dir = new Path(root, n).toString
-      val c =
-        if (isSegmented(n)) new MultiSearcher(spark, dir).matchCount(query)
-        else new Searcher(spark, dir, numShards).matchCount(query)
+      val c = searcherFor(n) match {
+        case Right(ms) => ms.matchCount(query)
+        case Left(s) => s.matchCount(query)
+      }
       (n, c)
     }.toDF("index", "n_docs")
   }

@@ -55,6 +55,15 @@ class IndicesSpec extends SparkSpec {
     assert(ix.resolve("tmp") == Seq("idx-b"))
     Aliases.remove(fs, root, "tmp")
     intercept[IllegalArgumentException] { ix.resolve("tmp") }
+    // guards (round-7 review): an alias may not shadow a real index or
+    // a glob, targets are syntax-checked, and a DANGLING alias fails at
+    // resolve time (not inside a later parquet read)
+    intercept[IllegalArgumentException] { Aliases.add(fs, root, "idx-a", Seq("idx-b")) }
+    intercept[IllegalArgumentException] { Aliases.add(fs, root, "idx-*", Seq("idx-b")) }
+    intercept[IllegalArgumentException] { Aliases.add(fs, root, "bad", Seq("a,b")) }
+    Aliases.add(fs, root, "dangling", Seq("idx-gone"))
+    intercept[IllegalArgumentException] { ix.resolve("dangling") }
+    Aliases.remove(fs, root, "dangling")
   }
 
   test("single-index search through Indices ≡ direct searcher (local stats)") {

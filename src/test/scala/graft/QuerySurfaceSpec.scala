@@ -599,6 +599,27 @@ class QuerySurfaceSpec extends SparkSpec {
     }
     // everything WITHOUT exists/missing still serves on the legacy index
     assert(legacy.searchBool("the", 5, filters = Seq("role" -> "user")).nonEmpty)
+
+    // format PROVENANCE under resume (round-7 review): re-running only
+    // the finalize phase over cells an older (flag-less) writer wrote
+    // must NOT upgrade the flag — the postings carry no markers
+    val finalizeCell = new org.apache.hadoop.fs.Path(s"$dir/manifest/finalize.props")
+    assert(hfs.delete(finalizeCell, false))
+    new IndexBuilder(spark, dir, "snap-legacy-1",
+      cfg.copy(numBuckets = 1, partitions = 4)).build(docs) // resume: finalize only
+    assert(graft.index.IndexFormat.version(hfs, dir) == graft.index.IndexFormat.Legacy)
+    intercept[IllegalStateException] {
+      new Searcher(spark, dir, cfg.numShards).searchBool("the", 5, exists = Seq("tool"))
+    }
+    // ...whereas a SAME-version crash-resume (start-stamp present) keeps
+    // the full format: flag restored + finalize re-run → still current
+    graft.index.IndexFormat.write(hfs, dir)
+    assert(hfs.delete(finalizeCell, false))
+    new IndexBuilder(spark, dir, "snap-legacy-1",
+      cfg.copy(numBuckets = 1, partitions = 4)).build(docs)
+    assert(graft.index.IndexFormat.version(hfs, dir) == graft.index.IndexFormat.Version)
+    assert(new Searcher(spark, dir, cfg.numShards)
+      .searchBool("the", 5, exists = Seq("tool")).nonEmpty)
   }
 
   test("query_string end-to-end: parsed specs ≡ structured calls; mustNotText ≡ oracle") {
@@ -676,6 +697,18 @@ class QuerySurfaceSpec extends SparkSpec {
     // empty match set → EMPTY frame (Spark grouping-sets semantics;
     // the DuckDB twin pins the same via HAVING count(*) > 0)
     assert(searcher.nestedAgg("notavocabword", levels, statField = Some("dl")).isEmpty)
+
+    // a real NULL bucket key survives size pruning (null-safe prune
+    // join — round-7 review): 'tool' is null on most docs, and with a
+    // cap ≥ bucket count nothing may be dropped
+    val toolLv = Seq(TermsLevel("tool", "k1"), TermsLevel("role", "k2"))
+    val uncapped = searcher.nestedAgg(q, toolLv).collect().toSeq
+    assert(uncapped.exists(r => r.getAs[Int]("depth") == 1 && r.isNullAt(r.fieldIndex("k1"))))
+    val capped = searcher.nestedAgg(q,
+      Seq(TermsLevel("tool", "k1", size = 100), TermsLevel("role", "k2", size = 100)))
+      .collect().toSeq
+    assert(capped.toSet == uncapped.toSet,
+      s"null bucket dropped: missing=${uncapped.toSet -- capped.toSet}")
   }
 
   test("phrase suggester: slot candidates × bigram doc-counts ≡ direct computation (round-7)") {
