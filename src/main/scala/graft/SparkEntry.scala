@@ -466,6 +466,25 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
       import s.implicits._
       rankHits(s, new Searcher(s, documentsIndex(s, dir), 8).searchFuzzy("sprak", 10, maxDist = 2))
     }),
+    "q_bm25_fuzzy_prefix" -> ((s, dir) => {
+      // ES fuzzy prefix_length: candidates share the first 2 chars (the
+      // cold dict scan becomes a row-group-prunable startsWith)
+      rankHits(s, new Searcher(s, documentsIndex(s, dir), 8)
+        .searchFuzzy("sprak", 10, maxDist = 2, prefixLength = 2))
+    }),
+    "q_constant_score" -> ((s, dir) =>
+      // ES constant_score: filter-context membership, score = boost,
+      // deterministic docId-asc ties — no BM25, no WAND
+      new Searcher(s, documentsIndex(s, dir), 8)
+        .searchConstantScore(Bm25Query, 10, boost = 2.5,
+          filters = Seq("lang" -> "en"))
+        .select(col("docId").as("doc_id"), col("score"))),
+    "q_rescore" -> ((s, dir) =>
+      // ES function_score field_value_factor via a rescore window:
+      // top-50 BM25 hits re-ranked by bm25 * (0.001 * n_chars), top 10
+      new Searcher(s, documentsIndex(s, dir), 8)
+        .rescoreByFieldFactor(Bm25Query, 10, window = 50, "n_chars", 0.001)
+        .select(col("docId").as("doc_id"), round(col("score"), 4).as("score"))),
     "q_bm25_regexp" -> ((s, dir) => {
       // ES `regexp` query: whole-term anchoring (Lucene), deterministic
       // term-asc capped expansion, BM25 OR — 'sp.rk|wind.w' expands to
@@ -1011,6 +1030,37 @@ SELECT CAST(count(*) AS BIGINT) AS n_docs, round(avg(dl), 6) AS avgdl FROM dl"""
         termPred = "tf.term LIKE 's%a%'"),
       "q_bm25_fuzzy" -> bm25Sql(Nil, 10, conjunctive = false,
         termPred = "levenshtein(tf.term, 'sprak') <= 2"),
+      "q_bm25_fuzzy_prefix" -> bm25Sql(Nil, 10, conjunctive = false,
+        termPred = "(tf.term LIKE 'sp%' AND levenshtein(tf.term, 'sprak') <= 2)"),
+      "q_constant_score" ->
+        s"""${toksCte("documents", "doc_id")}
+SELECT doc_id, CAST(2.5 AS DOUBLE) AS score
+FROM documents
+WHERE lang = 'en'
+  AND doc_id IN (SELECT DISTINCT doc_id FROM tok
+                 WHERE term IN ${inList(Analyzer.analyzeQuery(Bm25Query).toSeq)})
+ORDER BY doc_id ASC LIMIT 10""",
+      // rescore twin: the UNROUNDED bm25 picks the top-50 window
+      // (score desc, doc_id asc — the engine's rank order), then one
+      // multiply re-ranks inside the window only
+      "q_rescore" -> {
+        val score = Bm25.scoreSql("tf.tf", "df.df", "dl.dl", "st.n", "st.avgdl")
+        s"""${toksCte("documents", "doc_id")},
+dl AS (SELECT d.doc_id, coalesce(t.n, 0) AS dl FROM documents d
+       LEFT JOIN (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id) t ON d.doc_id = t.doc_id),
+st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id, sum($score ORDER BY tf.term ASC) AS bm25
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE tf.term IN ${inList(Analyzer.analyzeQuery(Bm25Query).toSeq)}
+  GROUP BY tf.doc_id),
+win AS (SELECT doc_id, bm25 FROM scored ORDER BY bm25 DESC, doc_id ASC LIMIT 50)
+SELECT w.doc_id, round(w.bm25 * (CAST(0.001 AS DOUBLE) * d.n_chars), 4) AS score
+FROM win w JOIN documents d USING (doc_id)
+ORDER BY w.bm25 * (CAST(0.001 AS DOUBLE) * d.n_chars) DESC, w.doc_id ASC LIMIT 10"""
+      },
       "q_bm25_regexp" -> bm25Sql(Nil, 10, conjunctive = false,
         termPred = "regexp_full_match(tf.term, 'sp.rk|wind.w')"),
       "q_bm25_match_fuzzy" -> bm25Sql(Nil, 10, conjunctive = false,

@@ -1175,15 +1175,54 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
   }
 
   /** Fuzzy query (ES `fuzziness`) over the union of all segments —
-    * the dict scans prune by the stored bare-token `len` range first.
+    * the dict scans prune by the stored bare-token `len` range first;
+    * `prefixLength` (ES `prefix_length`) adds a row-group-prunable
+    * `startsWith` like the single-index searcher.
     */
   def searchFuzzy(term: String, k: Int, maxDist: Int = 1,
-      maxExpansions: Int = 50, field: String = "text"): Array[Scored] = {
+      maxExpansions: Int = 50, field: String = "text",
+      prefixLength: Int = 0): Array[Scored] = {
     val toks = Analyzer.tokenize(term)
     if (toks.isEmpty) return Array.empty
-    run(expand(c => levenshtein(lit(toks(0)), c) <= lit(maxDist), maxExpansions, field,
+    val pfx = toks(0).take(prefixLength)
+    run(expand(c => c.startsWith(pfx) && levenshtein(lit(toks(0)), c) <= lit(maxDist),
+        maxExpansions, field,
         lenRange = Some((math.max(1, toks(0).length - maxDist), toks(0).length + maxDist))),
       k, conjunctive = false)
+  }
+
+  /** ES `constant_score` over the union of all segments — same rule as
+    * the single-index searcher (boost score, docId-asc deterministic
+    * ties, LWW-visible membership).
+    */
+  def searchConstantScore(query: String, k: Int, boost: Double = 1.0,
+      filters: Seq[(String, String)] = Nil,
+      mustNot: Seq[(String, String)] = Nil,
+      numericRangeFilters: Seq[(String, Long, Long)] = Nil,
+      anyFilters: Seq[(String, Seq[String])] = Nil,
+      rangeFilters: Seq[(String, String, String)] = Nil,
+      exists: Seq[String] = Nil,
+      missing: Seq[String] = Nil): DataFrame =
+    matchingOrEmpty(query, filters, mustNot, numericRangeFilters, anyFilters,
+      rangeFilters, exists, missing)
+      .orderBy(col("docId")).limit(k)
+      .withColumn("score", lit(boost))
+
+  /** ES `function_score` field_value_factor as a rescore window over
+    * the union of all segments — same contract as the single-index
+    * searcher (merged-stats BM25 window, one multiply, LWW doc store).
+    */
+  def rescoreByFieldFactor(query: String, k: Int, window: Int,
+      field: String, factor: Double): DataFrame = {
+    require(window >= k, "rescore window must be >= k")
+    val top = run(Analyzer.analyzeQuery(query).toSeq, window, conjunctive = false)
+    val topDF = top.toSeq.map(h => (h.docId, h.score)).toDF("docId", "bm25")
+    rawDocs.select(col("docId"), col(field))
+      .join(broadcast(topDF), Seq("docId"))
+      .select(col("docId"),
+        (col("bm25") * (lit(factor) * col(field))).as("score"))
+      .orderBy(col("score").desc, col("docId").asc)
+      .limit(k)
   }
 
   /** ES `regexp` query over the union of all segments (Lucene whole-

@@ -1141,18 +1141,71 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
     * by bare-token length FIRST (levenshtein ≥ |len difference|, so the
     * bound is exact): the warm driver map with an int compare, the cold
     * dict scan with the stored `len` column's pushed range filter.
+    * `prefixLength` > 0 (ES `prefix_length`) additionally requires
+    * candidates to share the term's first N chars — and turns the cold
+    * scan into a `startsWith` the TERM-SORTED dict parquet row-group
+    * prunes (the cheap-fuzzy pattern ES recommends at scale).
     */
   def searchFuzzy(term: String, k: Int, maxDist: Int = 1,
-      maxExpansions: Int = 50, field: String = "text"): Array[Scored] = {
+      maxExpansions: Int = 50, field: String = "text",
+      prefixLength: Int = 0): Array[Scored] = {
     val toks = Analyzer.tokenize(term)
     if (toks.isEmpty) return Array.empty
     val t0 = toks(0)
+    val pfx = t0.take(prefixLength)
     runFound(
-      expand(t => math.abs(t.length - t0.length) <= maxDist && levenshtein(t0, t) <= maxDist,
-        c => org.apache.spark.sql.functions.levenshtein(lit(t0), c) <= lit(maxDist),
+      expand(t => t.startsWith(pfx) && math.abs(t.length - t0.length) <= maxDist &&
+          levenshtein(t0, t) <= maxDist,
+        c => c.startsWith(pfx) &&
+          org.apache.spark.sql.functions.levenshtein(lit(t0), c) <= lit(maxDist),
         maxExpansions, field,
         lenRange = Some((math.max(1, t0.length - maxDist), t0.length + maxDist))),
       k, Mode(conjunctive = false))
+  }
+
+  /** ES `constant_score`: every doc matching the bool membership
+    * (scored terms OR'd + all filter-context clauses) scores exactly
+    * `boost` — no BM25, no WAND; membership is the same decoded match
+    * set every aggregation uses, ranked (docId asc — deterministic; ES
+    * leaves constant-score ties arbitrary) via TakeOrderedAndProject.
+    */
+  def searchConstantScore(query: String, k: Int, boost: Double = 1.0,
+      filters: Seq[(String, String)] = Nil,
+      mustNot: Seq[(String, String)] = Nil,
+      numericRangeFilters: Seq[(String, Long, Long)] = Nil,
+      anyFilters: Seq[(String, Seq[String])] = Nil,
+      rangeFilters: Seq[(String, String, String)] = Nil,
+      exists: Seq[String] = Nil,
+      missing: Seq[String] = Nil): DataFrame =
+    matchingOrEmpty(query, filters, mustNot, numericRangeFilters, anyFilters,
+      rangeFilters, exists, missing)
+      .orderBy(col("docId")).limit(k)
+      .withColumn("score", lit(boost))
+
+  /** ES `function_score` `field_value_factor` applied as a RESCORE
+    * window (the `rescore` pattern): the top `window` hits by plain
+    * BM25 re-rank by score' = bm25 · (factor · fieldValue), top `k`.
+    * ES itself applies function scores through bounded rescoring at
+    * scale — WAND's score upper bounds do not survive arbitrary
+    * per-doc multipliers, so the exact-top-k contract holds for the
+    * WINDOW (any doc outside the BM25 top-`window` cannot enter, ES
+    * rescore semantics). One broadcast join of `window` rows against
+    * the column-pruned doc store; `modifier = "none"` (the linear ES
+    * modifier) keeps the arithmetic one multiply — bit-reproducible in
+    * the SQL twin.
+    */
+  def rescoreByFieldFactor(query: String, k: Int, window: Int,
+      field: String, factor: Double): DataFrame = {
+    require(window >= k, "rescore window must be >= k")
+    val top = runPerBucket(Analyzer.analyzeQuery(query).toSeq, window,
+      Mode(conjunctive = false))
+    val topDF = top.toSeq.map(h => (h.docId, h.score)).toDF("docId", "bm25")
+    docs.select(col("docId"), col(field))
+      .join(broadcast(topDF), Seq("docId"))
+      .select(col("docId"),
+        (col("bm25") * (lit(factor) * col(field))).as("score"))
+      .orderBy(col("score").desc, col("docId").asc)
+      .limit(k)
   }
 
   /** ES `regexp` query: the pattern anchors to the WHOLE analyzed term

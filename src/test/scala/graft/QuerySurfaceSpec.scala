@@ -743,6 +743,55 @@ class QuerySurfaceSpec extends SparkSpec {
     assert(searcher.phraseSuggest("zanzibat", 5).isEmpty)
   }
 
+  test("constant_score, rescore window, fuzzy prefix_length (round-7)") {
+    // constant_score: filter-context membership, score = boost, docId asc
+    val cs = searcher.searchConstantScore("zanzibar the", 10, boost = 2.5,
+      filters = Seq("role" -> "user")).as[(Long, Double)].collect().toSeq
+    val memberWant = tok.filter(col("term").isin("zanzibar", "the"))
+      .select("docId").distinct()
+      .join(docsDF.filter(col("role") === lit("user")).select("docId"), Seq("docId"), "left_semi")
+      .orderBy(col("docId")).limit(10).as[Long].collect().toSeq
+    assert(cs == memberWant.map(id => (id, 2.5)) && cs.nonEmpty)
+    assert(warmed.searchConstantScore("zanzibar the", 10, boost = 2.5,
+      filters = Seq("role" -> "user")).as[(Long, Double)].collect().toSeq == cs)
+
+    // rescore: the top-`window` BM25 hits (exact oracle) re-rank by
+    // bm25 · (factor · field); docs OUTSIDE the window cannot enter
+    val window = 30
+    val want = Oracle.topK(docsDF, "the zanzibar", window)
+      .join(docsDF.select(col("docId"), col("dl")), Seq("docId"))
+      .select(col("docId"), (col("score") * (lit(0.01) * col("dl"))).as("score"))
+      .orderBy(col("score").desc, col("docId").asc).limit(10)
+      .as[(Long, Double)].collect().toSeq
+    val got = searcher.rescoreByFieldFactor("the zanzibar", 10, window, "dl", 0.01)
+      .as[(Long, Double)].collect().toSeq
+    assert(got == want && got.nonEmpty)
+    // the window re-rank actually CHANGES the order vs plain BM25
+    assert(got.map(_._1) != searcher.search("the zanzibar", 10).map(_.docId).toSeq)
+    intercept[IllegalArgumentException] {
+      searcher.rescoreByFieldFactor("the", 10, 5, "dl", 1.0) // window < k
+    }
+
+    // fuzzy prefix_length: candidates must share the first N chars —
+    // expected set recomputed from the raw vocabulary
+    val vocab = tok.select("term").distinct().as[String].collect().toSet
+    def fuzzWant(w: String, d: Int, pfxLen: Int): Seq[graft.model.Scored] = {
+      val cands = vocab.filter(t => t.startsWith(w.take(pfxLen)) &&
+        math.abs(t.length - w.length) <= d && searcher.levenshtein(w, t) <= d)
+        .toSeq.sorted.take(50)
+      if (cands.isEmpty) Seq.empty
+      else Oracle.topK(docsDF, cands.mkString(" "), 10).as[graft.model.Scored].collect().toSeq
+    }
+    for ((w, d, p) <- Seq(("zanzibat", 1, 4), ("thee", 1, 2), ("thee", 1, 0))) {
+      val wantF = fuzzWant(w, d, p)
+      val gotF = searcher.searchFuzzy(w, 10, maxDist = d, prefixLength = p).toSeq
+      assert(gotF == wantF, s"fuzzy '$w' d=$d pfx=$p:\n got=$gotF\n want=$wantF")
+      assert(warmed.searchFuzzy(w, 10, maxDist = d, prefixLength = p).toSeq == wantF)
+    }
+    // a prefix the term itself violates → empty
+    assert(searcher.searchFuzzy("zanzibat", 10, maxDist = 1, prefixLength = 8).isEmpty)
+  }
+
   test("significant_terms, suggester, more_like_this ≡ direct computation") {
     val terms = Analyzer.analyzeQuery("zanzibar quasar").toSeq
     val mDocs = tok.filter(col("term").isin(terms: _*)).select("docId").distinct().cache()
@@ -956,6 +1005,20 @@ class QuerySurfaceSpec extends SparkSpec {
         == single.nestedAgg("the", lv, statField = Some("dl")).collect().toSeq)
       assert(multi.nestedAgg("the", lv, statField = Some("dl")).count() > 0)
     }
+
+    // round-7 parity: constant_score / rescore / fuzzy prefix_length
+    assert(multi.searchConstantScore("the", 10, boost = 3.0, filters = Seq("role" -> "user"))
+        .as[(Long, Double)].collect().toSeq
+      == single.searchConstantScore("the", 10, boost = 3.0, filters = Seq("role" -> "user"))
+        .as[(Long, Double)].collect().toSeq)
+    assert(multi.searchConstantScore("the", 10).count() > 0)
+    assert(multi.rescoreByFieldFactor("the", 10, 30, "dl", 0.01)
+        .as[(Long, Double)].collect().toSeq
+      == single.rescoreByFieldFactor("the", 10, 30, "dl", 0.01)
+        .as[(Long, Double)].collect().toSeq)
+    assert(multi.searchFuzzy("thee", 10, maxDist = 1, prefixLength = 2).toSeq
+      == single.searchFuzzy("thee", 10, maxDist = 1, prefixLength = 2).toSeq)
+    assert(multi.searchFuzzy("thee", 10, maxDist = 1, prefixLength = 2).nonEmpty)
 
     // round-7 parity: phrase suggester across segments (positions +
     // merged df + tombstone exclusion ≡ the compacted index)
