@@ -645,6 +645,16 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
       // edits of the misspelling, ranked (dist asc, df desc, term asc)
       new Searcher(s, documentsIndex(s, dir), 8)
         .suggestTerms("sprak", 5, maxDist = 2)),
+    "q_multi_index_boost" -> ((s, dir) => {
+      // ES indices_boost: one index's scores multiply by a constant
+      // factor BEFORE the cross-index merge (per-index ranking is
+      // preserved — the boosted global top-k stays exact)
+      val root = documentsMultiIndexRoot(s, dir)
+      new graft.query.Indices(s, root, 8)
+        .search("idx-*", Bm25Query, 10, indicesBoost = Map("idx-src1" -> 3.0))
+        .select(col("index"), col("docId").as("doc_id"),
+          round(col("score"), 4).as("score"))
+    }),
     "q_multi_index" -> ((s, dir) => {
       // ES multi-index search (name patterns + aliases): per-index
       // LOCAL-stats top-k (query_then_fetch), merged (score desc,
@@ -1262,6 +1272,30 @@ tf AS (SELECT idx, term, doc_id, count(*) AS tf FROM tokh GROUP BY 1, 2, 3),
 df AS (SELECT idx, term, count(*) AS df FROM tf GROUP BY 1, 2),
 scored AS (
   SELECT tf.doc_id, tf.idx, sum($score ORDER BY tf.term ASC) AS score
+  FROM tf JOIN df USING (idx, term) JOIN dl USING (idx, doc_id) JOIN st USING (idx)
+  WHERE tf.term IN ${inList(Analyzer.analyzeQuery(Bm25Query).toSeq)}
+  GROUP BY 1, 2)
+SELECT idx AS "index", doc_id, round(score, 4) AS score
+FROM scored ORDER BY score DESC, idx ASC, doc_id ASC LIMIT 10"""
+      },
+      // indices_boost twin: same per-half own-stats scoring, boosted
+      // half multiplied by the constant BEFORE the global merge
+      "q_multi_index_boost" -> {
+        val score = Bm25.scoreSql("tf.tf", "df.df", "dl.dl", "st.n", "st.avgdl")
+        s"""${toksCte("documents", "doc_id")},
+h AS (SELECT doc_id, CASE WHEN source = 'src1' THEN 'idx-src1' ELSE 'idx-rest' END AS idx
+      FROM documents),
+tokh AS (SELECT t.doc_id, t.term, h.idx FROM tok t JOIN h USING (doc_id)),
+dl AS (SELECT d.doc_id, h.idx, coalesce(t.n, 0) AS dl
+       FROM documents d JOIN h USING (doc_id)
+       LEFT JOIN (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id) t USING (doc_id)),
+st AS (SELECT idx, count(*) AS n, avg(dl) AS avgdl FROM dl GROUP BY 1),
+tf AS (SELECT idx, term, doc_id, count(*) AS tf FROM tokh GROUP BY 1, 2, 3),
+df AS (SELECT idx, term, count(*) AS df FROM tf GROUP BY 1, 2),
+scored AS (
+  SELECT tf.doc_id, tf.idx,
+         (CASE WHEN tf.idx = 'idx-src1' THEN CAST(3.0 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END)
+           * sum($score ORDER BY tf.term ASC) AS score
   FROM tf JOIN df USING (idx, term) JOIN dl USING (idx, doc_id) JOIN st USING (idx)
   WHERE tf.term IN ${inList(Analyzer.analyzeQuery(Bm25Query).toSeq)}
   GROUP BY 1, 2)

@@ -178,12 +178,21 @@ class Indices(spark: SparkSession, root: String, numShards: Int = 8) {
   /** Multi-index BM25 top-k (`GET name1,idx-*,alias/_search` shape):
     * per-index local-stats top-k, merged (score desc, index asc,
     * docId asc), global top `k`. Returns (index, docId, score) rows.
+    * `indicesBoost` (ES `indices_boost`) multiplies an index's scores
+    * before the merge (absent = 1.0) — one multiply per hit, applied
+    * AFTER the per-index top-k (a positive constant factor preserves
+    * each index's internal ranking, so the boosted global top-k is
+    * exact).
     */
   def search(expr: String, query: String, k: Int,
-      conjunctive: Boolean = false): DataFrame = {
+      conjunctive: Boolean = false,
+      indicesBoost: Map[String, Double] = Map.empty): DataFrame = {
     import spark.implicits._
+    require(indicesBoost.values.forall(_ > 0.0), "indices_boost factors must be > 0")
     val hits = resolve(expr).flatMap { n =>
-      topK(n, query, k, conjunctive).map(h => (n, h.docId, h.score))
+      val b = indicesBoost.getOrElse(n, 1.0)
+      topK(n, query, k, conjunctive)
+        .map(h => (n, h.docId, if (b == 1.0) h.score else b * h.score))
     }
     hits.sortBy { case (n, id, s) => (-s, n, id) }.take(k)
       .toDF("index", "docId", "score")

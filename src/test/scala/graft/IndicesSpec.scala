@@ -96,6 +96,19 @@ class IndicesSpec extends SparkSpec {
     // alias + explicit name ≡ glob
     assert(ix.search("ab,idx-stream", q, 10).as[(String, Long, Double)].collect().toSeq
       == got)
+    // indices_boost: one index's scores multiply BEFORE the merge;
+    // per-index internal ranking is preserved
+    val boosted = ix.search("idx-*", q, 10, indicesBoost = Map("idx-b" -> 4.0))
+      .as[(String, Long, Double)].collect().toSeq
+    val wantBoost = perIndex.flatMap { case (n, hs) =>
+      hs.map(h => (n, h.docId, if (n == "idx-b") 4.0 * h.score else h.score)) }
+      .sortBy { case (n, id, s) => (-s, n, id) }.take(10)
+    assert(boosted == wantBoost && boosted.exists(_._1 == "idx-b"))
+    assert(boosted != got) // the boost actually changed the merged page
+    intercept[IllegalArgumentException] {
+      ix.search("idx-*", q, 10, indicesBoost = Map("idx-b" -> 0.0))
+    }
+
     // conjunctive dispatch
     val gotAnd = ix.search("idx-*", "the a", 10, conjunctive = true)
       .as[(String, Long, Double)].collect().toSeq
