@@ -1276,7 +1276,7 @@ scored AS (
   WHERE tf.term IN ${inList(Analyzer.analyzeQuery(Bm25Query).toSeq)}
   GROUP BY 1, 2)
 SELECT idx AS "index", doc_id, round(score, 4) AS score
-FROM scored ORDER BY score DESC, idx ASC, doc_id ASC LIMIT 10"""
+FROM scored ORDER BY scored.score DESC, idx ASC, doc_id ASC LIMIT 10"""
       },
       // indices_boost twin: same per-half own-stats scoring, boosted
       // half multiplied by the constant BEFORE the global merge
@@ -1300,7 +1300,7 @@ scored AS (
   WHERE tf.term IN ${inList(Analyzer.analyzeQuery(Bm25Query).toSeq)}
   GROUP BY 1, 2)
 SELECT idx AS "index", doc_id, round(score, 4) AS score
-FROM scored ORDER BY score DESC, idx ASC, doc_id ASC LIMIT 10"""
+FROM scored ORDER BY scored.score DESC, idx ASC, doc_id ASC LIMIT 10"""
       },
       // phrase-suggester twin: positions via zipped unnest, per-slot
       // candidate rank (dist asc, df desc, term asc) via QUALIFY, and

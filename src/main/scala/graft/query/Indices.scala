@@ -189,8 +189,20 @@ class Indices(spark: SparkSession, root: String, numShards: Int = 8) {
       indicesBoost: Map[String, Double] = Map.empty): DataFrame = {
     import spark.implicits._
     require(indicesBoost.values.forall(_ > 0.0), "indices_boost factors must be > 0")
+    // boost KEYS go through the same alias/glob resolution as the
+    // search expression (ES accepts aliases and patterns there) — a
+    // typo'd literal key 404s loudly instead of silently boosting
+    // nothing (round-7 review); two keys resolving to one index is
+    // ambiguous and rejected
+    val boostOf: Map[String, Double] = indicesBoost.toSeq
+      .flatMap { case (kx, b) => resolve(kx).map(_ -> b) }
+      .groupBy(_._1).map { case (n, bs) =>
+        require(bs.map(_._2).distinct.size == 1,
+          s"indices_boost keys resolve to index '$n' with conflicting factors")
+        n -> bs.head._2
+      }
     val hits = resolve(expr).flatMap { n =>
-      val b = indicesBoost.getOrElse(n, 1.0)
+      val b = boostOf.getOrElse(n, 1.0)
       topK(n, query, k, conjunctive)
         .map(h => (n, h.docId, if (b == 1.0) h.score else b * h.score))
     }

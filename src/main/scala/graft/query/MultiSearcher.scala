@@ -1184,10 +1184,17 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
       prefixLength: Int = 0): Array[Scored] = {
     val toks = Analyzer.tokenize(term)
     if (toks.isEmpty) return Array.empty
-    val pfx = toks(0).take(prefixLength)
-    run(expand(c => c.startsWith(pfx) && levenshtein(lit(toks(0)), c) <= lit(maxDist),
+    val t0 = toks(0)
+    // Lucene rule: prefix_length ≥ len(term) ⇒ exact term query (the
+    // single-index searcher's twin — round-7 review)
+    if (prefixLength >= t0.length)
+      return run(expand(_ === lit(t0), maxExpansions, field,
+          lenRange = Some((t0.length, t0.length))),
+        k, conjunctive = false)
+    val pfx = t0.take(prefixLength)
+    run(expand(c => c.startsWith(pfx) && levenshtein(lit(t0), c) <= lit(maxDist),
         maxExpansions, field,
-        lenRange = Some((math.max(1, toks(0).length - maxDist), toks(0).length + maxDist))),
+        lenRange = Some((math.max(1, t0.length - maxDist), t0.length + maxDist))),
       k, conjunctive = false)
   }
 

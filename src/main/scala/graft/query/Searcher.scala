@@ -1152,6 +1152,14 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
     val toks = Analyzer.tokenize(term)
     if (toks.isEmpty) return Array.empty
     val t0 = toks(0)
+    // Lucene rule: prefix_length ≥ len(term) degrades FuzzyQuery to an
+    // EXACT term query — without this, terms EXTENDING the input within
+    // maxDist would still match (round-7 review)
+    if (prefixLength >= t0.length)
+      return runFound(
+        expand(_ == t0, _ === lit(t0), maxExpansions, field,
+          lenRange = Some((t0.length, t0.length))),
+        k, Mode(conjunctive = false))
     val pfx = t0.take(prefixLength)
     runFound(
       expand(t => t.startsWith(pfx) && math.abs(t.length - t0.length) <= maxDist &&

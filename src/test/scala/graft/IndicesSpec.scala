@@ -108,6 +108,23 @@ class IndicesSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       ix.search("idx-*", q, 10, indicesBoost = Map("idx-b" -> 0.0))
     }
+    // boost keys resolve like search expressions (round-7 review): an
+    // alias key boosts its members; a typo'd literal key 404s loudly
+    // instead of silently boosting nothing; conflicting factors on one
+    // index are rejected
+    val viaAlias = ix.search("idx-*", q, 10, indicesBoost = Map("ab" -> 4.0))
+      .as[(String, Long, Double)].collect().toSeq
+    val wantAlias = perIndex.flatMap { case (n, hs) =>
+      hs.map(h => (n, h.docId,
+        if (n == "idx-a" || n == "idx-b") 4.0 * h.score else h.score)) }
+      .sortBy { case (n, id, s) => (-s, n, id) }.take(10)
+    assert(viaAlias == wantAlias)
+    intercept[IllegalArgumentException] {
+      ix.search("idx-*", q, 10, indicesBoost = Map("idx-bb" -> 2.0))
+    }
+    intercept[IllegalArgumentException] {
+      ix.search("idx-*", q, 10, indicesBoost = Map("ab" -> 2.0, "idx-a" -> 3.0))
+    }
 
     // conjunctive dispatch
     val gotAnd = ix.search("idx-*", "the a", 10, conjunctive = true)

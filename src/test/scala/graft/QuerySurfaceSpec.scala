@@ -776,19 +776,31 @@ class QuerySurfaceSpec extends SparkSpec {
     // expected set recomputed from the raw vocabulary
     val vocab = tok.select("term").distinct().as[String].collect().toSet
     def fuzzWant(w: String, d: Int, pfxLen: Int): Seq[graft.model.Scored] = {
-      val cands = vocab.filter(t => t.startsWith(w.take(pfxLen)) &&
-        math.abs(t.length - w.length) <= d && searcher.levenshtein(w, t) <= d)
-        .toSeq.sorted.take(50)
+      // the Lucene rule: prefix_length ≥ len(term) ⇒ exact term query
+      val cands =
+        if (pfxLen >= w.length) vocab.filter(_ == w).toSeq
+        else vocab.filter(t => t.startsWith(w.take(pfxLen)) &&
+          math.abs(t.length - w.length) <= d && searcher.levenshtein(w, t) <= d)
+          .toSeq.sorted.take(50)
       if (cands.isEmpty) Seq.empty
       else Oracle.topK(docsDF, cands.mkString(" "), 10).as[graft.model.Scored].collect().toSeq
     }
-    for ((w, d, p) <- Seq(("zanzibat", 1, 4), ("thee", 1, 2), ("thee", 1, 0))) {
+    for ((w, d, p) <- Seq(("zanzibat", 1, 4), ("thee", 1, 2), ("thee", 1, 0),
+        ("t1", 1, 1), ("t1", 1, 2))) {
       val wantF = fuzzWant(w, d, p)
       val gotF = searcher.searchFuzzy(w, 10, maxDist = d, prefixLength = p).toSeq
       assert(gotF == wantF, s"fuzzy '$w' d=$d pfx=$p:\n got=$gotF\n want=$wantF")
       assert(warmed.searchFuzzy(w, 10, maxDist = d, prefixLength = p).toSeq == wantF)
     }
-    // a prefix the term itself violates → empty
+    // Lucene exact-degeneration (round-7 review): prefix_length ≥
+    // len(term) means EXACT — extending terms (t10.. extend t1 within
+    // one edit) must NOT match, so this ≡ a plain term query...
+    assert(searcher.searchFuzzy("t1", 10, maxDist = 1, prefixLength = 2).toSeq
+      == searcher.search("t1", 10).toSeq)
+    // ...while prefix_length 1 keeps the fuzzy extensions
+    assert(searcher.searchFuzzy("t1", 10, maxDist = 1, prefixLength = 1).toSeq
+      != searcher.search("t1", 10).toSeq)
+    // an unindexed term with prefix ≥ length → empty
     assert(searcher.searchFuzzy("zanzibat", 10, maxDist = 1, prefixLength = 8).isEmpty)
   }
 
