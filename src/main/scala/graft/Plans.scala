@@ -54,6 +54,34 @@ object Plans {
     println(dictScan.queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode))
 
+    // expansion cold path (round-8, review "What's wrong #1"): the
+    // deterministic term-asc cap must live IN the plan —
+    // TakeOrderedAndProject BELOW the collect (per-partition heaps of
+    // ≤ maxExpansions), so a low-selectivity regexp / infix wildcard
+    // on a 10^9-term dictionary returns ≤ cap rows to the driver
+    println("\n===================== regexp expansion cold path (cap in plan) =====================")
+    val regexpScan = spark.read.parquet(s"$idxDir/dict")
+      .filter(col("term").rlike("^(?:.*an.*)$"))
+      .orderBy(col("term")).limit(50)
+    println(regexpScan.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode))
+
+    // per-token expansion (match-fuzzy / phrase-suggest slots): the
+    // rank-≤-cap window must rewrite to WindowGroupLimit (pre-shuffle
+    // per-partition group limits) — the driver sees ≤ tokens × cap rows
+    println("\n===================== per-token fuzzy expansion (WindowGroupLimit) =====================")
+    val toks = array(lit("zanzibat"), lit("quasat"))
+    val wtok = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__tok")).orderBy(col("term").asc)
+    val perTok = spark.read.parquet(s"$idxDir/dict")
+      .filter(col("len").between(lit(5), lit(9)))
+      .select(col("term"), explode(filter(toks,
+        t => levenshtein(t, col("term")) <= lit(2))).as("__tok"))
+      .withColumn("__rn", row_number().over(wtok))
+      .filter(col("__rn") <= lit(50))
+    println(perTok.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode))
+
     // nested aggregation tree (round-7): EVERY level must come from ONE
     // Expand + ONE partial/final HashAggregate pair over ONE match-set
     // join — no per-level pass, no extra shuffle per depth

@@ -111,9 +111,12 @@ object SparkEntry {
     multiIdxCache.computeIfAbsent(dir, _ => {
       val root = java.nio.file.Files.createTempDirectory("graft-docs-indices").toString
       val docs = documentsDocsDF(spark, dir)
+      // null-safe split: a null source lands in idx-rest (the twin's
+      // CASE WHEN ELSE branch) — `=!=` would route nulls to NEITHER
+      // index (round-7 ADVICE)
       for ((name, pred) <- Seq(
-          "idx-src1" -> (col("source") === lit("src1")),
-          "idx-rest" -> (col("source") =!= lit("src1")))) {
+          "idx-src1" -> (col("source") <=> lit("src1")),
+          "idx-rest" -> !(col("source") <=> lit("src1")))) {
         val part = docs.filter(pred)
         val cfg = IndexConfig.sized(part.count(), spark.sparkContext.defaultParallelism)
           .copy(numShards = 8)
@@ -1073,9 +1076,14 @@ ORDER BY w.bm25 * (CAST(0.001 AS DOUBLE) * d.n_chars) DESC, w.doc_id ASC LIMIT 1
       },
       "q_bm25_regexp" -> bm25Sql(Nil, 10, conjunctive = false,
         termPred = "regexp_full_match(tf.term, 'sp.rk|wind.w')"),
+      // the engine's PER-TOKEN term-asc cap (maxExpansionsPerTerm = 50)
+      // is encoded verbatim: each token's candidate set is its ≤ 50
+      // lowest matching dictionary terms (round-7 ADVICE — an uncapped
+      // twin diverges the moment a token has > 50 candidates)
       "q_bm25_match_fuzzy" -> bm25Sql(Nil, 10, conjunctive = false,
-        termPred =
-          "(levenshtein(tf.term, 'sprak') <= 2 OR levenshtein(tf.term, 'windoq') <= 2)"),
+        termPred = "tf.term IN (" +
+          "SELECT term FROM (SELECT term FROM df WHERE levenshtein(term, 'sprak') <= 2 ORDER BY term ASC LIMIT 50) " +
+          "UNION SELECT term FROM (SELECT term FROM df WHERE levenshtein(term, 'windoq') <= 2 ORDER BY term ASC LIMIT 50))"),
       // dis_max twin: per-group ordered-term sums pick the best group
       // (sum desc, group asc — the engine's first-max rule), then every
       // term contribution re-sums weighted (1 best / 0.3 others) in

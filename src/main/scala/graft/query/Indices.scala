@@ -49,6 +49,15 @@ object Aliases {
       }.toMap
   }
 
+  /** JVM-level write serialization: add/remove are load-then-write over
+    * the whole map, so two concurrent mutators would lose one update.
+    * In-process mutations serialize here (same recipe as the segment
+    * catalog); CROSS-process alias mutation needs an external
+    * single-writer — the documented deployment contract (ES routes all
+    * alias updates through one master node the same way).
+    */
+  private val writeLock = new Object
+
   private def write(fs: org.apache.hadoop.fs.FileSystem, root: String,
       m: Map[String, Seq[String]]): Unit = {
     val tmp = new Path(root, "aliases.props.tmp")
@@ -74,7 +83,7 @@ object Aliases {
     * would corrupt the props line format.
     */
   def add(fs: org.apache.hadoop.fs.FileSystem, root: String, alias: String,
-      indexes: Seq[String]): Unit = {
+      indexes: Seq[String]): Unit = writeLock.synchronized {
     require(alias.nonEmpty && "=,*?".forall(c => !alias.contains(c)),
       s"invalid alias name '$alias'")
     require(indexes.nonEmpty && indexes.forall(n =>
@@ -87,7 +96,7 @@ object Aliases {
 
   /** Remove `alias` (ES `_aliases` remove action; idempotent). */
   def remove(fs: org.apache.hadoop.fs.FileSystem, root: String, alias: String): Unit =
-    write(fs, root, load(fs, root) - alias)
+    writeLock.synchronized { write(fs, root, load(fs, root) - alias) }
 }
 
 /** Multi-index search over the named indexes under `root` — see
@@ -119,6 +128,14 @@ class Indices(spark: SparkSession, root: String, numShards: Int = 8) {
   def resolve(expr: String): Seq[String] = {
     val aliases = Aliases.load(fs, root)
     val names = indexNames
+    // an index DIRECTORY created after the alias (Aliases.add only
+    // guards the other direction) would be silently shadowed by
+    // alias-first resolution — ES refuses the name collision outright,
+    // so fail loudly on ANY overlap (round-7 ADVICE)
+    val collisions = aliases.keySet.intersect(names.toSet)
+    require(collisions.isEmpty,
+      s"name(s) ${collisions.toSeq.sorted.mkString(", ")} are both an alias " +
+        s"and a live index under $root — delete one (ES forbids the collision)")
     val parts = expr.split(",").map(_.trim).filter(_.nonEmpty)
     val resolved = parts.flatMap { p =>
       aliases.get(p) match {
@@ -201,24 +218,42 @@ class Indices(spark: SparkSession, root: String, numShards: Int = 8) {
           s"indices_boost keys resolve to index '$n' with conflicting factors")
         n -> bs.head._2
       }
-    val hits = resolve(expr).flatMap { n =>
+    // CONCURRENT per-index fan-out (round-7 review "What's wrong #2"):
+    // the per-index jobs are independent, so they submit together on the
+    // shared session (Spark schedules concurrent jobs fairly across the
+    // executor pool — the MultiSearcher per-segment pattern) instead of
+    // each paying the full job floor in sequence; `idx-*` over N indexes
+    // costs ~max, not N × single-index time
+    val hits = parallel(resolve(expr)) { n =>
       val b = boostOf.getOrElse(n, 1.0)
       topK(n, query, k, conjunctive)
-        .map(h => (n, h.docId, if (b == 1.0) h.score else b * h.score))
-    }
+        .map(h => (n, h.docId, if (b == 1.0) h.score else b * h.score)).toSeq
+    }.flatten
     hits.sortBy { case (n, id, s) => (-s, n, id) }.take(k)
       .toDF("index", "docId", "score")
   }
 
-  /** Total hits per index (the ES per-index `_count` shape). */
+  /** Total hits per index (the ES per-index `_count` shape) —
+    * concurrent fan-out, same as [[search]].
+    */
   def counts(expr: String, query: String): DataFrame = {
     import spark.implicits._
-    resolve(expr).map { n =>
+    parallel(resolve(expr)) { n =>
       val c = searcherFor(n) match {
         case Right(ms) => ms.matchCount(query)
         case Left(s) => s.matchCount(query)
       }
       (n, c)
     }.toDF("index", "n_docs")
+  }
+
+  /** Run `f` over the resolved index names concurrently, results in
+    * input order (deterministic — downstream merges re-sort anyway).
+    */
+  private def parallel[A](names: Seq[String])(f: String => A): Seq[A] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(Future.sequence(names.map(n => Future(f(n)))),
+      scala.concurrent.duration.Duration.Inf)
   }
 }

@@ -1220,14 +1220,18 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
     * searcher (merged-stats BM25 window, one multiply, LWW doc store).
     */
   def rescoreByFieldFactor(query: String, k: Int, window: Int,
-      field: String, factor: Double): DataFrame = {
+      field: String, factor: Double,
+      /** ES `field_value_factor.missing` — see
+        * [[Searcher.rescoreByFieldFactor]]; None fails loudly on nulls.
+        */
+      missing: Option[Double] = None): DataFrame = {
     require(window >= k, "rescore window must be >= k")
     val top = run(Analyzer.analyzeQuery(query).toSeq, window, conjunctive = false)
     val topDF = top.toSeq.map(h => (h.docId, h.score)).toDF("docId", "bm25")
-    rawDocs.select(col("docId"), col(field))
+    rawDocs.select(col("docId"), Searcher.fvfValue(col(field), field, missing))
       .join(broadcast(topDF), Seq("docId"))
       .select(col("docId"),
-        (col("bm25") * (lit(factor) * col(field))).as("score"))
+        (col("bm25") * (lit(factor) * col("__fv"))).as("score"))
       .orderBy(col("score").desc, col("docId").asc)
       .limit(k)
   }
@@ -1242,27 +1246,61 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
     run(expand(_.rlike(anchored), maxExpansions, field), k, conjunctive = false)
   }
 
+  /** Per-token capped expansion across ALL segments with the cap IN the
+    * plan (mirrors `Searcher.expandPerToken`, round-7 review "What's
+    * wrong #1"): one unioned len-pruned dictionary scan → global
+    * distinct terms → each row explodes to the tokens within `maxDist`
+    * of its bare token → a term-asc rank-≤-cap window per token
+    * (InferWindowGroupLimit ⇒ pre-shuffle per-partition group limits),
+    * so the driver collects ≤ |tokens| × cap rows at any vocabulary
+    * size. Returns token → term-asc capped NAMESPACED terms.
+    */
+  private def expandPerToken(toks: Seq[String], maxDist: Int, perTokenCap: Int,
+      field: String): Map[String, Seq[String]] = {
+    if (toks.isEmpty) return Map.empty
+    val lo = math.max(1, toks.map(_.length).min - maxDist)
+    val hi = toks.map(_.length).max + maxDist
+    val pfx = if (field == "text") "" else FieldTerms.textTerm(field, "")
+    val nsPred =
+      if (pfx.isEmpty)
+        !col("term").startsWith(FieldTerms.Prefix) &&
+          !col("term").startsWith(FieldTerms.TextPrefix)
+      else col("term").startsWith(pfx)
+    val union = segDicts.map { d =>
+      val base =
+        if (d.columns.contains("len")) d.filter(col("len").between(lit(lo), lit(hi)))
+        else d
+      base.filter(nsPred).select(col("term"))
+    }.reduce(_ unionByName _).distinct()
+    val bareCol =
+      if (pfx.isEmpty) col("term")
+      else col("term").substr(lit(pfx.length + 1), lit(Int.MaxValue))
+    val tokArr = array(toks.distinct.sorted.map(lit): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__tok")).orderBy(col("term").asc)
+    union
+      .select(col("term"),
+        explode(org.apache.spark.sql.functions.filter(tokArr,
+          t => levenshtein(t, bareCol) <= lit(maxDist))).as("__tok"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= lit(perTokenCap))
+      .select(col("__tok"), col("term"))
+      .as[(String, String)].collect()
+      .toSeq.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+  }
+
   /** ES `match` with `fuzziness` over the union of all segments: per-
-    * token capped expansion (ONE unioned dict scan for ALL tokens,
-    * length-pruned), union scored as one BM25 OR — identical rewrite
-    * rule to [[Searcher.searchMatchFuzzy]] so the two searchers agree.
+    * token capped expansion with the cap IN the plan (ONE unioned dict
+    * scan for ALL tokens, length-pruned — [[expandPerToken]]), union
+    * scored as one BM25 OR — identical rewrite rule to
+    * [[Searcher.searchMatchFuzzy]] so the two searchers agree.
     */
   def searchMatchFuzzy(query: String, k: Int, maxDist: Int = 1,
       maxExpansionsPerTerm: Int = 50, field: String = "text"): Array[Scored] = {
     val toks = Analyzer.analyzeQuery(query).toSeq.sorted
     if (toks.isEmpty) return Array.empty
-    val lo = math.max(1, toks.map(_.length).min - maxDist)
-    val hi = toks.map(_.length).max + maxDist
-    val cands = expand(
-      c => toks.map(w => levenshtein(lit(w), c) <= lit(maxDist)).reduce(_ || _),
-      Int.MaxValue, field, lenRange = Some((lo, hi)))
-    val bare: String => String =
-      if (field == "text") identity
-      else { val p = FieldTerms.textTerm(field, ""); t => t.substring(p.length) }
-    val selected = toks.flatMap { w =>
-      cands.filter(t => Expansion.levenshtein(w, bare(t)) <= maxDist)
-        .sorted.take(maxExpansionsPerTerm)
-    }.distinct
+    val selected = expandPerToken(toks, maxDist, maxExpansionsPerTerm, field)
+      .valuesIterator.flatten.toSeq.distinct
     run(selected, k, conjunctive = false)
   }
 
@@ -1752,16 +1790,28 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
     if (slots.length < 2) return empty
     val lo = math.max(1, slots.map(_.length).min - maxDist)
     val hi = slots.map(_.length).max + maxDist
-    val cands0 = bgDfFrame(Some((lo, hi)))
-      .filter(slots.distinct.map(w =>
-        levenshtein(lit(w), col("term")) <= lit(maxDist)).reduce(_ || _))
-      .as[(String, Long)].collect().toSeq
-    val slotCands: Seq[Seq[String]] = slots.map { w =>
-      cands0.map { case (t, df) => (t, Expansion.levenshtein(w, t), df) }
-        .filter(_._2 <= maxDist)
-        .sortBy { case (t, d, df) => (d, -df, t) }
-        .take(maxPerSlot).map(_._1)
-    }
+    // per-slot (dist asc, df desc, term asc) ≤ maxPerSlot rank IN the
+    // plan over the LWW-exact background-df frame — the driver collects
+    // ≤ slots × maxPerSlot rows at any vocabulary size (round-7 review
+    // "What's wrong #1")
+    val tokArr = array(slots.distinct.sorted.map(lit): _*)
+    val w0 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__tok"))
+      .orderBy(levenshtein(col("__tok"), col("term")).asc,
+        col("bg_count").desc, col("term").asc)
+    val candMap: Map[String, Seq[String]] = bgDfFrame(Some((lo, hi)))
+      .select(col("term"), col("bg_count"),
+        explode(org.apache.spark.sql.functions.filter(tokArr,
+          t => levenshtein(t, col("term")) <= lit(maxDist))).as("__tok"))
+      .withColumn("__rn", row_number().over(w0))
+      .filter(col("__rn") <= lit(maxPerSlot))
+      .select(col("__tok"), col("term"), col("bg_count"))
+      .as[(String, String, Long)].collect()
+      .toSeq.groupBy(_._1).view.mapValues { xs =>
+        xs.map { case (tok, t, df) => (t, Expansion.levenshtein(tok, t), df) }
+          .sortBy { case (t, d, df) => (d, -df, t) }.map(_._1)
+      }.toMap
+    val slotCands: Seq[Seq[String]] = slots.map(w => candMap.getOrElse(w, Nil))
     if (slotCands.exists(_.isEmpty)) return empty
     val bigram = bigramDocCounts(Searcher.slotPairs(slotCands))
     Searcher.phraseSuggestFrom(spark, slotCands, bigram, k)

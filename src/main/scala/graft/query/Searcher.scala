@@ -275,6 +275,22 @@ private[query] object Searcher {
       .selectExpr(s"stack(${ranges.size}, $stackArgs) as (key, n_docs)")
   }
 
+  /** `function_score` field-value column as `__fv`: nulls substitute
+    * the `missing` default when given, else fail LOUDLY on the first
+    * null row (ES field_value_factor semantics — it errors without
+    * `missing`; a silent NULL score would sort last yet still surface
+    * when < k non-null hits exist, round-7 ADVICE). Shared by both
+    * searchers' rescore paths.
+    */
+  def fvfValue(v: Column, field: String, missing: Option[Double]): Column =
+    (missing match {
+      case Some(m) => coalesce(v, lit(m))
+      case None => when(v.isNull, raise_error(lit(
+          s"function_score: doc has no value for field '$field' and no " +
+            "`missing` default was given (ES field_value_factor contract)")))
+        .otherwise(v)
+    }).as("__fv")
+
   /** One bucket's WAND dispatch, shared by the distributed and the
     * driver-local serving paths (kept in the companion so Spark task
     * closures never capture a Searcher instance). `entries` carries the
@@ -1083,6 +1099,13 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
         d.filter(col("len").between(lit(lo), lit(hi)))
       case _ => d
     }
+    // the deterministic term-asc cap lives IN the plan on the cold path
+    // (TakeOrderedAndProject: per-partition heaps of ≤ maxExpansions,
+    // the driver sees ≤ maxExpansions rows) — a low-selectivity regexp /
+    // infix wildcard on a 10^9-term dictionary must never collect the
+    // whole match before capping (round-7 review "What's wrong #1")
+    def capped(d: DataFrame): Seq[TermStats] =
+      d.orderBy(col("term")).limit(maxExpansions).as[TermStats].collect().toSeq
     val all =
       if (field == "text") {
         // main-text namespace only: fielded keyword terms ('#field:v')
@@ -1096,19 +1119,98 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
           dictMap.valuesIterator
             .filter(ts => !graft.index.FieldTerms.isNamespaced(ts.term) && scalaPred(ts.term))
             .toSeq
-        else pruned(dict).filter(notField && sqlPredOf(col("term")))
-          .as[TermStats].collect().toSeq
+        else capped(pruned(dict).filter(notField && sqlPredOf(col("term"))))
       } else {
         val pfx = graft.index.FieldTerms.textTerm(field, "")
         if (dictMap != null)
           dictMap.valuesIterator
             .filter(ts => ts.term.startsWith(pfx) && scalaPred(ts.term.substring(pfx.length)))
             .toSeq
-        else pruned(dict).filter(col("term").startsWith(pfx) &&
-            sqlPredOf(col("term").substr(lit(pfx.length + 1), lit(Int.MaxValue))))
-          .as[TermStats].collect().toSeq
+        else capped(pruned(dict).filter(col("term").startsWith(pfx) &&
+            sqlPredOf(col("term").substr(lit(pfx.length + 1), lit(Int.MaxValue)))))
       }
     all.sortBy(_.term).take(maxExpansions).map(ts => ts.term -> ts).toMap
+  }
+
+  /** Per-token capped edit-distance expansion — the multi-token rewrite
+    * ([[searchMatchFuzzy]], [[phraseSuggest]]) with the cap IN the plan:
+    * ONE len-pruned dictionary scan; each surviving row explodes to the
+    * query tokens within `maxDist` of its bare token; a rank-≤-cap
+    * window per token (Catalyst's InferWindowGroupLimit turns the
+    * `row_number ≤ cap` filter into PRE-SHUFFLE per-partition group
+    * limits), so the driver collects ≤ |tokens| × cap rows at ANY
+    * vocabulary size — never the whole distance match (round-7 review
+    * "What's wrong #1": the Int.MaxValue call sites). Ranking per token:
+    * `byDistDf = false` → term asc (the match-fuzzy per-token rewrite);
+    * `true` → (distance asc, df desc, term asc) — the term-suggester
+    * rule the phrase suggester's slots use. Warm dictMap filters on the
+    * driver (zero jobs), length-pre-filtered before any levenshtein.
+    */
+  private def expandPerToken(toks: Seq[String], maxDist: Int, perTokenCap: Int,
+      field: String, byDistDf: Boolean): Map[String, Seq[TermStats]] = {
+    if (toks.isEmpty) return Map.empty
+    val lo = math.max(1, toks.map(_.length).min - maxDist)
+    val hi = toks.map(_.length).max + maxDist
+    val pfx = if (field == "text") "" else graft.index.FieldTerms.textTerm(field, "")
+    val bareOf: String => String =
+      t => if (pfx.isEmpty) t else t.substring(pfx.length)
+    def rank(w: String, cands: Iterable[TermStats]): Seq[TermStats] = {
+      val in = cands.iterator
+        .map(ts => (ts, Expansion.levenshtein(w, bareOf(ts.term))))
+        .filter(_._2 <= maxDist).toSeq
+      val ordered =
+        if (byDistDf) in.sortBy { case (ts, d) => (d, -ts.df, ts.term) }
+        else in.sortBy(_._1.term)
+      ordered.take(perTokenCap).map(_._1)
+    }
+    if (dictMap != null) {
+      val pool = dictMap.valuesIterator.filter { ts =>
+        (if (pfx.isEmpty) !graft.index.FieldTerms.isNamespaced(ts.term)
+         else ts.term.startsWith(pfx)) && {
+          val l = bareOf(ts.term).length; l >= lo && l <= hi
+        }
+      }.toSeq
+      return toks.distinct.map(w => w -> rank(w, pool)).toMap
+    }
+    val nsPred =
+      if (pfx.isEmpty)
+        !col("term").startsWith(graft.index.FieldTerms.Prefix) &&
+          !col("term").startsWith(graft.index.FieldTerms.TextPrefix)
+      else col("term").startsWith(pfx)
+    val bareCol =
+      if (pfx.isEmpty) col("term")
+      else col("term").substr(lit(pfx.length + 1), lit(Int.MaxValue))
+    val lenPruned =
+      if (dict.columns.contains("len"))
+        dict.filter(col("len").between(lit(lo), lit(hi)))
+      else dict
+    val tokArr = array(toks.distinct.sorted.map(lit): _*)
+    val ordCols =
+      if (byDistDf)
+        Seq(org.apache.spark.sql.functions.levenshtein(col("__tok"), bareCol).asc,
+          col("df").desc, col("term").asc)
+      else Seq(col("term").asc)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__tok")).orderBy(ordCols: _*)
+    val rows = lenPruned.filter(nsPred)
+      .select(col("term"), col("termId"), col("shard"), col("df"), col("cf"),
+        col("maxScore"),
+        explode(org.apache.spark.sql.functions.filter(tokArr,
+          t => org.apache.spark.sql.functions.levenshtein(t, bareCol) <= lit(maxDist)))
+          .as("__tok"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= lit(perTokenCap))
+      .select(col("__tok"), col("term"), col("termId"), col("shard"), col("df"),
+        col("cf"), col("maxScore"))
+      .as[(String, String, Long, Int, Long, Long, Double)]
+      .collect()
+    val byTok = rows.toSeq.groupBy(_._1).view
+      .mapValues(_.map { case (_, t, tid, sh, df, cf, ms) =>
+        TermStats(t, tid, sh, df, cf, ms)
+      }).toMap
+    // re-rank the ≤ cap survivors on the driver (collect order is
+    // partition-arbitrary; the window already selected the right SET)
+    toks.distinct.map(w => w -> rank(w, byTok.getOrElse(w, Nil))).toMap
   }
 
   /** Prefix query (ES `prefix`, rewrite = scoring boolean): BM25 OR over
@@ -1203,15 +1305,22 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
     * the SQL twin.
     */
   def rescoreByFieldFactor(query: String, k: Int, window: Int,
-      field: String, factor: Double): DataFrame = {
+      field: String, factor: Double,
+      /** ES `field_value_factor.missing`: substituted for docs whose
+        * field is NULL. None = fail loudly on the first null (ES
+        * errors without `missing`) — a silent NULL score would sort
+        * last yet still surface when < k non-null hits exist
+        * (round-7 ADVICE).
+        */
+      missing: Option[Double] = None): DataFrame = {
     require(window >= k, "rescore window must be >= k")
     val top = runPerBucket(Analyzer.analyzeQuery(query).toSeq, window,
       Mode(conjunctive = false))
     val topDF = top.toSeq.map(h => (h.docId, h.score)).toDF("docId", "bm25")
-    docs.select(col("docId"), col(field))
+    docs.select(col("docId"), Searcher.fvfValue(col(field), field, missing))
       .join(broadcast(topDF), Seq("docId"))
       .select(col("docId"),
-        (col("bm25") * (lit(factor) * col(field))).as("score"))
+        (col("bm25") * (lit(factor) * col("__fv"))).as("score"))
       .orderBy(col("score").desc, col("docId").asc)
       .limit(k)
   }
@@ -1253,31 +1362,15 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
       k, Mode(conjunctive = false))
   }
 
-  /** Per-token capped fuzzy expansion of `toks`, ONE dictionary scan:
-    * the cold scan's predicate is the OR of the tokens' levenshtein
-    * bounds under the union length window; the per-token term-asc cap
-    * is applied on the collected (small) candidate set.
+  /** Per-token capped fuzzy expansion of `toks`, ONE dictionary scan
+    * with the per-token term-asc cap IN the plan ([[expandPerToken]]):
+    * the driver sees ≤ |tokens| × cap dictionary rows at any vocabulary
+    * size (round-7 review "What's wrong #1").
     */
   private def multiFuzzyExpand(toks: Seq[String], maxDist: Int,
-      perTermCap: Int, field: String): Map[String, TermStats] = {
-    val lo = math.max(1, toks.map(_.length).min - maxDist)
-    val hi = toks.map(_.length).max + maxDist
-    val cands = expand(
-      t => toks.exists(w => math.abs(t.length - w.length) <= maxDist &&
-        levenshtein(w, t) <= maxDist),
-      c => toks.map(w =>
-        org.apache.spark.sql.functions.levenshtein(lit(w), c) <= lit(maxDist))
-        .reduce(_ || _),
-      Int.MaxValue, field, lenRange = Some((lo, hi)))
-    val bare: String => String =
-      if (field == "text") identity
-      else { val p = graft.index.FieldTerms.textTerm(field, ""); t => t.substring(p.length) }
-    toks.iterator.flatMap { w =>
-      cands.iterator
-        .filter { case (t, _) => levenshtein(w, bare(t)) <= maxDist }
-        .toSeq.sortBy(_._1).take(perTermCap)
-    }.toMap
-  }
+      perTermCap: Int, field: String): Map[String, TermStats] =
+    expandPerToken(toks, maxDist, perTermCap, field, byDistDf = false)
+      .valuesIterator.flatten.map(ts => ts.term -> ts).toMap
 
   /** ES `dis_max` as a general combinator (round-6 review "What's
     * missing #4"): score = best-scoring sub-query's BM25 sum +
@@ -1346,22 +1439,12 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
     val slots = Analyzer.tokenize(phrase).toSeq
     val empty = Seq.empty[(String, Long)].toDF("suggestion", "score")
     if (slots.length < 2) return empty
-    val lo = math.max(1, slots.map(_.length).min - maxDist)
-    val hi = slots.map(_.length).max + maxDist
-    val candMap = expand(
-      t => slots.exists(w => math.abs(t.length - w.length) <= maxDist &&
-        levenshtein(w, t) <= maxDist),
-      c => slots.distinct.map(w =>
-        org.apache.spark.sql.functions.levenshtein(lit(w), c) <= lit(maxDist))
-        .reduce(_ || _),
-      Int.MaxValue, "text", lenRange = Some((lo, hi)))
-    val slotCands: Seq[Seq[String]] = slots.map { w =>
-      candMap.values.toSeq
-        .map(ts => (ts.term, levenshtein(w, ts.term), ts.df))
-        .filter(_._2 <= maxDist)
-        .sortBy { case (t, d, df) => (d, -df, t) }
-        .take(maxPerSlot).map(_._1)
-    }
+    // per-slot candidates with the (dist asc, df desc, term asc) ≤
+    // maxPerSlot rank IN the plan — one dict scan, ≤ slots × maxPerSlot
+    // rows to the driver (round-7 review "What's wrong #1")
+    val candMap = expandPerToken(slots, maxDist, maxPerSlot, "text", byDistDf = true)
+    val slotCands: Seq[Seq[String]] = slots.map(w =>
+      candMap.getOrElse(w, Nil).map(_.term))
     if (slotCands.exists(_.isEmpty)) return empty
     val bigram = bigramDocCounts(Searcher.slotPairs(slotCands))
     Searcher.phraseSuggestFrom(spark, slotCands, bigram, k)
@@ -1539,6 +1622,90 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
     if (exFound.nonEmpty)
       m = m.join(decodeDocIds(exFound.map(found)), Seq("docId"), "left_anti")
     Some(m)
+  }
+
+  /** Exact BM25 score of EVERY matching doc as a distributed (docId,
+    * score) frame — the scored match set field collapsing needs (top-k
+    * alone cannot collapse: the global top k docs may all share one
+    * key, ES runs a collapsing per-shard collector for the same
+    * reason). Plan: full decode of the query terms' posting blocks
+    * (docId+tf+dl, parquet-pruned past positions — cost ∝ the query
+    * terms' posting sizes, never the corpus), broadcast join of the
+    * tiny (termId, term, df) side, and a per-doc fold of contributions
+    * in ASCENDING TERM ORDER (sort_array + aggregate) — the engine-wide
+    * determinism rule, bit-identical to the WAND sum (Bm25.scoreCol ≡
+    * Bm25.score by construction).
+    */
+  private def scoredMatches(terms: Seq[String]): Option[DataFrame] = {
+    val found = lookupTerms(terms.distinct)
+    if (found.isEmpty) return None
+    val nG = stats.n
+    val avgdlG = stats.avgdl
+    val termDf = found.values.toSeq.map(ts => (ts.termId, ts.term, ts.df))
+      .toDF("termId", "term", "df")
+    val posts = selectBlocks(found.values)
+      .select(col("termId"), col("docs"), col("tfs"), col("dls"),
+        col("count"), col("firstDocId"))
+      .as[(Long, Array[Byte], Array[Byte], Array[Byte], Int, Long)]
+      .flatMap { case (tid, ds, tfs, dls, cnt, first) =>
+        val ids = graft.index.Codec.deltaDecode(ds, cnt, first)
+        val tfA = graft.index.Codec.decodeVarInts(tfs, cnt)
+        val dlA = graft.index.Codec.decodeVarInts(dls, cnt)
+        Iterator.range(0, cnt).map(i => (tid, ids(i), tfA(i), dlA(i)))
+      }.toDF("termId", "docId", "tf", "dl")
+    val contrib = posts.join(broadcast(termDf), Seq("termId"))
+      .select(col("docId"), struct(col("term"),
+        Bm25.scoreCol(col("tf"), col("df"), col("dl"), nG, avgdlG).as("s")).as("c"))
+    Some(contrib.groupBy(col("docId"))
+      .agg(aggregate(sort_array(collect_list(col("c"))), lit(0.0),
+        (acc, x) => acc + x.getField("s")).as("score")))
+  }
+
+  /** ES field collapsing (`collapse`, round-7 review "What's missing
+    * #1"): ONE hit per distinct `field` value — the group's best doc by
+    * (score desc, docId asc) — globally ranked by that best score, top
+    * `k` groups. Plan: scored match set ([[scoredMatches]]) → key join
+    * against the column-pruned doc store → per-key best via a
+    * `row_number ≤ 1` window (InferWindowGroupLimit ⇒ pre-shuffle
+    * per-partition group limits — a hot key never sorts more than one
+    * row per upstream partition past the exchange) → global top-k
+    * (TakeOrderedAndProject). Docs with a NULL key collapse into one
+    * null group (ES doc-values semantics). Returns (key, doc_id,
+    * score), score desc / doc_id asc.
+    */
+  def collapse(query: String, field: String, k: Int,
+      filters: Seq[(String, String)] = Nil,
+      mustNot: Seq[(String, String)] = Nil,
+      numericRangeFilters: Seq[(String, Long, Long)] = Nil,
+      anyFilters: Seq[(String, Seq[String])] = Nil,
+      rangeFilters: Seq[(String, String, String)] = Nil,
+      exists: Seq[String] = Nil,
+      missing: Seq[String] = Nil): DataFrame = {
+    require(k > 0, "collapse size must be positive")
+    scoredMatches(Analyzer.analyzeQuery(query).toSeq) match {
+      case None =>
+        docs.select(col(field).as("key")).limit(0)
+          .withColumn("doc_id", lit(0L)).withColumn("score", lit(0.0))
+      case Some(scored0) =>
+        // bool context restricts MEMBERSHIP only (scores stay full-corpus
+        // BM25 — the engine-wide filter-context rule)
+        val scored =
+          if (filters.isEmpty && mustNot.isEmpty && numericRangeFilters.isEmpty &&
+            anyFilters.isEmpty && rangeFilters.isEmpty && exists.isEmpty && missing.isEmpty)
+            scored0
+          else scored0.join(matchingOrEmpty(query, filters, mustNot,
+            numericRangeFilters, anyFilters, rangeFilters, exists, missing),
+            Seq("docId"), "left_semi")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("key")).orderBy(col("score").desc, col("docId").asc)
+        docs.select(col("docId"), col(field).as("key"))
+          .join(scored, Seq("docId"))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === lit(1))
+          .select(col("key"), col("docId").as("doc_id"), col("score"))
+          .orderBy(col("score").desc, col("doc_id").asc)
+          .limit(k)
+    }
   }
 
   def facetCounts(query: String, field: String,
