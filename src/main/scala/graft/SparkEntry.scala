@@ -70,8 +70,12 @@ object SparkEntry {
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
         col("n_chars").cast("long"))
       .as[(Long, String, String, String, Long)]
+      // deterministic synthetic recency: ts = DecayEpochMs + (doc_id·37
+      // mod 365) days — a date column the decay twins reproduce in SQL
+      // arithmetic from doc_id alone (the documents table has no date)
       .map { case (id, t, lang, src, nc) =>
-        (id, f"doc-$id%08d", 0, "doc", t, Option.empty[String], new Timestamp(0L),
+        (id, f"doc-$id%08d", 0, "doc", t, Option.empty[String],
+          new Timestamp(DecayEpochMs + (id * 37 % 365) * DayMs),
           Analyzer.tokenize(t).length, lang, src, nc)
       }
       .toDF("docId", "conv_id", "turn_idx", "role", "text", "tool", "ts", "dl",
@@ -329,6 +333,12 @@ SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS ra
 FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
   }
 
+  /** Synthetic-recency base + day length (millis) for the derived `ts`
+    * column and the decay-rescore twins.
+    */
+  private val DecayEpochMs = 1700000000000L
+  private val DayMs = 86400000L
+
   private val Bm25Query = "spark query window merge"
   private val AndQuery = "spark window customer"
   private val PhraseQuery = "merge sort" // adjacent bigram present at every sf
@@ -488,6 +498,24 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
       new Searcher(s, documentsIndex(s, dir), 8)
         .rescoreByFieldFactor(Bm25Query, 10, window = 50, "n_chars", 0.001)
         .select(col("docId").as("doc_id"), round(col("score"), 4).as("score"))),
+    "q_decay_recency" -> ((s, dir) =>
+      // ES function_score gauss decay on the (derived) `ts` date field
+      // through the rescore window: top-50 BM25 hits re-ranked by
+      // bm25 · 0.5^((d/scale)²), d = |ts − origin| millis, scale = 90d
+      // — the recency boost ES users run on the reference's
+      // created/lastChanged date mapping
+      new Searcher(s, documentsIndex(s, dir), 8)
+        .rescoreByDecay(Bm25Query, 10, window = 50, "ts", shape = "gauss",
+          origin = (DecayEpochMs + 364L * DayMs).toDouble,
+          scale = 90.0 * DayMs)
+        .select(col("docId").as("doc_id"), round(col("score"), 4).as("score"))),
+    "q_collapse" -> ((s, dir) =>
+      // ES field collapsing: ONE best hit per `lang` (score desc, docId
+      // asc within the group), groups ranked by their best hit, top 5 —
+      // needs the SCORED match set (top-k alone cannot collapse)
+      new Searcher(s, documentsIndex(s, dir), 8)
+        .collapse(Bm25Query, "lang", 5)
+        .select(col("key"), col("doc_id"), round(col("score"), 4).as("score"))),
     "q_bm25_regexp" -> ((s, dir) => {
       // ES `regexp` query: whole-term anchoring (Lucene), deterministic
       // term-asc capped expansion, BM25 OR — 'sp.rk|wind.w' expands to
@@ -506,6 +534,14 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
       // tie_breaker · the others (the best-fields fold over query groups)
       rankHits(s, new Searcher(s, documentsIndex(s, dir), 8)
         .searchDisMax(Seq("spark window", "query merge"), 10, tieBreaker = 0.3))
+    }),
+    "q_dis_max_shared" -> ((s, dir) => {
+      // ES dis_max with OVERLAPPING sub-queries (round-7 review "What's
+      // missing #5"): 'window' belongs to BOTH groups and contributes
+      // to each group's sum independently — one scored iterator per
+      // (group, term), exactly ES's isolated sub-query scoring
+      rankHits(s, new Searcher(s, documentsIndex(s, dir), 8)
+        .searchDisMax(Seq("spark window", "window merge"), 10, tieBreaker = 0.3))
     }),
     "q_bm25_filtered" -> ((s, dir) => {
       // ES bool query, filter context: score = plain BM25 under FULL
@@ -744,6 +780,35 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
           graft.query.TermsLevel("source", "k2"),
           graft.query.HistogramLevel("n_chars", 1000L, "k3")),
           statField = Some("n_chars"))),
+    "q_composite_after" -> ((s, dir) =>
+      // ES composite aggregation, page 2: flat (lang, source) key
+      // tuples keys-asc, EXCLUSIVE after-cursor ('en', 'src2'), 5
+      // buckets per page — the scalable bucket-export path
+      new Searcher(s, documentsIndex(s, dir), 8)
+        .compositeAgg(Bm25Query, Seq(
+          graft.query.TermsLevel("lang", "k1"),
+          graft.query.TermsLevel("source", "k2")),
+          size = 5, after = Some(Seq("en", "src2")))),
+    "q_pipeline_agg" -> ((s, dir) => {
+      // ES pipeline aggs (derivative + cumulative_sum + bucket_script)
+      // over ONE composite bucket frame (lang → n_chars histogram):
+      // window/arithmetic passes on the aggregated buckets, never a
+      // second match-set pass
+      val buckets = new Searcher(s, documentsIndex(s, dir), 8)
+        .compositeAgg(Bm25Query, Seq(
+          graft.query.TermsLevel("lang", "lang"),
+          graft.query.HistogramLevel("n_chars", 500L, "bucket")),
+          size = 10000, statField = Some("n_chars"))
+      val withDeriv = graft.query.Aggs.derivative(
+        buckets, Seq("lang"), "bucket", "n_docs", "deriv")
+      val withCum = graft.query.Aggs.cumulativeSum(
+        withDeriv, Seq("lang"), "bucket", "n_docs", "cum")
+      graft.query.Aggs.bucketScript(withCum, "avg_chars",
+        round(col("sum") / col("n_docs"), 6))
+        .select(col("lang"), col("bucket"), col("n_docs"), col("deriv"),
+          col("cum"), col("avg_chars"))
+        .orderBy(col("lang"), col("bucket"))
+    }),
     "q_facet_stats" -> ((s, dir) =>
       // ES sub-aggregation: terms buckets over lang with nested stats of
       // n_chars per bucket — one groupBy on the match-set join
@@ -1074,6 +1139,57 @@ SELECT w.doc_id, round(w.bm25 * (CAST(0.001 AS DOUBLE) * d.n_chars), 4) AS score
 FROM win w JOIN documents d USING (doc_id)
 ORDER BY w.bm25 * (CAST(0.001 AS DOUBLE) * d.n_chars) DESC, w.doc_id ASC LIMIT 10"""
       },
+      // decay twin: the derived ts is pure doc_id arithmetic (epoch +
+      // (doc_id·37 mod 365) days), so d and the gauss closed form
+      // e^(d²·ln(decay)/scale²) reproduce in SQL without touching a
+      // date column; window + re-rank shape identical to q_rescore
+      "q_decay_recency" -> {
+        val score = Bm25.scoreSql("tf.tf", "df.df", "dl.dl", "st.n", "st.avgdl")
+        // CASTs everywhere: a bare 90.0 literal is DECIMAL in DuckDB and
+        // scale² overflows DECIMAL(18) — the arithmetic must be DOUBLE
+        val origin = s"(CAST($DecayEpochMs AS DOUBLE) + CAST(364 AS DOUBLE) * $DayMs)"
+        val scale = s"(CAST(90 AS DOUBLE) * $DayMs)"
+        val tsMs = s"(CAST($DecayEpochMs AS DOUBLE) + CAST((d.doc_id * 37) % 365 AS DOUBLE) * $DayMs)"
+        val mult = s"exp((greatest(abs($tsMs - $origin) - 0.0, 0.0) * greatest(abs($tsMs - $origin) - 0.0, 0.0)) * (ln(0.5) / ($scale * $scale)))"
+        s"""${toksCte("documents", "doc_id")},
+dl AS (SELECT d.doc_id, coalesce(t.n, 0) AS dl FROM documents d
+       LEFT JOIN (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id) t ON d.doc_id = t.doc_id),
+st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id, sum($score ORDER BY tf.term ASC) AS bm25
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE tf.term IN ${inList(Analyzer.analyzeQuery(Bm25Query).toSeq)}
+  GROUP BY tf.doc_id),
+win AS (SELECT doc_id, bm25 FROM scored ORDER BY bm25 DESC, doc_id ASC LIMIT 50)
+SELECT w.doc_id, round(w.bm25 * $mult, 4) AS score
+FROM win w JOIN documents d USING (doc_id)
+ORDER BY w.bm25 * $mult DESC, w.doc_id ASC LIMIT 10"""
+      },
+      // collapse twin: per-doc FULL bm25 (no window — collapsing needs
+      // every match), best row per lang via QUALIFY row_number = 1,
+      // groups ranked by their best (score desc, doc_id asc), top 5
+      "q_collapse" -> {
+        val score = Bm25.scoreSql("tf.tf", "df.df", "dl.dl", "st.n", "st.avgdl")
+        s"""${toksCte("documents", "doc_id")},
+dl AS (SELECT d.doc_id, coalesce(t.n, 0) AS dl FROM documents d
+       LEFT JOIN (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id) t ON d.doc_id = t.doc_id),
+st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id, sum($score ORDER BY tf.term ASC) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE tf.term IN ${inList(Analyzer.analyzeQuery(Bm25Query).toSeq)}
+  GROUP BY tf.doc_id),
+best AS (
+  SELECT d.lang AS key, s.doc_id, s.score
+  FROM scored s JOIN documents d USING (doc_id)
+  QUALIFY row_number() OVER (PARTITION BY d.lang ORDER BY s.score DESC, s.doc_id ASC) = 1)
+SELECT key, doc_id, round(score, 4) AS score
+FROM best ORDER BY score DESC, doc_id ASC LIMIT 5"""
+      },
       "q_bm25_regexp" -> bm25Sql(Nil, 10, conjunctive = false,
         termPred = "regexp_full_match(tf.term, 'sp.rk|wind.w')"),
       // the engine's PER-TOKEN term-asc cap (maxExpansionsPerTerm = 50)
@@ -1110,6 +1226,37 @@ best AS (SELECT doc_id, g AS bg FROM (
 scored AS (
   SELECT c.doc_id,
          sum((CASE WHEN c.g = b.bg THEN 1.0 ELSE 0.3 END) * c.s ORDER BY c.term ASC) AS score
+  FROM contrib c JOIN best b USING (doc_id)
+  GROUP BY c.doc_id)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, round(score, 4) AS score
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10"""
+      },
+      // shared-terms dis_max twin: an explicit (term, group) VALUES map
+      // replaces the CASE attribution — 'window' joins to BOTH groups,
+      // so it contributes to each group's ordered sum; the final fold
+      // re-sums every (term, group) contribution weighted, in (term,
+      // group) ascending order — the engine's instance fold verbatim
+      "q_dis_max_shared" -> {
+        val score = Bm25.scoreSql("tf.tf", "df.df", "dl.dl", "st.n", "st.avgdl")
+        s"""${toksCte("documents", "doc_id")},
+dl AS (SELECT d.doc_id, coalesce(t.n, 0) AS dl FROM documents d
+       LEFT JOIN (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id) t ON d.doc_id = t.doc_id),
+st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+gm AS (SELECT * FROM (VALUES ('spark', 0), ('window', 0), ('window', 1), ('merge', 1)) AS v(term, g)),
+contrib AS (
+  SELECT tf.doc_id, tf.term, gm.g, $score AS s
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  JOIN gm ON gm.term = tf.term),
+gs AS (SELECT doc_id, g, sum(s ORDER BY term ASC) AS sg FROM contrib GROUP BY 1, 2),
+best AS (SELECT doc_id, g AS bg FROM (
+           SELECT doc_id, g, row_number() OVER (PARTITION BY doc_id ORDER BY sg DESC, g ASC) AS rn
+           FROM gs) WHERE rn = 1),
+scored AS (
+  SELECT c.doc_id,
+         sum((CASE WHEN c.g = b.bg THEN 1.0 ELSE 0.3 END) * c.s ORDER BY c.term ASC, c.g ASC) AS score
   FROM contrib c JOIN best b USING (doc_id)
   GROUP BY c.doc_id)
 SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
@@ -1400,6 +1547,34 @@ SELECT k1, k2, k3,
 FROM b GROUP BY ROLLUP (k1, k2, k3)
 HAVING count(*) > 0
 ORDER BY depth, k1, k2, k3""",
+      // composite twin: flat tuples, EXCLUSIVE lexicographic cursor on
+      // the group keys (predicate on raw rows ≡ on buckets — it touches
+      // keys only), keys-asc LIMIT = the page
+      "q_composite_after" ->
+        s"""${toksCte("documents", "doc_id")}
+SELECT d.lang AS k1, d.source AS k2, CAST(count(*) AS BIGINT) AS n_docs
+FROM documents d
+WHERE d.doc_id IN (SELECT DISTINCT doc_id FROM tok
+                   WHERE term IN ${inList(Analyzer.analyzeQuery(Bm25Query).toSeq)})
+  AND d.lang IS NOT NULL AND d.source IS NOT NULL
+  AND (d.lang > 'en' OR (d.lang = 'en' AND d.source > 'src2'))
+GROUP BY 1, 2 ORDER BY k1, k2 LIMIT 5""",
+      // pipeline twin: the SAME aggregated bucket frame, then window
+      // math (lag / running sum / per-bucket arithmetic) over buckets
+      "q_pipeline_agg" ->
+        s"""${toksCte("documents", "doc_id")},
+b AS (SELECT d.lang AS lang, CAST(floor(n_chars / 500) * 500 AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_docs, sum(n_chars) AS s
+      FROM documents d
+      WHERE d.doc_id IN (SELECT DISTINCT doc_id FROM tok
+                         WHERE term IN ${inList(Analyzer.analyzeQuery(Bm25Query).toSeq)})
+        AND d.lang IS NOT NULL AND d.n_chars IS NOT NULL
+      GROUP BY 1, 2)
+SELECT lang, bucket, n_docs,
+       n_docs - lag(n_docs) OVER (PARTITION BY lang ORDER BY bucket) AS deriv,
+       CAST(sum(n_docs) OVER (PARTITION BY lang ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+       round(CAST(s AS DOUBLE) / n_docs, 6) AS avg_chars
+FROM b ORDER BY lang, bucket""",
       "q_facet_stats" ->
         s"""${toksCte("documents", "doc_id")}
 SELECT d.lang AS value, CAST(count(*) AS BIGINT) AS n_docs,

@@ -134,4 +134,91 @@ object Aggs {
     }
     out.orderBy(col("depth").asc +: names.map(col(_).asc_nulls_first): _*)
   }
+
+  /** ES `composite` aggregation (round-7 review "What's missing #3" —
+    * the scalable bucket-EXPORT path when a terms source has 10^7
+    * buckets): FLAT distinct key tuples of `levels` (each a composite
+    * `source`), deterministically ordered keys-asc, paged by an
+    * EXCLUSIVE lexicographic `after` cursor — exactly ES's after_key
+    * contract (the caller passes the last returned tuple; pages are
+    * disjoint and exhaustive). Per page: the cursor filter applies on
+    * the aggregated bucket frame (post-agg, tiny) and
+    * `orderBy(keys).limit(size)` plans as TakeOrderedAndProject — per-
+    * partition heaps of ≤ size buckets, so a deep page never sorts the
+    * full bucket frame. Docs missing ANY key column are omitted (ES
+    * composite default, missing_bucket = false). `statField` adds the
+    * same min/max/avg/sum metrics as [[nestedAggOf]].
+    */
+  def compositeAggOf(joined: DataFrame, levels: Seq[BucketLevel],
+      statField: Option[String], size: Int,
+      after: Option[Seq[Any]]): DataFrame = {
+    require(levels.nonEmpty, "composite aggregation needs >= 1 source")
+    require(size > 0, "composite size must be positive")
+    require(levels.map(_.as).distinct.size == levels.size,
+      "composite sources must have distinct output names")
+    require(after.forall(_.size == levels.size),
+      s"after cursor must carry exactly ${levels.size} key values")
+    val names = levels.map(_.as)
+    val statAggs = statField.toSeq.flatMap { f =>
+      Seq(min(col(f)).as("min"), max(col(f)).as("max"),
+        round(avg(col(f)), 6).as("avg"), sum(col(f)).as("sum"))
+    }
+    val aggCols = Seq(count(lit(1)).as("n_docs")) ++ statAggs
+    val grouped = joined.select(levels.map(keyCol) ++ statField.map(col): _*)
+      .filter(names.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(names.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+    val paged = after match {
+      case None => grouped
+      case Some(cursor) =>
+        // exclusive lexicographic (k1..kd) > (a1..ad)
+        val pred = names.zip(cursor).foldRight(lit(false)) {
+          case ((nm, a), rest) => col(nm) > lit(a) || (col(nm) === lit(a) && rest)
+        }
+        grouped.filter(pred)
+    }
+    paged.orderBy(names.map(col(_).asc): _*).limit(size)
+  }
+
+  // ---- pipeline aggregations (round-7 review "What's missing #4"):
+  // Kibana dashboard math over an ALREADY-aggregated bucket frame —
+  // window/arithmetic passes, never a second match-set pass. They
+  // compose over [[compositeAggOf]] pages or one level of a
+  // [[nestedAggOf]] tree; the input is bucket-sized, so even the
+  // unpartitioned (no parent keys) window is bounded by the bucket
+  // count, not the corpus.
+
+  /** ES `bucket_script`: a per-bucket arithmetic column over the
+    * bucket frame's existing metric columns.
+    */
+  def bucketScript(buckets: DataFrame, as: String, expr: Column): DataFrame =
+    buckets.withColumn(as, expr)
+
+  /** ES `derivative`: value(bucket) − value(previous bucket) within
+    * each parent bucket, ordered by `orderKey` asc (the histogram
+    * axis); the first bucket's derivative is NULL (ES omits it).
+    */
+  def derivative(buckets: DataFrame, parentKeys: Seq[String],
+      orderKey: String, of: String, as: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(parentKeys.map(col): _*).orderBy(col(orderKey).asc)
+    buckets.withColumn(as, col(of) - lag(col(of), 1).over(w))
+  }
+
+  /** ES `cumulative_sum`: running sum of `of` within each parent
+    * bucket, ordered by `orderKey` asc.
+    */
+  def cumulativeSum(buckets: DataFrame, parentKeys: Seq[String],
+      orderKey: String, of: String, as: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(parentKeys.map(col): _*).orderBy(col(orderKey).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    buckets.withColumn(as, sum(col(of)).over(w))
+  }
+
+  /** ES `avg_bucket` (a sibling pipeline agg): one row — the average
+    * of `of` across the bucket frame.
+    */
+  def avgBucket(buckets: DataFrame, of: String): DataFrame =
+    buckets.agg(avg(col(of)).as("avg_bucket"))
 }

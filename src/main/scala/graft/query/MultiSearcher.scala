@@ -109,7 +109,7 @@ private[query] object MultiSearcherOps {
         */
       exactBounds: Boolean = false
   ): Iterator[Scored] = {
-    def iterOf(t: String, scored: Boolean): Option[Wand.TermIterator] =
+    def iterOfG(t: String, scored: Boolean, g: Int): Option[Wand.TermIterator] =
       byTerm.get(t).map { case (bs, df) =>
         val (nn, ad) = FieldTerms.textFieldOf(t).flatMap(fsMap.get).getOrElse((nG, avgdlG))
         val boost = w.boosts.getOrElse(t, 1.0)
@@ -118,9 +118,16 @@ private[query] object MultiSearcherOps {
           else if (exactBounds) boost * bs.iterator.map(_.maxScore).max
           else boost * bs.iterator.map(b => Bm25.score(b.maxTf, df, 0, nn, ad)).max
         new Wand.TermIterator(t, bs, ub, df, nn, ad,
-          staleBlockMax = !exactBounds, boost = boost)
+          staleBlockMax = !exactBounds, boost = boost, groupOrdinal = g)
       }
-    val iters = w.scored.flatMap(t => iterOf(t, scored = true))
+    def iterOf(t: String, scored: Boolean): Option[Wand.TermIterator] =
+      iterOfG(t, scored, Int.MinValue)
+    // shared-term dis_max: one FRESH iterator per (group, term)
+    val iters =
+      if (w.bestFields != null && w.bestFields.groupsOf != null)
+        w.scored.flatMap(t => w.bestFields.groupsOf.getOrElse(t, Seq(-1))
+          .flatMap(g => iterOfG(t, scored = true, g)))
+      else w.scored.flatMap(t => iterOf(t, scored = true))
     val shoulds = w.shoulds.flatMap(t => iterOf(t, scored = true))
     // match_phrase_prefix last slot: union of the expansions present in
     // this group (score 0 — membership only); none here ⇒ no hits
@@ -1236,6 +1243,31 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
       .limit(k)
   }
 
+  /** ES `function_score` decay over the union of all segments — same
+    * contract as [[Searcher.rescoreByDecay]] (bounded rescore window,
+    * shared closed-form multiplier), under the merged LWW-exact stats.
+    */
+  def rescoreByDecay(query: String, k: Int, window: Int, field: String,
+      shape: String, origin: Double, scale: Double,
+      offset: Double = 0.0, decay: Double = 0.5,
+      missing: Option[Double] = None): DataFrame = {
+    require(window >= k, "rescore window must be >= k")
+    val top = run(Analyzer.analyzeQuery(query).toSeq, window, conjunctive = false)
+    val topDF = top.toSeq.map(h => (h.docId, h.score)).toDF("docId", "bm25")
+    val vCol = rawDocs.schema(field).dataType match {
+      case org.apache.spark.sql.types.TimestampType =>
+        unix_millis(col(field)).cast("double")
+      case _ => col(field).cast("double")
+    }
+    rawDocs.select(col("docId"), Searcher.fvfValue(vCol, field, missing))
+      .join(broadcast(topDF), Seq("docId"))
+      .select(col("docId"), (col("bm25") *
+        FunctionScore.decayMultiplier(col("__fv"), shape, origin, scale, offset, decay))
+        .as("score"))
+      .orderBy(col("score").desc, col("docId").asc)
+      .limit(k)
+  }
+
   /** ES `regexp` query over the union of all segments (Lucene whole-
     * term anchoring; same deterministic term-asc capped rewrite as the
     * single-index searcher).
@@ -1311,13 +1343,12 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
   def searchDisMax(queries: Seq[String], k: Int,
       tieBreaker: Double = 0.0): Array[Scored] = {
     val groups = queries.map(q => Analyzer.analyzeQuery(q).toSeq.distinct.sorted)
-    val flat = groups.flatten
-    require(flat.nonEmpty, "dis_max needs >= 1 non-empty sub-query")
-    require(flat.distinct.size == flat.size,
-      "dis_max sub-queries must have disjoint analyzed term sets")
-    val fieldOf = groups.zipWithIndex.flatMap { case (ts, i) => ts.map(_ -> i) }.toMap
-    run(flat, k, conjunctive = false,
-      bestFields = new Wand.BestFields(fieldOf, groups.size, tieBreaker))
+    require(groups.exists(_.nonEmpty), "dis_max needs >= 1 non-empty sub-query")
+    val groupsOf: Map[String, Seq[Int]] = groups.zipWithIndex
+      .flatMap { case (ts, i) => ts.map(_ -> i) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    run(groups.flatten.distinct.sorted, k, conjunctive = false,
+      bestFields = new Wand.BestFields(Map.empty, groups.size, tieBreaker, groupsOf))
   }
 
   // --- match-set operators (facets / aggs / sort / count) -----------------
@@ -1400,6 +1431,90 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
     matchSet(query, filters, mustNot, numericRangeFilters, anyFilters, rangeFilters,
       exists, missing)
       .getOrElse(Seq.empty[Long].toDF("docId"))
+
+  /** Exact cross-segment BM25 scores of EVERY LWW-visible matching doc
+    * as a distributed (docId, score) frame — the [[collapse]] input.
+    * Mirrors [[Searcher.scoredMatches]]: per-segment posting decode
+    * (docId+tf+dl, pruned to the query terms' (shard, termId) sets),
+    * broadcast join of the tiny (seg, termId) → (term, GLOBAL df) side
+    * (df is the LWW-exact merged df — the same stats the WAND path
+    * scores under), ascending-term fold per doc, tombstoned/superseded
+    * docs anti-joined out.
+    */
+  private def scoredMatches(terms: Seq[String]): Option[DataFrame] = {
+    val (dfGlobal, perSeg) = lookup(terms.distinct.sorted)
+    if (!terms.exists(dfGlobal.contains)) return None
+    val nG = n
+    val avgdlG = avgdl
+    val idRows = perSeg.toSeq.flatMap { case ((i, t), ts) =>
+      dfGlobal.get(t).map(df => (i, ts.termId, t, df))
+    }
+    if (idRows.isEmpty) return None
+    val idFrame = idRows.toDF("seg", "termId", "term", "df")
+    val pruned = segBlocks.zipWithIndex.flatMap { case (b, i) =>
+      val ids = perSeg.collect { case ((`i`, t), ts) if dfGlobal.contains(t) => ts }.toSeq
+      if (ids.isEmpty) None
+      else Some(b.filter(col("shard").isin(ids.map(_.shard).distinct: _*) &&
+          col("termId").isin(ids.map(_.termId): _*))
+        .select(lit(i).as("seg"), col("termId"), col("docs"), col("tfs"),
+          col("dls"), col("count"), col("firstDocId")))
+    }
+    if (pruned.isEmpty) return None
+    val posts = pruned.reduce(_ unionByName _)
+      .as[(Int, Long, Array[Byte], Array[Byte], Array[Byte], Int, Long)]
+      .flatMap { case (seg, tid, ds, tfs, dls, cnt, first) =>
+        val ids = graft.index.Codec.deltaDecode(ds, cnt, first)
+        val tfA = graft.index.Codec.decodeVarInts(tfs, cnt)
+        val dlA = graft.index.Codec.decodeVarInts(dls, cnt)
+        Iterator.range(0, cnt).map(i => (seg, tid, ids(i), tfA(i), dlA(i)))
+      }.toDF("seg", "termId", "docId", "tf", "dl")
+    val contrib = posts.join(broadcast(idFrame), Seq("seg", "termId"))
+      .select(col("docId"), struct(col("term"),
+        Bm25.scoreCol(col("tf"), col("df"), col("dl"), nG, avgdlG).as("s")).as("c"))
+    val scored = contrib.groupBy(col("docId"))
+      .agg(aggregate(sort_array(collect_list(col("c"))), lit(0.0),
+        (acc, x) => acc + x.getField("s")).as("score"))
+    Some(if (hasTombstones) scored.join(tombDF, Seq("docId"), "left_anti") else scored)
+  }
+
+  /** ES field collapsing over the union of all segments — identical
+    * contract to [[Searcher.collapse]] (one best hit per key, global
+    * top-k groups), under the merged LWW-exact stats. Same plan shape:
+    * scored matches → key join → pre-shuffle group-limit window →
+    * TakeOrderedAndProject.
+    */
+  def collapse(query: String, field: String, k: Int,
+      filters: Seq[(String, String)] = Nil,
+      mustNot: Seq[(String, String)] = Nil,
+      numericRangeFilters: Seq[(String, Long, Long)] = Nil,
+      anyFilters: Seq[(String, Seq[String])] = Nil,
+      rangeFilters: Seq[(String, String, String)] = Nil,
+      exists: Seq[String] = Nil,
+      missing: Seq[String] = Nil): DataFrame = {
+    require(k > 0, "collapse size must be positive")
+    scoredMatches(Analyzer.analyzeQuery(query).toSeq) match {
+      case None =>
+        rawDocs.select(col(field).as("key")).limit(0)
+          .withColumn("doc_id", lit(0L)).withColumn("score", lit(0.0))
+      case Some(scored0) =>
+        val scored =
+          if (filters.isEmpty && mustNot.isEmpty && numericRangeFilters.isEmpty &&
+            anyFilters.isEmpty && rangeFilters.isEmpty && exists.isEmpty && missing.isEmpty)
+            scored0
+          else scored0.join(matchingOrEmpty(query, filters, mustNot,
+            numericRangeFilters, anyFilters, rangeFilters, exists, missing),
+            Seq("docId"), "left_semi")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("key")).orderBy(col("score").desc, col("docId").asc)
+        rawDocs.select(col("docId"), col(field).as("key"))
+          .join(scored, Seq("docId"))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === lit(1))
+          .select(col("key"), col("docId").as("doc_id"), col("score"))
+          .orderBy(col("score").desc, col("doc_id").asc)
+          .limit(k)
+    }
+  }
 
   /** ES `terms` aggregation (facets) over the cross-segment match set. */
   def facetCounts(query: String, field: String,
@@ -1585,6 +1700,27 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
       .join(matchingOrEmpty(query, filters, mustNot, numericRangeFilters, anyFilters,
         rangeFilters, exists, missing), Seq("docId"))
     Aggs.nestedAggOf(joined, levels, statField)
+  }
+
+  /** ES `composite` aggregation with `after`-key paging over the
+    * cross-segment match set — same contract as
+    * [[Searcher.compositeAgg]] / [[Aggs.compositeAggOf]].
+    */
+  def compositeAgg(query: String, levels: Seq[BucketLevel], size: Int,
+      after: Option[Seq[Any]] = None,
+      statField: Option[String] = None,
+      filters: Seq[(String, String)] = Nil,
+      mustNot: Seq[(String, String)] = Nil,
+      numericRangeFilters: Seq[(String, Long, Long)] = Nil,
+      anyFilters: Seq[(String, Seq[String])] = Nil,
+      rangeFilters: Seq[(String, String, String)] = Nil,
+      exists: Seq[String] = Nil,
+      missing: Seq[String] = Nil): DataFrame = {
+    val srcCols = (levels.map(_.field) ++ statField.toSeq).distinct
+    val joined = rawDocs.select(col("docId") +: srcCols.map(col): _*)
+      .join(matchingOrEmpty(query, filters, mustNot, numericRangeFilters, anyFilters,
+        rangeFilters, exists, missing), Seq("docId"))
+    Aggs.compositeAggOf(joined, levels, statField, size, after)
   }
 
   def cardinality(query: String, field: String,

@@ -152,6 +152,37 @@ private[query] object Expansion {
   }
 }
 
+/** ES `function_score` decay shapes (public — callers tune these). */
+object FunctionScore {
+
+  /** ES `function_score` DECAY multiplier (gauss | exp | linear) of a
+    * numeric value column — the closed forms ES documents, with the
+    * per-unit rate precomputed ONCE on the driver (StrictMath.log —
+    * the deterministic fdlibm path, same rule as Bm25) so the
+    * distributed expression is one subtract/abs/multiply chain:
+    *   d      = max(0, |v − origin| − offset)
+    *   gauss  = e^(d² · ln(decay) / scale²)      (≡ decay^((d/scale)²))
+    *   exp    = e^(d · ln(decay) / scale)        (≡ decay^(d/scale))
+    *   linear = max(0, 1 − d · (1 − decay)/scale)
+    * so v = origin±offset ⇒ 1.0 and v at origin±(offset+scale) ⇒
+    * exactly `decay` on every shape (the ES contract).
+    */
+  def decayMultiplier(v: Column, shape: String, origin: Double,
+      scale: Double, offset: Double, decay: Double): Column = {
+    require(scale > 0.0, s"decay scale must be > 0, got $scale")
+    require(offset >= 0.0, s"decay offset must be >= 0, got $offset")
+    require(decay > 0.0 && decay < 1.0, s"decay must be in (0, 1), got $decay")
+    val d = greatest(abs(v - lit(origin)) - lit(offset), lit(0.0))
+    shape match {
+      case "gauss" => exp((d * d) * lit(StrictMath.log(decay) / (scale * scale)))
+      case "exp" => exp(d * lit(StrictMath.log(decay) / scale))
+      case "linear" => greatest(lit(1.0) - d * lit((1.0 - decay) / scale), lit(0.0))
+      case other => throw new IllegalArgumentException(
+        s"unknown decay shape '$other' (gauss | exp | linear)")
+    }
+  }
+}
+
 private[query] object Searcher {
   import graft.model.{PostingBlock => PB}
 
@@ -321,16 +352,26 @@ private[query] object Searcher {
     val pSet = if (mode.prefixExpansions == null) Set.empty[String]
       else mode.prefixExpansions.toSet -- Option(mode.slots).getOrElse(Nil)
     val byName = entries.toMap
-    def iterOf(t: String, s: TermStats): Option[Wand.TermIterator] =
+    def iterOfG(t: String, s: TermStats, g: Int): Option[Wand.TermIterator] =
       byTerm.get(s.termId).map { bs =>
         val (nn, ad) = graft.index.FieldTerms.textFieldOf(t)
           .flatMap(fieldStats.get).getOrElse((n, avgdl))
         val boost = mode.boosts.getOrElse(t, 1.0)
-        new Wand.TermIterator(t, bs, boost * s.maxScore, s.df, nn, ad, boost = boost)
+        new Wand.TermIterator(t, bs, boost * s.maxScore, s.df, nn, ad,
+          boost = boost, groupOrdinal = g)
       }
+    def iterOf(t: String, s: TermStats): Option[Wand.TermIterator] =
+      iterOfG(t, s, Int.MinValue)
     val scoredEntries = entries.filter { case (t, _) =>
       !fSet.contains(t) && !eSet.contains(t) && !sSet.contains(t) && !pSet.contains(t) }
-    val scored = scoredEntries.flatMap { case (t, s) => iterOf(t, s) }
+    // shared-term dis_max: one FRESH iterator per (group, term), each
+    // attributed to its group (cursors are mutable — never shared)
+    val scored =
+      if (mode.bestFields != null && mode.bestFields.groupsOf != null)
+        scoredEntries.flatMap { case (t, s) =>
+          mode.bestFields.groupsOf.getOrElse(t, Seq(-1)).flatMap(g => iterOfG(t, s, g))
+        }
+      else scoredEntries.flatMap { case (t, s) => iterOf(t, s) }
     val shoulds = entries.filter(e => sSet.contains(e._1)).flatMap { case (t, s) => iterOf(t, s) }
     // match_phrase_prefix last slot: union of the expansions present in
     // this bucket — a required slot with no member here ⇒ no hits
@@ -1325,6 +1366,41 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
       .limit(k)
   }
 
+  /** ES `function_score` decay (gauss/exp/linear on a numeric or date
+    * field — round-7 review "What's missing #2": recency boosting on
+    * the reference's `created`/`lastChanged` date mapping, here `ts`)
+    * applied through the same bounded RESCORE window as
+    * [[rescoreByFieldFactor]]: the top `window` hits by exact BM25
+    * re-rank by score' = bm25 · decay(fieldValue), top `k` — ES rescore
+    * semantics (a doc outside the BM25 top-window cannot enter; WAND
+    * bounds don't survive arbitrary per-doc multipliers, so ES itself
+    * bounds function scores this way at scale). Timestamp fields decay
+    * on their epoch-millis; `origin`/`scale`/`offset` are in the
+    * field's units (millis for dates). One broadcast join of `window`
+    * rows against the column-pruned doc store.
+    */
+  def rescoreByDecay(query: String, k: Int, window: Int, field: String,
+      shape: String, origin: Double, scale: Double,
+      offset: Double = 0.0, decay: Double = 0.5,
+      missing: Option[Double] = None): DataFrame = {
+    require(window >= k, "rescore window must be >= k")
+    val top = runPerBucket(Analyzer.analyzeQuery(query).toSeq, window,
+      Mode(conjunctive = false))
+    val topDF = top.toSeq.map(h => (h.docId, h.score)).toDF("docId", "bm25")
+    val vCol = docs.schema(field).dataType match {
+      case org.apache.spark.sql.types.TimestampType =>
+        unix_millis(col(field)).cast("double")
+      case _ => col(field).cast("double")
+    }
+    docs.select(col("docId"), Searcher.fvfValue(vCol, field, missing))
+      .join(broadcast(topDF), Seq("docId"))
+      .select(col("docId"), (col("bm25") *
+        FunctionScore.decayMultiplier(col("__fv"), shape, origin, scale, offset, decay))
+        .as("score"))
+      .orderBy(col("score").desc, col("docId").asc)
+      .limit(k)
+  }
+
   /** ES `regexp` query: the pattern anchors to the WHOLE analyzed term
     * (Lucene regexp semantics — `sp.rk` matches `spark`, never a term
     * merely containing it); BM25 OR over the ≤ maxExpansions matching
@@ -1377,20 +1453,21 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
     * `tieBreaker` · Σ(the other matching sub-queries' sums) — the
     * [[Wand.BestFields]] fold generalized from multi_match fields to
     * arbitrary match sub-queries (tie_breaker = 1 degenerates to the
-    * plain bool-OR sum, pinned by test). Sub-queries must have disjoint
-    * analyzed term sets (a shared term could not attribute its
-    * contribution to one group); docs matching ANY sub-query rank.
+    * plain bool-OR sum, pinned by test). Sub-queries MAY share analyzed
+    * terms (round-7 review "What's missing #5" — ES scores each
+    * sub-query independently): a shared term gets one scored iterator
+    * PER containing group, each attributed to its group's sum; sums
+    * tie to the lowest group index. Docs matching ANY sub-query rank.
     */
   def searchDisMax(queries: Seq[String], k: Int,
       tieBreaker: Double = 0.0): Array[Scored] = {
     val groups = queries.map(q => Analyzer.analyzeQuery(q).toSeq.distinct.sorted)
-    val flat = groups.flatten
-    require(flat.nonEmpty, "dis_max needs >= 1 non-empty sub-query")
-    require(flat.distinct.size == flat.size,
-      "dis_max sub-queries must have disjoint analyzed term sets")
-    val fieldOf = groups.zipWithIndex.flatMap { case (ts, i) => ts.map(_ -> i) }.toMap
-    runPerBucket(flat, k, Mode(conjunctive = false).copy(
-      bestFields = new Wand.BestFields(fieldOf, groups.size, tieBreaker)))
+    require(groups.exists(_.nonEmpty), "dis_max needs >= 1 non-empty sub-query")
+    val groupsOf: Map[String, Seq[Int]] = groups.zipWithIndex
+      .flatMap { case (ts, i) => ts.map(_ -> i) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    runPerBucket(groups.flatten.distinct.sorted, k, Mode(conjunctive = false).copy(
+      bestFields = new Wand.BestFields(Map.empty, groups.size, tieBreaker, groupsOf)))
   }
 
   /** ES term suggester ("did you mean"): dictionary terms within
@@ -1945,6 +2022,27 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
       .join(matchingOrEmpty(query, filters, mustNot, numericRangeFilters, anyFilters,
         rangeFilters, exists, missing), Seq("docId"))
     Aggs.nestedAggOf(joined, levels, statField)
+  }
+
+  /** ES `composite` aggregation with `after`-key paging over the match
+    * set — see [[Aggs.compositeAggOf]] for the paging contract (flat
+    * key tuples, keys-asc, exclusive cursor).
+    */
+  def compositeAgg(query: String, levels: Seq[BucketLevel], size: Int,
+      after: Option[Seq[Any]] = None,
+      statField: Option[String] = None,
+      filters: Seq[(String, String)] = Nil,
+      mustNot: Seq[(String, String)] = Nil,
+      numericRangeFilters: Seq[(String, Long, Long)] = Nil,
+      anyFilters: Seq[(String, Seq[String])] = Nil,
+      rangeFilters: Seq[(String, String, String)] = Nil,
+      exists: Seq[String] = Nil,
+      missing: Seq[String] = Nil): DataFrame = {
+    val srcCols = (levels.map(_.field) ++ statField.toSeq).distinct
+    val joined = docs.select(col("docId") +: srcCols.map(col): _*)
+      .join(matchingOrEmpty(query, filters, mustNot, numericRangeFilters, anyFilters,
+        rangeFilters, exists, missing), Seq("docId"))
+    Aggs.compositeAggOf(joined, levels, statField, size, after)
   }
 
   /** ES `cardinality` aggregation: number of DISTINCT values of `field`

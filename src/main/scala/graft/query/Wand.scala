@@ -59,7 +59,13 @@ object Wand {
         * Scales `score` AND both block-max bounds, so pruning stays
         * sound; callers must pass a pre-scaled `ub`.
         */
-      boost: Double = 1.0
+      boost: Double = 1.0,
+      /** dis_max group this INSTANCE is attributed to (shared-term
+        * sub-queries build one iterator per (group, term) —
+        * [[BestFields.groupsOf]]); Int.MinValue = unset, attribution
+        * falls back to the term-keyed [[BestFields.fieldOf]] map.
+        */
+      val groupOrdinal: Int = Int.MinValue
   ) extends PosCursor {
     private val blocks = blocksIn.sortBy(b => (b.firstDocId, b.lastDocId))
     private var bi = 0
@@ -255,7 +261,19 @@ object Wand {
     * over-estimate the weighted contribution.
     */
   final class BestFields(val fieldOf: Map[String, Int], val nFields: Int,
-      val tieBreaker: Double) extends Serializable {
+      val tieBreaker: Double,
+      /** non-null = dis_max over sub-queries that may SHARE analyzed
+        * terms (round-7 review "What's missing #5"): a term belongs to
+        * EVERY listed group ordinal, and the executors build ONE
+        * scored iterator per (group, term) — each instance carries its
+        * ordinal ([[TermIterator.groupOrdinal]]), so a shared term
+        * contributes to each containing group's sum independently (ES
+        * dis_max scores each sub-query in isolation). Pruning stays
+        * sound: every instance carries its FULL ub, so Σ ub over
+        * instances ≥ Σ_g s_g ≥ the weighted dis-max score for any
+        * tie_breaker ∈ [0, 1]. null = attribution by [[fieldOf]].
+        */
+      val groupsOf: Map[String, Seq[Int]] = null) extends Serializable {
     require(tieBreaker >= 0.0 && tieBreaker <= 1.0,
       s"tie_breaker must be in [0, 1], got $tieBreaker")
   }
@@ -312,7 +330,11 @@ object Wand {
   }
 
   /** Disjunctive (OR) BM25 top-k — the ES `match` query shape (SURVEY.md
-    * J3/T1). `lists` must be keyed by distinct terms. `filters` are
+    * J3/T1). `lists` must be keyed by distinct terms — EXCEPT shared-
+    * term dis_max instances ([[BestFields.groupsOf]]): one iterator per
+    * (group, term) is valid because each instance scores and bounds
+    * independently (two cursors on one posting list behave like two
+    * terms with identical postings). `filters` are
     * required-but-unscored lists (ES bool `filter` context — typically
     * fielded keyword terms like `#role:user`); `excludes` veto their docs
     * (`must_not`). Both default empty = plain WAND, and neither affects
@@ -364,7 +386,12 @@ object Wand {
     // contributions always carry weight 1.0 (ES adds separate bool
     // clauses at full weight) and never enter any field's dis-max sum.
     val bfFieldIdx: Array[Int] =
-      if (bf == null) null else byTerm.map(it => bf.fieldOf.getOrElse(it.term, -1))
+      if (bf == null) null
+      else byTerm.map(it =>
+        // shared-term dis_max instances carry their own group ordinal;
+        // everything else resolves through the term-keyed field map
+        if (it.groupOrdinal != Int.MinValue) it.groupOrdinal
+        else bf.fieldOf.getOrElse(it.term, -1))
     val bfContrib: Array[Double] = if (bf == null) null else new Array[Double](byTerm.length)
     val bfMatched: Array[Boolean] = if (bf == null) null else new Array[Boolean](byTerm.length)
     val bfSums: Array[Double] = if (bf == null) null else new Array[Double](bf.nFields)

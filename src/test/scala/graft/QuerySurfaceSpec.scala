@@ -1107,6 +1107,182 @@ class QuerySurfaceSpec extends SparkSpec {
       .select("rank", "docId", "conv_id", "turn_idx", "fragment")
       .as[(Long, Long, String, Long, String)].collect().toSeq
     assert(mHi.nonEmpty && mHi.forall(_._5.contains("<em>zanzibar</em>")))
+
+    // round-8 surface parity: field collapsing, decay rescore,
+    // composite after-paging (cross-segment scores use the merged
+    // stats = the compacted index's stats, so all three agree exactly)
+    assert(multi.collapse("the zanzibar", "role", 5).collect().toSeq
+      == single.collapse("the zanzibar", "role", 5).collect().toSeq)
+    assert(multi.collapse("the zanzibar", "role", 5).collect().nonEmpty)
+    val o8 = all.agg(max(unix_millis(col("ts")))).head().getLong(0).toDouble
+    assert(multi.rescoreByDecay("the zanzibar", 10, 30, "ts", "gauss",
+        origin = o8, scale = 3600000.0).collect().toSeq
+      == single.rescoreByDecay("the zanzibar", 10, 30, "ts", "gauss",
+        origin = o8, scale = 3600000.0).collect().toSeq)
+    val lv8 = Seq(graft.query.TermsLevel("role", "k1"),
+      graft.query.TermsLevel("dl", "k2"))
+    assert(multi.compositeAgg("the", lv8, 7, after = Some(Seq("assistant", 30)))
+        .collect().toSeq
+      == single.compositeAgg("the", lv8, 7, after = Some(Seq("assistant", 30)))
+        .collect().toSeq)
     all.unpersist(blocking = false)
+  }
+
+  test("field collapsing: one best hit per key ≡ oracle window; filters compose (round-8)") {
+    val q = "the zanzibar"
+    val w8 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("score").desc, col("docId").asc)
+    def want(filtered: Boolean, k: Int): Seq[(Int, Long, Double)] = {
+      var scored = Oracle.topK(docsDF, q, Int.MaxValue)
+      if (filtered)
+        scored = scored.join(docsDF.filter(col("role") === lit("user"))
+          .select("docId"), Seq("docId"), "left_semi")
+      scored.join(docsDF.select(col("docId"), col("dl").as("key")), Seq("docId"))
+        .withColumn("rn", row_number().over(w8)).filter(col("rn") === lit(1))
+        .select(col("key"), col("docId"), col("score"))
+        .orderBy(col("score").desc, col("docId").asc).limit(k)
+        .as[(Int, Long, Double)].collect().toSeq
+    }
+    val got = searcher.collapse(q, "dl", 10).as[(Int, Long, Double)].collect().toSeq
+    assert(got == want(filtered = false, 10) && got.size == 10)
+    // one hit per key, ranked by the group's best
+    assert(got.map(_._1).distinct.size == got.size)
+    assert(got.map(_._3) == got.map(_._3).sorted.reverse)
+    // warm dictionary path resolves terms identically
+    assert(warmed.collapse(q, "dl", 10).as[(Int, Long, Double)].collect().toSeq == got)
+    // filter context restricts membership, scores stay full-corpus
+    val gotF = searcher.collapse(q, "dl", 10, filters = Seq("role" -> "user"))
+      .as[(Int, Long, Double)].collect().toSeq
+    assert(gotF == want(filtered = true, 10) && gotF.nonEmpty)
+    // collapsing differs from plain top-k EXACTLY when a key repeats
+    // there (all-distinct keys ⇒ collapse ≡ plain, also pinned)
+    val plain = searcher.search(q, 10).map(_.docId).toSeq
+    val plainKeys = docsDF.filter(col("docId").isin(plain: _*))
+      .select("docId", "dl").as[(Long, Int)].collect().toMap
+    if (plain.map(plainKeys).distinct.size < plain.size)
+      assert(got.map(_._2) != plain)
+    else assert(got.map(_._2) == plain)
+    // a coarse key (role: 2 values) must dedup a >2-hit ranking
+    val gotRole = searcher.collapse(q, "role", 5)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(gotRole.map(_._1).distinct.size == gotRole.size && gotRole.size <= 3)
+    // no matching term → empty frame with the contract schema
+    assert(searcher.collapse("qqqzzz", "dl", 5).collect().isEmpty)
+  }
+
+  test("function_score decay: closed-form contract points; rescore window ≡ oracle (round-8)") {
+    // contract: multiplier is 1 at origin(±offset) and exactly `decay`
+    // at distance offset+scale, on EVERY shape
+    val probe = Seq(0.0, 500.0, 1000.0, 1500.0, 2000.0, 9000.0).toDF("v")
+    for (shape <- Seq("gauss", "exp", "linear")) {
+      val m = probe.select(col("v"), graft.query.FunctionScore.decayMultiplier(
+        col("v"), shape, origin = 1000.0, scale = 500.0, offset = 0.0,
+        decay = 0.4).as("m")).as[(Double, Double)].collect().toMap
+      assert(math.abs(m(1000.0) - 1.0) < 1e-12, s"$shape at origin")
+      assert(math.abs(m(500.0) - 0.4) < 1e-12 && math.abs(m(1500.0) - 0.4) < 1e-12,
+        s"$shape at origin ± scale")
+      assert(m(0.0) < 0.4 && m(2000.0) < 0.4, s"$shape decays past scale")
+    }
+    // linear clamps to exactly 0 past scale/(1-decay); gauss/exp never reach 0
+    val far = Seq(9000.0).toDF("v").select(graft.query.FunctionScore.decayMultiplier(
+      col("v"), "linear", 1000.0, 500.0, 0.0, 0.4)).as[Double].head()
+    assert(far == 0.0)
+    // offset: flat multiplier 1 within ±offset of origin
+    val off = Seq(900.0, 1100.0).toDF("v").select(graft.query.FunctionScore.decayMultiplier(
+      col("v"), "gauss", 1000.0, 500.0, 200.0, 0.4)).as[Double].collect()
+    assert(off.forall(_ == 1.0))
+    intercept[IllegalArgumentException] {
+      graft.query.FunctionScore.decayMultiplier(col("v"), "sigmoid", 0, 1, 0, 0.5)
+    }
+
+    // rescore window ≡ oracle: top-`window` BM25 hits re-ranked by
+    // bm25 · gauss(ts) — same shared multiplier column, so equality is
+    // exact; docs outside the window cannot enter
+    val origin = docsDF.agg(max(unix_millis(col("ts")))).head().getLong(0).toDouble
+    val scale = 6.0 * 3600000.0
+    val window = 30
+    val want = Oracle.topK(docsDF, "the zanzibar", window)
+      .join(docsDF.select(col("docId"), col("ts")), Seq("docId"))
+      .select(col("docId"), (col("score") * graft.query.FunctionScore.decayMultiplier(
+        unix_millis(col("ts")).cast("double"), "gauss", origin, scale, 0.0, 0.5))
+        .as("score"))
+      .orderBy(col("score").desc, col("docId").asc).limit(10)
+      .as[(Long, Double)].collect().toSeq
+    val got = searcher.rescoreByDecay("the zanzibar", 10, window, "ts", "gauss",
+      origin, scale).as[(Long, Double)].collect().toSeq
+    assert(got == want && got.nonEmpty)
+    // recency re-rank actually changes the BM25 order
+    assert(got.map(_._1) != searcher.search("the zanzibar", 10).map(_.docId).toSeq)
+    // ES contract: a null field value without `missing` fails loudly;
+    // with `missing` it substitutes (all ts non-null here, so equality)
+    assert(searcher.rescoreByDecay("the zanzibar", 10, window, "ts", "gauss",
+      origin, scale, missing = Some(origin)).as[(Long, Double)].collect().toSeq == got)
+  }
+
+  test("composite aggregation: after-pages tile the bucket stream exactly (round-8)") {
+    val lv = Seq(graft.query.TermsLevel("role", "k1"),
+      graft.query.TermsLevel("dl", "k2"))
+    val allBuckets = searcher.compositeAgg("the", lv, size = 100000)
+      .as[(String, Int, Long)].collect().toSeq
+    assert(allBuckets.size > 10)
+    // deterministic keys-asc order
+    assert(allBuckets == allBuckets.sortBy { case (a, b, _) => (a, b) })
+    // page through with the after cursor: pages are disjoint, exhaustive,
+    // and concatenate to the full stream in order (the ES after_key walk)
+    val paged = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Long)]
+    var cursor: Option[Seq[Any]] = None
+    var n = 0
+    while ({
+      val page = searcher.compositeAgg("the", lv, size = 7, after = cursor)
+        .as[(String, Int, Long)].collect().toSeq
+      n += 1
+      paged ++= page
+      cursor = page.lastOption.map { case (a, b, _) => Seq(a, b) }
+      page.size == 7 && n < 1000
+    }) ()
+    assert(paged.toSeq == allBuckets)
+    // composite respects the bool filter context like every agg
+    val fAll = searcher.compositeAgg("the", lv, 100000, filters = Seq("role" -> "user"))
+      .as[(String, Int, Long)].collect().toSeq
+    assert(fAll.nonEmpty && fAll.forall(_._1 == "user"))
+    // a stat field adds the metric columns per bucket
+    val withStats = searcher.compositeAgg("the", lv, 5, statField = Some("dl"))
+    assert(withStats.columns.toSeq ==
+      Seq("k1", "k2", "n_docs", "min", "max", "avg", "sum"))
+    intercept[IllegalArgumentException] {
+      searcher.compositeAgg("the", lv, 5, after = Some(Seq("user"))) // arity
+    }
+  }
+
+  test("pipeline aggregations: derivative / cumulative_sum / bucket_script over one bucket frame (round-8)") {
+    val lv = Seq(graft.query.TermsLevel("role", "role"),
+      graft.query.HistogramLevel("dl", 20L, "bucket"))
+    val buckets = searcher.compositeAgg("the", lv, 100000, statField = Some("dl"))
+    val out = graft.query.Aggs.bucketScript(
+      graft.query.Aggs.cumulativeSum(
+        graft.query.Aggs.derivative(buckets, Seq("role"), "bucket", "n_docs", "deriv"),
+        Seq("role"), "bucket", "n_docs", "cum"),
+      "avg_dl", round(col("sum") / col("n_docs"), 6))
+      .select(col("role"), col("bucket"), col("n_docs"), col("deriv"),
+        col("cum"), col("avg_dl"), col("sum"))
+      .orderBy(col("role"), col("bucket"))
+      .as[(String, Long, Long, Option[Long], Long, Double, Long)].collect().toSeq
+    assert(out.size > 4)
+    // hand-recompute the window math per role group from the bucket frame
+    val byRole = out.groupBy(_._1)
+    for ((_, rows0) <- byRole) {
+      val rows = rows0.sortBy(_._2)
+      // first bucket's derivative is NULL (ES omits it), then exact diffs
+      assert(rows.head._4.isEmpty)
+      for (i <- 1 until rows.size)
+        assert(rows(i)._4.contains(rows(i)._3 - rows(i - 1)._3))
+      // running sum is exact and ends at the group total
+      val cums = rows.scanLeft(0L)(_ + _._3).tail
+      assert(rows.map(_._5) == cums)
+      // bucket_script arithmetic per row
+      for (r <- rows)
+        assert(r._6 == BigDecimal(r._7.toDouble / r._3)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
   }
 }

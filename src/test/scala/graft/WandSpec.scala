@@ -25,7 +25,11 @@ class WandSpec extends AnyFunSuite {
   private def buildIters(
       corpus: Array[Array[String]],
       terms: Seq[String],
-      blockSize: Int
+      blockSize: Int,
+      /** dis_max group ordinal stamped on every built iterator
+        * (shared-term instances); MinValue = unset.
+        */
+      groupOrdinal: Int = Int.MinValue
   ): (Seq[Wand.TermIterator], Map[String, Long], Long, Double) = {
     val tfs = corpus.map(tfOf)
     val dls = corpus.map(_.length)
@@ -46,7 +50,8 @@ class WandSpec extends AnyFunSuite {
         Codec.encodeBlocks(tid.toLong, GraftHash.shardOf(t, 8), 0, ids, tf, ds, scores,
           poss, blockSize).toArray
       val ub = if (scores.isEmpty) 0.0 else scores.max
-      new Wand.TermIterator(t, blocks, ub, df(t), n, avgdl)
+      new Wand.TermIterator(t, blocks, ub, df(t), n, avgdl,
+        groupOrdinal = groupOrdinal)
     }
     (iters, df, n, avgdl)
   }
@@ -158,6 +163,67 @@ class WandSpec extends AnyFunSuite {
         val (iters2, _, _, _) = buildIters(corpus, q, bs)
         assert(Wand.topK(iters2, k).toSeq == got, s"tb=1 ≠ most_fields, case $i")
       }
+    }
+  }
+
+  test("dis_max with SHARED terms ≡ exhaustive per-group fold on 120 random cases (round-8)") {
+    // ES dis_max scores each sub-query INDEPENDENTLY, so a term in two
+    // groups contributes to both sums — the executor gets one iterator
+    // per (group, term), each stamped with its ordinal. The brute
+    // replicates the exact evaluation rule: per-group sums accumulate
+    // in ascending term order, best group by strict > in ordinal
+    // order, final fold over (term asc, group asc) instances weighted
+    // (1 best / tb others) — equality is bit-for-bit.
+    def bruteShared(corpus: Array[Array[String]], groups: Seq[Seq[String]],
+        tb: Double, k: Int): Seq[Scored] = {
+      val tfs = corpus.map(tfOf)
+      val dls = corpus.map(_.length)
+      val n = corpus.length.toLong
+      val avgdl = dls.sum.toDouble / corpus.length
+      val df: Map[String, Long] =
+        tfs.flatMap(_.keys).groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+      corpus.indices.flatMap { d =>
+        val inst = for {
+          (g, gi) <- groups.zipWithIndex
+          t <- g.distinct.sorted if df.contains(t) && tfs(d).contains(t)
+        } yield (t, gi)
+        if (inst.isEmpty) None
+        else {
+          def sc(t: String) = Bm25.score(tfs(d)(t), df(t), dls(d), n, avgdl)
+          val sums = new Array[Double](groups.size)
+          inst.foreach { case (t, gi) => sums(gi) += sc(t) }
+          var best = 0
+          for (f <- 1 until sums.length) if (sums(f) > sums(best)) best = f
+          var s = 0.0
+          inst.sortBy { case (t, gi) => (t, gi) }.foreach { case (t, gi) =>
+            s += (if (gi == best) 1.0 else tb) * sc(t)
+          }
+          Some(Scored(d.toLong, s))
+        }
+      }.sortBy(s => (-s.score, s.docId)).take(k)
+    }
+    for (i <- 1 to 120) {
+      val vocab = 3 + rnd.nextInt(15)
+      val nDocs = 10 + rnd.nextInt(300)
+      val corpus = randomCorpus(nDocs, vocab)
+      val nGroups = 2 + rnd.nextInt(2)
+      // overlap by construction: a shared pool most groups draw from
+      val pool = Seq.fill(4)("t" + rnd.nextInt(vocab)).distinct
+      val groups = Seq.fill(nGroups)(
+        (Seq.fill(1 + rnd.nextInt(2))("t" + rnd.nextInt(vocab)) ++
+          Seq(pool(rnd.nextInt(pool.size)))).distinct.sorted)
+      val tb = Seq(0.0, 0.3, 1.0)(i % 3)
+      val k = 1 + rnd.nextInt(15)
+      val bs = Seq(4, 16, 128)(i % 3)
+      val iters = groups.zipWithIndex.flatMap { case (g, gi) =>
+        buildIters(corpus, g, bs, groupOrdinal = gi)._1
+      }
+      val groupsOf = groups.zipWithIndex.flatMap { case (ts, gi) => ts.map(_ -> gi) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+      val bf = new Wand.BestFields(Map.empty, groups.size, tb, groupsOf)
+      val got = Wand.topK(iters, k, bestFields = bf).toSeq
+      val want = bruteShared(corpus, groups, tb, k)
+      assert(got == want, s"case $i tb=$tb groups=$groups\n got=$got\n want=$want")
     }
   }
 
