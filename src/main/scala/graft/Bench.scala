@@ -209,6 +209,48 @@ object Bench {
         f"p50 $msWarmP50Ms%.2f ms (${msConvs} convs, 2 segments)")
     } catch { case e: Throwable => System.err.println(s"[bench] ms-warm failed: $e") }
 
+    // 1c) multi-index fan-out (round-7 review "What's wrong #2"): N
+    // named indexes under one root searched as 'idx-*' — the per-index
+    // top-k jobs submit CONCURRENTLY on the shared session, so the wall
+    // is ~max(per-index) + merge, not N × single-index time.
+    var idxFanN = 0
+    var idxFanSec = 0.0
+    var idxSingleSec = 0.0
+    try {
+      val root = sys.props.get("graft.bench.dir") match {
+        case Some(base) => java.nio.file.Files.createTempDirectory(
+          java.nio.file.Paths.get(base), "graft-bench-indices").toString
+        case None => java.nio.file.Files.createTempDirectory("graft-bench-indices").toString
+      }
+      import org.apache.spark.sql.functions.col
+      idxFanN = 6
+      val convsPer = 1500L
+      val corpusI = Transcripts.generate(spark, idxFanN * convsPer).cache()
+      val cfgI = graft.index.IndexConfig(numBuckets = 1, partitions = cpus.toInt)
+      for (i <- 0 until idxFanN) {
+        val lo = f"conv-${i * convsPer}%08d"
+        val hi = f"conv-${(i + 1) * convsPer}%08d"
+        val part = DocIds.assign(
+          corpusI.filter(col("conv_id") >= lo && col("conv_id") < hi), cpus.toInt)
+        new IndexBuilder(spark, s"$root/idx-$i", s"bench-idx-$i", cfgI).build(part)
+      }
+      corpusI.unpersist(blocking = false)
+      val indices = new graft.query.Indices(spark, root, cfgI.numShards)
+      indices.search("idx-*", "the zanzibar", 10).collect() // warm searcher state
+      indices.search("idx-0", "the zanzibar", 10).collect()
+      def med3(body: => Unit): Double = {
+        val ts = (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+        }.sorted
+        ts(1)
+      }
+      idxSingleSec = med3(indices.search("idx-0", "the zanzibar", 10).collect())
+      idxFanSec = med3(indices.search("idx-*", "the zanzibar", 10).collect())
+      System.err.println(f"[bench] multi-index fan-out: idx-* over $idxFanN indexes " +
+        f"$idxFanSec%.2f s vs single $idxSingleSec%.2f s " +
+        f"(serial estimate ${idxFanN * idxSingleSec}%.2f s)")
+    } catch { case e: Throwable => System.err.println(s"[bench] indices fan-out failed: $e") }
+
     // 2) engine + representative ops over the driver's sf tables.
     // q_bm25_topk/q_bm25_and measure QUERY cost: the documents index they
     // share is built once here, outside any timed region (round-1 bench
@@ -225,7 +267,10 @@ object Bench {
         "q_ann_lsh", "q_langid", "q_quality", "q_dedup_exact", "q_window_rank",
         // round-7 operators
         "q_bm25_regexp", "q_bm25_match_fuzzy", "q_dis_max", "q_nested_aggs",
-        "q_phrase_suggest")) {
+        "q_phrase_suggest",
+        // round-8 operators
+        "q_collapse", "q_decay_recency", "q_composite_after", "q_pipeline_agg",
+        "q_dis_max_shared")) {
       time(name) { SparkEntry.queries(name)(spark, sfDir).count() }
     }
 
@@ -248,6 +293,8 @@ object Bench {
       s""","bm25_batch_qps":${percentile(runs.map(_.batchQps), 0.5)}""" +
       s""","bm25_distributed_qps":${percentile(runs.map(_.distributedQps), 0.5)}""" +
       s""","ms_warm_qps":$msWarmQps,"ms_warm_p50_ms":$msWarmP50Ms""" +
+      s""","indices_fanout_n":$idxFanN,"indices_fanout_sec":$idxFanSec""" +
+      s""","indices_single_sec":$idxSingleSec""" +
       s""","cores":$cpus}"""
     // Belt and braces for the harness: the JSON goes to stdout (forked,
     // unprefixed — build.sbt outputStrategy) AND to a well-known file.

@@ -82,6 +82,15 @@ object Plans {
     println(perTok.queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode))
 
+    // k-bounded doc fetch (round-8, review #8): resolve/rescore joins
+    // must push the literal In(docId, ...) to the doc-store parquet
+    // scan (PushedFilters) so row-group min/max prune instead of
+    // streaming the full 2-column store through the broadcast join
+    println("\n===================== k-bounded doc resolve (In pushdown) =====================")
+    val searcher0 = new graft.query.Searcher(spark, idxDir, 8)
+    println(searcher0.searchResolved("zanzibar quasar", 5).queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode))
+
     // nested aggregation tree (round-7): EVERY level must come from ONE
     // Expand + ONE partial/final HashAggregate pair over ONE match-set
     // join — no per-level pass, no extra shuffle per depth

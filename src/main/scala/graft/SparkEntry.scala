@@ -704,6 +704,14 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
         .select(col("index"), col("docId").as("doc_id"),
           round(col("score"), 4).as("score"))
     }),
+    "q_multi_index_facet" -> ((s, dir) => {
+      // ES multi-index aggregation: per-index terms-agg plans union
+      // into ONE job, counts merged by SUM (docs live in exactly one
+      // index — the ES coordinating-node bucket merge); the two halves
+      // partition documents, so the merge ≡ the whole-table facet
+      val root = documentsMultiIndexRoot(s, dir)
+      new graft.query.Indices(s, root, 8).facetCounts("all", Bm25Query, "lang")
+    }),
     "q_phrase_suggest" -> ((s, dir) =>
       // ES phrase suggester: per-slot correction candidates (term-
       // suggester rank, incl. the token itself), candidate phrases
@@ -1575,6 +1583,17 @@ SELECT lang, bucket, n_docs,
        CAST(sum(n_docs) OVER (PARTITION BY lang ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
        round(CAST(s AS DOUBLE) / n_docs, 6) AS avg_chars
 FROM b ORDER BY lang, bucket""",
+      // multi-index facet twin: the two named indexes PARTITION the
+      // documents table (null-safe source split), and terms-agg counts
+      // are score-free, so the SUM-merged buckets ≡ the whole-table
+      // facet — the ES coordinating-node merge made checkable in SQL
+      "q_multi_index_facet" ->
+        s"""${toksCte("documents", "doc_id")}
+SELECT d.lang AS value, CAST(count(*) AS BIGINT) AS n_docs
+FROM documents d
+WHERE d.doc_id IN (SELECT DISTINCT doc_id FROM tok
+                   WHERE term IN ${inList(Analyzer.analyzeQuery(Bm25Query).toSeq)})
+GROUP BY 1 ORDER BY 1""",
       "q_facet_stats" ->
         s"""${toksCte("documents", "doc_id")}
 SELECT d.lang AS value, CAST(count(*) AS BIGINT) AS n_docs,

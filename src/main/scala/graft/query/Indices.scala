@@ -247,6 +247,34 @@ class Indices(spark: SparkSession, root: String, numShards: Int = 8) {
     }.toDF("index", "n_docs")
   }
 
+  /** Multi-index `terms` aggregation (the ES `_search` aggs shape over
+    * an `idx-*` pattern,
+    * round-7 review "What's missing #6"): every matched index's
+    * facetCounts PLAN unions into ONE job (plans are lazy — the union
+    * executes all per-index membership scans in parallel inside one
+    * Spark job), merged by key with SUM — exact for counts-style aggs
+    * because a doc lives in exactly one index (ES merges per-shard
+    * count buckets the same way). `size` applies AFTER the merge (the
+    * ES coordinating-node rule). Sketch-merged aggs (percentiles,
+    * cardinality) are deliberately NOT offered cross-index: exact
+    * merges need sketch state the DataFrame API doesn't expose —
+    * callers run them per index.
+    */
+  def facetCounts(expr: String, query: String, field: String,
+      size: Int = 0): DataFrame = {
+    val frames = resolve(expr).map { n =>
+      searcherFor(n) match {
+        case Right(ms) => ms.facetCounts(query, field)
+        case Left(s) => s.facetCounts(query, field)
+      }
+    }
+    require(frames.nonEmpty, s"expression '$expr' matched no index under $root")
+    val merged = frames.reduce(_ unionByName _)
+      .groupBy(col("value")).agg(sum(col("n_docs")).as("n_docs"))
+    if (size > 0) merged.orderBy(col("n_docs").desc, col("value").asc).limit(size)
+    else merged.orderBy(col("value"))
+  }
+
   /** Run `f` over the resolved index names concurrently, results in
     * input order (deterministic — downstream merges re-sort anyway).
     */

@@ -1235,7 +1235,10 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
     require(window >= k, "rescore window must be >= k")
     val top = run(Analyzer.analyzeQuery(query).toSeq, window, conjunctive = false)
     val topDF = top.toSeq.map(h => (h.docId, h.score)).toDF("docId", "bm25")
-    rawDocs.select(col("docId"), Searcher.fvfValue(col(field), field, missing))
+    // window-bounded fetch: push In(docId, ...) to the doc-store scans
+    // (row-group pruning — round-7 review #8)
+    rawDocs.filter(col("docId").isin(top.map(_.docId).toSeq: _*))
+      .select(col("docId"), Searcher.fvfValue(col(field), field, missing))
       .join(broadcast(topDF), Seq("docId"))
       .select(col("docId"),
         (col("bm25") * (lit(factor) * col("__fv"))).as("score"))
@@ -1259,7 +1262,8 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
         unix_millis(col(field)).cast("double")
       case _ => col(field).cast("double")
     }
-    rawDocs.select(col("docId"), Searcher.fvfValue(vCol, field, missing))
+    rawDocs.filter(col("docId").isin(top.map(_.docId).toSeq: _*))
+      .select(col("docId"), Searcher.fvfValue(vCol, field, missing))
       .join(broadcast(topDF), Seq("docId"))
       .select(col("docId"), (col("bm25") *
         FunctionScore.decayMultiplier(col("__fv"), shape, origin, scale, offset, decay))
@@ -2028,7 +2032,10 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
     val hits = search(query, k)
     val hitsDF = hits.toSeq.zipWithIndex
       .map { case (s, i) => (s.docId, s.score, i + 1) }.toDF("docId", "score", "rank")
-    rawDocs.join(broadcast(hitsDF), Seq("docId"))
+    // k-bounded fetch: push In(docId, ...) to the doc-store scans
+    // (row-group pruning — the ES get-by-id shape, round-7 review #8)
+    rawDocs.filter(col("docId").isin(hits.map(_.docId).toSeq: _*))
+      .join(broadcast(hitsDF), Seq("docId"))
       .select(col("rank"), col("docId"), col("score"), col("conv_id"), col("turn_idx"),
         col("role"), col("text"))
       .orderBy(col("rank"))
@@ -2060,7 +2067,8 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
       val hits = searchField(field, query, k)
       val hitsDF = hits.toSeq.zipWithIndex
         .map { case (s, i) => (s.docId, s.score, i + 1) }.toDF("docId", "score", "rank")
-      rawDocs.join(broadcast(hitsDF), Seq("docId"))
+      rawDocs.filter(col("docId").isin(hits.map(_.docId).toSeq: _*))
+        .join(broadcast(hitsDF), Seq("docId"))
         .select(col("rank"), col("docId"), col("score"), col("conv_id"), col("turn_idx"),
           col("role"), col(field).cast("string").as(field))
         .orderBy(col("rank"))

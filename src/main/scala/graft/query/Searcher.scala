@@ -1358,7 +1358,10 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
     val top = runPerBucket(Analyzer.analyzeQuery(query).toSeq, window,
       Mode(conjunctive = false))
     val topDF = top.toSeq.map(h => (h.docId, h.score)).toDF("docId", "bm25")
-    docs.select(col("docId"), Searcher.fvfValue(col(field), field, missing))
+    // window-bounded fetch: push In(docId, ...) to the doc-store scan
+    // (row-group pruning) — round-7 review #8
+    docs.filter(col("docId").isin(top.map(_.docId).toSeq: _*))
+      .select(col("docId"), Searcher.fvfValue(col(field), field, missing))
       .join(broadcast(topDF), Seq("docId"))
       .select(col("docId"),
         (col("bm25") * (lit(factor) * col("__fv"))).as("score"))
@@ -1392,7 +1395,8 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
         unix_millis(col(field)).cast("double")
       case _ => col(field).cast("double")
     }
-    docs.select(col("docId"), Searcher.fvfValue(vCol, field, missing))
+    docs.filter(col("docId").isin(top.map(_.docId).toSeq: _*))
+      .select(col("docId"), Searcher.fvfValue(vCol, field, missing))
       .join(broadcast(topDF), Seq("docId"))
       .select(col("docId"), (col("bm25") *
         FunctionScore.decayMultiplier(col("__fv"), shape, origin, scale, offset, decay))
@@ -1618,7 +1622,8 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
       val hits = searchField(field, query, k)
       val hitsDF = hits.toSeq.zipWithIndex
         .map { case (s, i) => (s.docId, s.score, i + 1) }.toDF("docId", "score", "rank")
-      docs.join(broadcast(hitsDF), Seq("docId"))
+      docs.filter(col("docId").isin(hits.map(_.docId).toSeq: _*))
+        .join(broadcast(hitsDF), Seq("docId"))
         .select(col("rank"), col("docId"), col("score"), col("conv_id"), col("turn_idx"),
           col("role"), col(field).cast("string").as(field))
         .orderBy(col("rank"))
@@ -2232,7 +2237,13 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
     // not via an unpartitioned window.
     val hitsDF = hits.toSeq.zipWithIndex
       .map { case (s, i) => (s.docId, s.score, i + 1) }.toDF("docId", "score", "rank")
-    docs.join(broadcast(hitsDF), Seq("docId"))
+    // k-bounded fetch: the literal In(docId, ...) pushes to the parquet
+    // scan (row-group min/max pruning — the ES get-by-id shape) instead
+    // of streaming the whole doc store through the broadcast join
+    // (round-7 review #8). docs are docId-range-partitioned by build,
+    // so most row groups prune away.
+    docs.filter(col("docId").isin(hits.map(_.docId).toSeq: _*))
+      .join(broadcast(hitsDF), Seq("docId"))
       .select(col("rank"), col("docId"), col("score"), col("conv_id"), col("turn_idx"),
         col("role"), col("text"))
       .orderBy(col("rank"))

@@ -182,10 +182,22 @@ class EngineSpec extends SparkSpec {
       val got = searcher.searchDisMax(subs, 10, tieBreaker = tb)
       assert(got.toSeq == want && got.nonEmpty, s"dis_max tb=$tb:\n got=${got.toSeq}\n want=$want")
     }
-    // overlapping term sets are rejected loudly (attribution is ambiguous)
-    intercept[IllegalArgumentException] {
-      searcher.searchDisMax(Seq("the zanzibar", "the quasar"), 10)
+    // overlapping term sets are SUPPORTED since round 8 (per-(group,
+    // term) iterator instances — ES scores sub-queries independently).
+    // tb ∈ {0, 1} pin the shared case against the frame oracle
+    // FP-exactly (equal / zero same-key instances commute); arbitrary
+    // tb with overlap is pinned bit-exactly by the WandSpec 120-case
+    // randomized brute.
+    val shared = Seq("the zanzibar", "the quasar")
+    for (tb <- Seq(0.0, 1.0)) {
+      val wantS = Oracle.topKDisMax(docsDF, shared, tb, 10).as[Scored].collect().toSeq
+      val gotS = searcher.searchDisMax(shared, 10, tieBreaker = tb)
+      assert(gotS.toSeq == wantS && gotS.nonEmpty,
+        s"shared dis_max tb=$tb:\n got=${gotS.toSeq}\n want=$wantS")
     }
+    // a FULLY shared single-term overlap at tb=0 ≡ the plain term query
+    assert(searcher.searchDisMax(Seq("zanzibar", "zanzibar"), 10, tieBreaker = 0.0).toSeq
+      == searcher.search("zanzibar", 10).toSeq)
   }
 
   test("fuzzy/suggest serve unchanged on a legacy dict WITHOUT the len column (round-7)") {

@@ -137,4 +137,42 @@ class IndicesSpec extends SparkSpec {
       .sortBy { case (n, id, s) => (-s, n, id) }.take(10)
     assert(gotAnd == wantAnd && gotAnd.nonEmpty)
   }
+
+  test("multi-index facet merge ≡ SUM of per-index buckets; size post-merge (round-8)") {
+    built
+    val q = "the zanzibar"
+    val per = Seq(
+      new Searcher(spark, s"$root/idx-a", cfg.numShards).facetCounts(q, "role"),
+      new Searcher(spark, s"$root/idx-b", cfg.numShards).facetCounts(q, "role"),
+      new MultiSearcher(spark, s"$root/idx-stream").facetCounts(q, "role"))
+      .flatMap(_.as[(String, Long)].collect())
+    val want = per.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      .sortBy(_._1)
+    val got = ix.facetCounts("idx-*", q, "role").as[(String, Long)].collect().toSeq
+    assert(got == want && got.nonEmpty)
+    // size applies AFTER the merge (coordinating-node rule)
+    val capped = ix.facetCounts("idx-*", q, "role", size = 1)
+      .as[(String, Long)].collect().toSeq
+    assert(capped == want.sortBy { case (v, n) => (-n, v) }.take(1))
+    intercept[IllegalArgumentException] { ix.facetCounts("nomatch-*", q, "role") }
+  }
+
+  test("an index directory created AFTER a same-named alias fails loudly (round-8 advice)") {
+    built
+    Aliases.add(fs, root, "shadow", Seq("idx-a"))
+    // simulate an operator creating an index dir named like the alias
+    val p = new org.apache.hadoop.fs.Path(s"$root/shadow/segments.props")
+    val out = fs.create(p, true); out.close()
+    try {
+      val e = intercept[IllegalArgumentException] { ix.resolve("shadow") }
+      assert(e.getMessage.contains("both an alias and a live index"))
+      // the collision poisons EVERY resolution until repaired (ES
+      // refuses the state outright)
+      intercept[IllegalArgumentException] { ix.resolve("idx-a") }
+    } finally {
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/shadow"), true)
+      Aliases.remove(fs, root, "shadow")
+    }
+    assert(ix.resolve("idx-a") == Seq("idx-a")) // repaired
+  }
 }
