@@ -270,7 +270,9 @@ object Bench {
         "q_phrase_suggest",
         // round-8 operators
         "q_collapse", "q_decay_recency", "q_composite_after", "q_pipeline_agg",
-        "q_dis_max_shared")) {
+        "q_dis_max_shared",
+        // round-8 stretch operators
+        "q_boosting", "q_span_first", "q_min_score", "q_suggest_completion")) {
       time(name) { SparkEntry.queries(name)(spark, sfDir).count() }
     }
 

@@ -91,6 +91,15 @@ object Plans {
     println(searcher0.searchResolved("zanzibar quasar", 5).queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode))
 
+    // completion suggester cold path (round-8 stretch): the popularity
+    // cap must live IN the plan — TakeOrderedAndProject over the
+    // prefix-pruned dict scan (PushedFilters: StringStartsWith), so the
+    // driver sees ≤ k rows at any vocabulary size
+    println("\n===================== completion suggester (cap in plan + prefix pushdown) =====================")
+    val compl = new graft.query.Searcher(spark, idxDir, 8).suggestCompletion("za", 5)
+    println(compl.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode))
+
     // nested aggregation tree (round-7): EVERY level must come from ONE
     // Expand + ONE partial/final HashAggregate pair over ONE match-set
     // join — no per-level pass, no extra shuffle per depth

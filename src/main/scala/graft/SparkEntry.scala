@@ -180,7 +180,12 @@ object SparkEntry {
   private def bm25Sql(terms: Seq[String], k: Int, conjunctive: Boolean,
       phrase: Seq[String] = null, termPred: String = null,
       docPred: String = null, havingExpr: String = null,
-      offset: Int = 0, docIdIn: String = null): String = {
+      offset: Int = 0, docIdIn: String = null,
+      /** ES min_score twin: predicate over the summed `score` applied
+        * BEFORE ranking/limit (WHERE on the scored CTE — row_number
+        * then ranks the filtered ordering, the engine's rule).
+        */
+      scorePred: String = null): String = {
     val score = Bm25.scoreSql("tf.tf", "df.df", "dl.dl", "st.n", "st.avgdl")
     val having =
       if (havingExpr != null) s"HAVING $havingExpr"
@@ -211,7 +216,7 @@ scored AS (
   GROUP BY tf.doc_id $having)
 SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
        doc_id, round(score, 4) AS score
-FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k$page"""
+FROM scored${if (scorePred == null) "" else s" WHERE $scorePred"} ORDER BY score DESC, doc_id ASC LIMIT $k$page"""
   }
 
   /** CTEs of the derived 'title' analyzed field (first doc_id % 7 text
@@ -516,6 +521,13 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
       new Searcher(s, documentsIndex(s, dir), 8)
         .collapse(Bm25Query, "lang", 5)
         .select(col("key"), col("doc_id"), round(col("score"), 4).as("score"))),
+    "q_collapse_inner" -> ((s, dir) =>
+      // ES collapse + inner_hits: top-3 groups by their best hit, each
+      // returning its <=2 best hits in hit_rank order
+      new Searcher(s, documentsIndex(s, dir), 8)
+        .collapse(Bm25Query, "lang", 3, innerHits = 2)
+        .select(col("key"), col("hit_rank"), col("doc_id"),
+          round(col("score"), 4).as("score"))),
     "q_bm25_regexp" -> ((s, dir) => {
       // ES `regexp` query: whole-term anchoring (Lucene), deterministic
       // term-asc capped expansion, BM25 OR — 'sp.rk|wind.w' expands to
@@ -712,6 +724,41 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
       val root = documentsMultiIndexRoot(s, dir)
       new graft.query.Indices(s, root, 8).facetCounts("all", Bm25Query, "lang")
     }),
+    "q_multi_index_stats" -> ((s, dir) => {
+      // ES multi-index stats aggregation: per-index one-row stats
+      // partials in ONE job, merged EXACTLY (counts/sums add, min/max
+      // combine, avg re-derived from merged sum ÷ count); the halves
+      // partition documents, so the merge ≡ the whole-table stats
+      val root = documentsMultiIndexRoot(s, dir)
+      new graft.query.Indices(s, root, 8).fieldStats("all", Bm25Query, "n_chars")
+        .select(col("n_docs"), col("min").cast("long").as("min"),
+          col("max").cast("long").as("max"), round(col("avg"), 6).as("avg"),
+          col("sum").cast("long").as("sum"))
+    }),
+    "q_boosting" -> ((s, dir) =>
+      // ES boosting query: hits = positive-query BM25 match set; hits
+      // ALSO matching the negative query ('merge') keep their rank
+      // eligibility with score × negative_boost = 0.5
+      new Searcher(s, documentsIndex(s, dir), 8)
+        .boosting(Bm25Query, "merge", 10, negativeBoost = 0.5)
+        .select(col("doc_id"), round(col("score"), 4).as("score"))),
+    "q_span_first" -> ((s, dir) =>
+      // Lucene/ES span_first: the phrase 'merge sort' occurring with
+      // span end <= 8 — i.e. starting inside the field's first 8 token
+      // positions; scored by the engine's phrase rule (BM25 sum of the
+      // distinct terms)
+      rankHits(s, new Searcher(s, documentsIndex(s, dir), 8)
+        .searchSpanFirst(PhraseQuery, 8, 10))),
+    "q_min_score" -> ((s, dir) =>
+      // ES min_score: the plain top-10 with sub-threshold hits removed
+      // (filter(top-k) ≡ top-k(filter) — scores below rank k are ≤ the
+      // rank-k score)
+      rankHits(s, new Searcher(s, documentsIndex(s, dir), 8)
+        .searchMinScore(Bm25Query, 10, 1.43))),
+    "q_suggest_completion" -> ((s, dir) =>
+      // ES completion-suggester analog: dictionary terms extending 's',
+      // ranked by popularity (df desc, term asc), cap IN the plan
+      new Searcher(s, documentsIndex(s, dir), 8).suggestCompletion("s", 5)),
     "q_phrase_suggest" -> ((s, dir) =>
       // ES phrase suggester: per-slot correction candidates (term-
       // suggester rank, incl. the token itself), candidate phrases
@@ -1198,6 +1245,32 @@ best AS (
 SELECT key, doc_id, round(score, 4) AS score
 FROM best ORDER BY score DESC, doc_id ASC LIMIT 5"""
       },
+      // collapse + inner_hits twin: per-group rank prefix (QUALIFY
+      // hit_rank <= M), groups picked and ordered by their rank-1 row
+      "q_collapse_inner" -> {
+        val score = Bm25.scoreSql("tf.tf", "df.df", "dl.dl", "st.n", "st.avgdl")
+        s"""${toksCte("documents", "doc_id")},
+dl AS (SELECT d.doc_id, coalesce(t.n, 0) AS dl FROM documents d
+       LEFT JOIN (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id) t ON d.doc_id = t.doc_id),
+st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id, sum($score ORDER BY tf.term ASC) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE tf.term IN ${inList(Analyzer.analyzeQuery(Bm25Query).toSeq)}
+  GROUP BY tf.doc_id),
+ranked AS (
+  SELECT d.lang AS key, s.doc_id, s.score,
+         row_number() OVER (PARTITION BY d.lang ORDER BY s.score DESC, s.doc_id ASC) AS hit_rank
+  FROM scored s JOIN documents d USING (doc_id)
+  QUALIFY hit_rank <= 2),
+gb AS (SELECT key FROM ranked WHERE hit_rank = 1
+       ORDER BY score DESC, doc_id ASC LIMIT 3)
+SELECT r.key, CAST(r.hit_rank AS INT) AS hit_rank, r.doc_id, round(r.score, 4) AS score
+FROM ranked r JOIN gb USING (key)
+ORDER BY r.key, r.hit_rank"""
+      },
       "q_bm25_regexp" -> bm25Sql(Nil, 10, conjunctive = false,
         termPred = "regexp_full_match(tf.term, 'sp.rk|wind.w')"),
       // the engine's PER-TOKEN term-asc cap (maxExpansionsPerTerm = 50)
@@ -1594,6 +1667,57 @@ FROM documents d
 WHERE d.doc_id IN (SELECT DISTINCT doc_id FROM tok
                    WHERE term IN ${inList(Analyzer.analyzeQuery(Bm25Query).toSeq)})
 GROUP BY 1 ORDER BY 1""",
+      // multi-index stats twin: the per-index partials merge exactly
+      // (sum/count add, min/max combine, avg = merged sum ÷ count) and
+      // the two indexes partition documents, so the merge ≡ the
+      // whole-table stats over the same membership
+      "q_multi_index_stats" ->
+        s"""${toksCte("documents", "doc_id")}
+SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(min(n_chars) AS BIGINT) AS "min",
+       CAST(max(n_chars) AS BIGINT) AS "max", round(avg(n_chars), 6) AS "avg",
+       CAST(sum(n_chars) AS BIGINT) AS "sum"
+FROM documents
+WHERE doc_id IN (SELECT DISTINCT doc_id FROM tok
+                 WHERE term IN ${inList(Analyzer.analyzeQuery(Bm25Query).toSeq)})""",
+      // boosting twin: positive scored CTE, negative MEMBERSHIP demotes
+      // by × 0.5 (0.5 is exact in binary — the multiply is
+      // bit-reproducible); ordering over the ADJUSTED score
+      "q_boosting" -> {
+        val score = Bm25.scoreSql("tf.tf", "df.df", "dl.dl", "st.n", "st.avgdl")
+        s"""${toksCte("documents", "doc_id")},
+dl AS (SELECT d.doc_id, coalesce(t.n, 0) AS dl FROM documents d
+       LEFT JOIN (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id) t ON d.doc_id = t.doc_id),
+st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id, sum($score ORDER BY tf.term ASC) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE tf.term IN ${inList(Analyzer.analyzeQuery(Bm25Query).toSeq)}
+  GROUP BY tf.doc_id),
+adj AS (
+  SELECT doc_id,
+         CASE WHEN doc_id IN (SELECT DISTINCT doc_id FROM tok WHERE term = 'merge')
+              THEN score * 0.5 ELSE score END AS score
+  FROM scored)
+SELECT doc_id, round(score, 4) AS score
+FROM adj ORDER BY score DESC, doc_id ASC LIMIT 10"""
+      },
+      // span_first twin: positional membership (1-based p via zipped
+      // unnest; engine 0-based chain start st matches iff st + 2 <= end
+      // ⇔ second slot's 1-based p <= end), scores = the phrase rule
+      "q_span_first" -> bm25Sql(Seq("merge", "sort"), 10, conjunctive = true,
+        docIdIn = s"""WITH arrs AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '$SqlTokRegex'), x -> x <> '') AS arr FROM documents),
+  pos AS (SELECT doc_id, unnest(arr) AS term, unnest(range(1, len(arr)+1)) AS p FROM arrs)
+  SELECT DISTINCT pa.doc_id FROM pos pa JOIN pos pb USING (doc_id)
+  WHERE pa.term = 'merge' AND pb.term = 'sort' AND pb.p - pa.p = 1 AND pb.p <= 8"""),
+      "q_min_score" -> bm25Sql(Analyzer.analyzeQuery(Bm25Query).toSeq, 10,
+        conjunctive = false, scorePred = "score >= 1.43"),
+      "q_suggest_completion" ->
+        s"""${toksCte("documents", "doc_id")}
+SELECT term AS suggestion, CAST(count(DISTINCT doc_id) AS BIGINT) AS weight
+FROM tok WHERE term LIKE 's%'
+GROUP BY 1 ORDER BY weight DESC, suggestion ASC LIMIT 5""",
       "q_facet_stats" ->
         s"""${toksCte("documents", "doc_id")}
 SELECT d.lang AS value, CAST(count(*) AS BIGINT) AS n_docs,

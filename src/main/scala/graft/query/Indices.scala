@@ -275,6 +275,31 @@ class Indices(spark: SparkSession, root: String, numShards: Int = 8) {
     else merged.orderBy(col("value"))
   }
 
+  /** Multi-index `stats` aggregation: every matched index's one-row
+    * fieldStats plan unions into ONE job, then the partials merge
+    * EXACTLY — counts and sums add, min/max combine, and avg is
+    * re-derived as merged sum ÷ merged count (NEVER an average of
+    * per-index averages — the ES coordinating node merges shard stats
+    * the same way; exact because a doc lives in exactly one index).
+    * Same (n_docs, min, max, avg, sum) schema as the per-index agg;
+    * indexes with an empty match set contribute n_docs = 0 and NULL
+    * min/max (ignored by the merge).
+    */
+  def fieldStats(expr: String, query: String, field: String): DataFrame = {
+    val frames = resolve(expr).map { n =>
+      searcherFor(n) match {
+        case Right(ms) => ms.fieldStats(query, field)
+        case Left(s) => s.fieldStats(query, field)
+      }
+    }
+    require(frames.nonEmpty, s"expression '$expr' matched no index under $root")
+    frames.reduce(_ unionByName _)
+      .agg(sum(col("n_docs")).as("n_docs"), min(col("min")).as("min"),
+        max(col("max")).as("max"), sum(col("sum")).as("sum"))
+      .select(col("n_docs"), col("min"), col("max"),
+        (col("sum").cast("double") / col("n_docs")).as("avg"), col("sum"))
+  }
+
   /** Run `f` over the resolved index names concurrently, results in
     * input order (deterministic — downstream merges re-sort anyway).
     */

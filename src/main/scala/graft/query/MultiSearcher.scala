@@ -159,7 +159,7 @@ private[query] object MultiSearcherOps {
       val top =
         if (w.slots != null)
           Wand.topKPhrase(phraseLists, w.slots, k, filters, excludes, shoulds, w.minShould,
-            after, w.slop)
+            after, w.slop, w.spanFirstEnd)
         else if (w.conjunctive)
           Wand.topKConjunctive(iters, k, filters, excludes, shoulds, w.minShould, after)
         else Wand.topK(iters, k, filters, excludes, shoulds, w.minShould, after,
@@ -192,7 +192,11 @@ private[query] final case class MsSpecWork(
       * phrase's LAST slot (`slots` ends with [[Searcher.PrefixSlot]]) —
       * same semantics as the single-index searcher.
       */
-    prefixExpansions: Seq[String] = null)
+    prefixExpansions: Seq[String] = null,
+    /** ≥ 0 = `span_first`: the phrase must occur with span end ≤ this
+      * bound ([[Wand.topKPhrase]]). −1 = off.
+      */
+    spanFirstEnd: Int = -1)
 
 class MultiSearcher(spark: SparkSession, indexDir: String) {
   import spark.implicits._
@@ -655,7 +659,8 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
       slop: Int = 0,
       boosts: Map[String, Double] = Map.empty,
       bestFields: Wand.BestFields = null,
-      prefixExpansions: Seq[String] = null): Array[Scored] = {
+      prefixExpansions: Seq[String] = null,
+      spanFirstEnd: Int = -1): Array[Scored] = {
     val distinctTerms = terms.distinct.sorted
     if ((distinctTerms.isEmpty && shouldTerms.isEmpty && prefixExpansions == null) || k <= 0)
       return Array.empty
@@ -684,7 +689,8 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
     // exclude terms: those live in the '#'/'%' namespaces)
     val w = MsSpecWork(0, distinctTerms.filter(dfGlobal.contains), shouldFound,
       clauses, excludeTerms.distinct.sorted.filter(dfGlobal.contains),
-      conjunctive, slots, minShould, slop, boosts, bestFields, prefixFound)
+      conjunctive, slots, minShould, slop, boosts, bestFields, prefixFound,
+      spanFirstEnd)
     if (localSegs != null)
       return runLocal(Seq((w, aft)), k, perSeg, dfGlobal, nG, avgdlG, fsMap).head
     // termId is segment-local: key block groups by (segIdx, termId);
@@ -839,6 +845,24 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
       slop = slop)
     if (from == 0) hits else hits.slice(from, from + k)
   }
+
+  /** Lucene/ES `span_first` over the union of all segments — same
+    * span-end rule and phrase scoring as [[Searcher.searchSpanFirst]]
+    * (tombstoned/upserted docs excluded like every path here).
+    */
+  def searchSpanFirst(query: String, end: Int, k: Int): Array[Scored] = {
+    require(end > 0, "span_first end must be positive")
+    val slots = Analyzer.tokenize(query).toSeq
+    if (slots.isEmpty) return Array.empty
+    run(slots.distinct.sorted, k, conjunctive = false, slots = slots,
+      spanFirstEnd = end)
+  }
+
+  /** ES `min_score` over the union of all segments — see
+    * [[Searcher.searchMinScore]] (filter(top-k) ≡ top-k(filter)).
+    */
+  def searchMinScore(query: String, k: Int, minScore: Double): Array[Scored] =
+    search(query, k).filter(_.score >= minScore)
 
   /** Lucene/ES `query_string` over the union of all segments — same
     * grammar and compilation as [[Searcher.searchQueryString]].
@@ -1222,6 +1246,30 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
       .orderBy(col("docId")).limit(k)
       .withColumn("score", lit(boost))
 
+  /** ES `boosting` query over the union of all segments — same contract
+    * as [[Searcher.boosting]] (positive scored match set, negative
+    * MEMBERSHIP demotion), under the merged LWW-exact stats with
+    * tombstoned docs excluded.
+    */
+  def boosting(positive: String, negative: String, k: Int,
+      negativeBoost: Double = 0.5): DataFrame = {
+    require(k > 0, "boosting size must be positive")
+    require(negativeBoost >= 0, "negative_boost must be >= 0 (ES contract)")
+    scoredMatches(Analyzer.analyzeQuery(positive).toSeq) match {
+      case None =>
+        Seq.empty[(Long, Double)].toDF("doc_id", "score")
+      case Some(pos) =>
+        val neg = matchingOrEmpty(negative)
+          .select(col("docId"), lit(true).as("__neg"))
+        pos.join(neg, Seq("docId"), "left")
+          .select(col("docId").as("doc_id"),
+            when(col("__neg").isNotNull, col("score") * lit(negativeBoost))
+              .otherwise(col("score")).as("score"))
+          .orderBy(col("score").desc, col("doc_id").asc)
+          .limit(k)
+    }
+  }
+
   /** ES `function_score` field_value_factor as a rescore window over
     * the union of all segments — same contract as the single-index
     * searcher (merged-stats BM25 window, one multiply, LWW doc store).
@@ -1494,12 +1542,16 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
       anyFilters: Seq[(String, Seq[String])] = Nil,
       rangeFilters: Seq[(String, String, String)] = Nil,
       exists: Seq[String] = Nil,
-      missing: Seq[String] = Nil): DataFrame = {
+      missing: Seq[String] = Nil,
+      /** ES collapse `inner_hits.size` — see [[Searcher.collapse]]. */
+      innerHits: Int = 1): DataFrame = {
     require(k > 0, "collapse size must be positive")
+    require(innerHits > 0, "inner_hits size must be positive")
     scoredMatches(Analyzer.analyzeQuery(query).toSeq) match {
       case None =>
         rawDocs.select(col(field).as("key")).limit(0)
-          .withColumn("doc_id", lit(0L)).withColumn("score", lit(0.0))
+          .withColumn("hit_rank", lit(0)).withColumn("doc_id", lit(0L))
+          .withColumn("score", lit(0.0))
       case Some(scored0) =>
         val scored =
           if (filters.isEmpty && mustNot.isEmpty && numericRangeFilters.isEmpty &&
@@ -1508,15 +1560,9 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
           else scored0.join(matchingOrEmpty(query, filters, mustNot,
             numericRangeFilters, anyFilters, rangeFilters, exists, missing),
             Seq("docId"), "left_semi")
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("key")).orderBy(col("score").desc, col("docId").asc)
-        rawDocs.select(col("docId"), col(field).as("key"))
-          .join(scored, Seq("docId"))
-          .withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === lit(1))
-          .select(col("key"), col("docId").as("doc_id"), col("score"))
-          .orderBy(col("score").desc, col("doc_id").asc)
-          .limit(k)
+        Searcher.collapseOf(
+          rawDocs.select(col("docId"), col(field).as("key")).join(scored, Seq("docId")),
+          k, innerHits)
     }
   }
 
@@ -1915,6 +1961,23 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
       .sortBy { case (t, d, df) => (d, -df, t) }
       .take(k)
       .toDF("suggestion", "dist", "df")
+  }
+
+  /** ES completion-suggester analog over the union of all segments —
+    * same (df desc, term asc) popularity rule as
+    * [[Searcher.suggestCompletion]], weights from the LWW-exact merged
+    * df (per-segment sums with exact tombstone subtraction,
+    * [[bgDfFrame]]), cap IN the plan.
+    */
+  def suggestCompletion(prefix: String, k: Int): DataFrame = {
+    require(prefix.nonEmpty, "completion prefix must be non-empty")
+    require(k > 0, "completion size must be positive")
+    val p = Analyzer.analyzeQuery(prefix).headOption.getOrElse("")
+    if (p.isEmpty) return Seq.empty[(String, Long)].toDF("suggestion", "weight")
+    bgDfFrame()
+      .filter(col("term").startsWith(p))
+      .orderBy(col("bg_count").desc, col("term").asc).limit(k)
+      .select(col("term").as("suggestion"), col("bg_count").as("weight"))
   }
 
   /** ES phrase suggester over the union of all segments — identical

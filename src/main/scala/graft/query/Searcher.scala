@@ -58,7 +58,11 @@ private[query] final case class SearchMode(
       * phrase position ([[Wand.UnionPosIterator]]). `slots`' last
       * element is the [[Searcher.PrefixSlot]] placeholder.
       */
-    prefixExpansions: Seq[String] = null)
+    prefixExpansions: Seq[String] = null,
+    /** ≥ 0 = Lucene/ES `span_first`: the phrase (`slots`) must occur
+      * with span end ≤ this bound — see [[Wand.topKPhrase]]. −1 = off.
+      */
+    spanFirstEnd: Int = -1)
 
 /** One query of a batched `_msearch`-style request
   * ([[Searcher.searchManyBool]]): the FULL bool surface, including
@@ -322,6 +326,38 @@ private[query] object Searcher {
         .otherwise(v)
     }).as("__fv")
 
+  /** Shared collapse tail over the (docId, key, score) joined frame:
+    * one `row_number` window (InferWindowGroupLimit ⇒ pre-shuffle
+    * per-partition group limits of ≤ innerHits rows per key) ranks
+    * within each group; the rank-1 rows pick the top-`k` GROUPS by
+    * (best score desc, best docId asc) via TakeOrderedAndProject; the
+    * kept groups' ≤ innerHits rows ride along broadcast-semi-joined
+    * (k keys — tiny). Output: (key, hit_rank, doc_id, score), ordered
+    * by (group best desc, group best docId asc, hit_rank asc) — the
+    * ES collapse + inner_hits response flattened.
+    */
+  def collapseOf(joined: DataFrame, k: Int, innerHits: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("score").desc, col("docId").asc)
+    val ranked = joined
+      .withColumn("hit_rank", row_number().over(w))
+      .filter(col("hit_rank") <= lit(innerHits))
+    if (innerHits == 1)
+      ranked.select(col("key"), col("hit_rank"), col("docId").as("doc_id"), col("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(k)
+    else {
+      val best = ranked.filter(col("hit_rank") === lit(1))
+        .orderBy(col("score").desc, col("docId").asc).limit(k)
+        .select(col("key"), col("score").as("__best"), col("docId").as("__bestId"))
+      ranked.join(broadcast(best), Seq("key"))
+        .select(col("key"), col("hit_rank"), col("docId").as("doc_id"), col("score"),
+          col("__best"), col("__bestId"))
+        .orderBy(col("__best").desc, col("__bestId").asc, col("hit_rank").asc)
+        .drop("__best", "__bestId")
+    }
+  }
+
   /** One bucket's WAND dispatch, shared by the distributed and the
     * driver-local serving paths (kept in the companion so Spark task
     * closures never capture a Searcher instance). `entries` carries the
@@ -408,7 +444,7 @@ private[query] object Searcher {
         Wand.topKPhrase(
           if (prefixUnion == null) scored else scored :+ prefixUnion,
           mode.slots, k, filters, excludes, shoulds, mode.minShould,
-          mode.after, mode.slop)
+          mode.after, mode.slop, mode.spanFirstEnd)
       else if (mode.conjunctive)
         Wand.topKConjunctive(scored, k, filters, excludes, shoulds, mode.minShould, mode.after)
       else Wand.topK(scored, k, filters, excludes, shoulds, mode.minShould, mode.after,
@@ -621,6 +657,36 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
       SearchMode(conjunctive = false, slots = slots, slop = slop))
     if (from == 0) hits else hits.slice(from, from + k)
   }
+
+  /** Lucene/ES `span_first`: the analyzed query must occur — exact
+    * adjacency for multi-token queries — with span END (last token's
+    * 0-based position + 1) ≤ `end`, i.e. inside the field's first
+    * `end` token positions (Lucene SpanFirstQuery's `end() ≤ end`
+    * rule; transcripts: "conversations OPENING with …"). Scoring: the
+    * engine's phrase rule — BM25 sum of the distinct query terms over
+    * matching docs. Rides the positional phrase matcher (the span gate
+    * evaluates per aligned candidate on the already-decoded positions,
+    * so WAND pruning and block-max skipping apply unchanged); needs an
+    * index built with storePositions. Sloppy spans are out of scope
+    * (ES `span_near` slop is a different operator — not `match_phrase`
+    * slop).
+    */
+  def searchSpanFirst(query: String, end: Int, k: Int): Array[Scored] = {
+    require(end > 0, "span_first end must be positive")
+    val slots = Analyzer.tokenize(query).toSeq
+    if (slots.isEmpty) return Array.empty
+    runPerBucket(slots.distinct.sorted, k,
+      SearchMode(conjunctive = false, slots = slots, spanFirstEnd = end))
+  }
+
+  /** ES `min_score`: the plain disjunctive top-k with hits scoring
+    * below `minScore` removed. Filtering AFTER the top-k is exact:
+    * every doc beyond rank k scores ≤ the rank-k score, so a sub-
+    * threshold doc inside the page implies every doc outside it is
+    * sub-threshold too — filter(top-k) ≡ top-k(filter).
+    */
+  def searchMinScore(query: String, k: Int, minScore: Double): Array[Scored] =
+    search(query, k).filter(_.score >= minScore)
 
   /** Lucene/ES `query_string` execution: [[QueryString.parse]]d into a
     * [[BoolQuerySpec]] and run through the batched bool path (one job).
@@ -1333,6 +1399,38 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
       .orderBy(col("docId")).limit(k)
       .withColumn("score", lit(boost))
 
+  /** ES `boosting` query: hits are the docs matching the POSITIVE
+    * query (plain disjunctive BM25); a hit that ALSO matches the
+    * negative query keeps its rank eligibility but its score is
+    * multiplied by `negativeBoost` (< 1 demotes — ES requires
+    * 0 ≤ negative_boost; matching negative alone never matches). Plan:
+    * the exact scored match set of the positive terms
+    * ([[scoredMatches]] — the collapse/aggs shape; WAND's bounds
+    * don't survive per-doc demotion, so ES-exact top-k needs the full
+    * match set) left-joined against the negative MEMBERSHIP set
+    * (docIds only — no scoring work), one conditional multiply, then
+    * TakeOrderedAndProject top-k. Returns (doc_id, score), score desc
+    * / doc_id asc.
+    */
+  def boosting(positive: String, negative: String, k: Int,
+      negativeBoost: Double = 0.5): DataFrame = {
+    require(k > 0, "boosting size must be positive")
+    require(negativeBoost >= 0, "negative_boost must be >= 0 (ES contract)")
+    scoredMatches(Analyzer.analyzeQuery(positive).toSeq) match {
+      case None =>
+        Seq.empty[(Long, Double)].toDF("doc_id", "score")
+      case Some(pos) =>
+        val neg = matchingOrEmpty(negative)
+          .select(col("docId"), lit(true).as("__neg"))
+        pos.join(neg, Seq("docId"), "left")
+          .select(col("docId").as("doc_id"),
+            when(col("__neg").isNotNull, col("score") * lit(negativeBoost))
+              .otherwise(col("score")).as("score"))
+          .orderBy(col("score").desc, col("doc_id").asc)
+          .limit(k)
+    }
+  }
+
   /** ES `function_score` `field_value_factor` applied as a RESCORE
     * window (the `rescore` pattern): the top `window` hits by plain
     * BM25 re-rank by score' = bm25 · (factor · fieldValue), top `k`.
@@ -1500,6 +1598,36 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
       .sortBy { case (t, d, df) => (d, -df, t) }
       .take(k)
       .toDF("suggestion", "dist", "df")
+  }
+
+  /** ES completion-suggester analog (search-as-you-type): the top `k`
+    * dictionary terms extending `prefix`, ranked by POPULARITY —
+    * (df desc, term asc); df is the suggestion's weight, the natural
+    * corpus-derived analog of ES's indexed completion weight. The cap
+    * is IN the plan — `orderBy(df desc, term asc).limit(k)` on the
+    * prefix-pruned dict scan (TakeOrderedAndProject: the driver sees ≤
+    * k rows at any vocabulary size; the startsWith pushes to the
+    * term-sorted dict parquet). Warm path filters the driver map.
+    * Returns (suggestion, weight) rows.
+    */
+  def suggestCompletion(prefix: String, k: Int): DataFrame = {
+    require(prefix.nonEmpty, "completion prefix must be non-empty")
+    require(k > 0, "completion size must be positive")
+    val p = Analyzer.analyzeQuery(prefix).headOption.getOrElse("")
+    if (p.isEmpty) return Seq.empty[(String, Long)].toDF("suggestion", "weight")
+    if (dictMap != null)
+      return dictMap.valuesIterator
+        .filter(ts => !graft.index.FieldTerms.isNamespaced(ts.term) &&
+          ts.term.startsWith(p))
+        .toSeq.sortBy(ts => (-ts.df, ts.term)).take(k)
+        .map(ts => (ts.term, ts.df))
+        .toDF("suggestion", "weight")
+    dict
+      .filter(!col("term").startsWith(graft.index.FieldTerms.Prefix) &&
+        !col("term").startsWith(graft.index.FieldTerms.TextPrefix) &&
+        col("term").startsWith(p))
+      .orderBy(col("df").desc, col("term").asc).limit(k)
+      .select(col("term").as("suggestion"), col("df").as("weight"))
   }
 
   /** ES phrase suggester ("did you mean" over whole queries, round-6
@@ -1762,12 +1890,22 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
       anyFilters: Seq[(String, Seq[String])] = Nil,
       rangeFilters: Seq[(String, String, String)] = Nil,
       exists: Seq[String] = Nil,
-      missing: Seq[String] = Nil): DataFrame = {
+      missing: Seq[String] = Nil,
+      /** ES collapse `inner_hits.size`: 1 (default) returns the
+        * group's best hit only; > 1 additionally returns the group's
+        * next-best hits, ranked by `hit_rank` (same (score desc,
+        * docId asc) order). Groups are ALWAYS selected and ordered by
+        * their BEST hit — inner hits ride along (ES inner_hits
+        * semantics).
+        */
+      innerHits: Int = 1): DataFrame = {
     require(k > 0, "collapse size must be positive")
+    require(innerHits > 0, "inner_hits size must be positive")
     scoredMatches(Analyzer.analyzeQuery(query).toSeq) match {
       case None =>
         docs.select(col(field).as("key")).limit(0)
-          .withColumn("doc_id", lit(0L)).withColumn("score", lit(0.0))
+          .withColumn("hit_rank", lit(0)).withColumn("doc_id", lit(0L))
+          .withColumn("score", lit(0.0))
       case Some(scored0) =>
         // bool context restricts MEMBERSHIP only (scores stay full-corpus
         // BM25 — the engine-wide filter-context rule)
@@ -1778,15 +1916,9 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
           else scored0.join(matchingOrEmpty(query, filters, mustNot,
             numericRangeFilters, anyFilters, rangeFilters, exists, missing),
             Seq("docId"), "left_semi")
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("key")).orderBy(col("score").desc, col("docId").asc)
-        docs.select(col("docId"), col(field).as("key"))
-          .join(scored, Seq("docId"))
-          .withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === lit(1))
-          .select(col("key"), col("docId").as("doc_id"), col("score"))
-          .orderBy(col("score").desc, col("doc_id").asc)
-          .limit(k)
+        Searcher.collapseOf(
+          docs.select(col("docId"), col(field).as("key")).join(scored, Seq("docId")),
+          k, innerHits)
     }
   }
 

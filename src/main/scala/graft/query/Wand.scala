@@ -561,9 +561,17 @@ object Wand {
         * moves; reordered terms match from slop ≥ 2); 0 = exact
         * adjacency. See [[phraseAt]].
         */
-      slop: Int = 0): Array[Scored] = {
+      slop: Int = 0,
+      /** ≥ 0 = Lucene `span_first`: the phrase must have an occurrence
+        * whose span END (last token's 0-based position + 1) is ≤
+        * `spanEnd` — i.e. it starts inside the field's first `spanEnd`
+        * tokens. Exact-adjacency only (slop must be 0); −1 = off.
+        */
+      spanEnd: Int = -1): Array[Scored] = {
     if (phrase == null || phrase.isEmpty) return Array.empty
-    intersectTopK(lists, k, phrase, filters, excludes, shoulds, minShould, after, slop)
+    require(spanEnd < 0 || slop == 0, "span_first requires slop == 0")
+    intersectTopK(lists, k, phrase, filters, excludes, shoulds, minShould, after, slop,
+      spanEnd)
   }
 
   /** Does the phrase occur at the current (aligned) doc within `slop`?
@@ -577,10 +585,24 @@ object Wand {
     * (`match_phrase`), answered by the O(Σ positions) greedy
     * minimal-chain scan.
     */
-  private def phraseAt(slots: Array[PosCursor], slop: Int): Boolean = {
+  private def phraseAt(slots: Array[PosCursor], slop: Int,
+      /** ≥ 0 = `span_first`: additionally require an occurrence ending
+        * at 0-based position < spanEnd (Lucene SpanFirstQuery: span
+        * end() ≤ end). Single-term and exact-adjacency phrases only —
+        * [[topKPhrase]] rejects slop > 0 with spanEnd.
+        */
+      spanEnd: Int = -1): Boolean = {
     val m = slots.length
-    if (m == 1) return slots(0).positions.length > 0
-    if (slop == 0) return adjacentAt(slots)
+    if (m == 1) {
+      val ps = slots(0).positions
+      // positions are ascending: the FIRST occurrence decides span_first
+      return ps.length > 0 && (spanEnd < 0 || ps(0) + 1 <= spanEnd)
+    }
+    if (slop == 0) {
+      // adjacency chain from start st spans [st, st + m) — end = st + m
+      val st = adjacentAt(slots)
+      return st >= 0 && (spanEnd < 0 || st + m <= spanEnd)
+    }
     var hasRepeat = false
     var i = 0
     while (i < m && !hasRepeat) {
@@ -594,9 +616,11 @@ object Wand {
   /** Exact in-order adjacency (slop = 0): greedy minimal chain — for
     * each start in slot 0, extend each later slot to its minimal
     * position past the previous; pointers only move forward across
-    * starts, O(Σ positions) total.
+    * starts, O(Σ positions) total. Returns the EARLIEST matching start
+    * position (starts ascend, so it is also the minimal-end chain —
+    * what `span_first` needs), or −1 when the phrase does not occur.
     */
-  private def adjacentAt(slots: Array[PosCursor]): Boolean = {
+  private def adjacentAt(slots: Array[PosCursor]): Int = {
     val pos = slots.map(_.positions)
     val m = slots.length
     val ptr = new Array[Int](m)
@@ -608,14 +632,14 @@ object Wand {
       while (j < m) {
         val pj = pos(j)
         while (ptr(j) < pj.length && pj(ptr(j)) <= prev) ptr(j) += 1
-        if (ptr(j) >= pj.length) return false // exhausted: no later start can match
+        if (ptr(j) >= pj.length) return -1 // exhausted: no later start can match
         prev = pj(ptr(j))
         j += 1
       }
-      if (prev - start == m - 1) return true
+      if (prev - start == m - 1) return start
       s += 1
     }
-    false
+    -1
   }
 
   /** Sloppy match, all slots DISTINCT terms: the classic k-list minimal
@@ -697,7 +721,8 @@ object Wand {
       shoulds: Seq[TermIterator] = Nil,
       minShould: Int = 0,
       after: Scored = null,
-      slop: Int = 0
+      slop: Int = 0,
+      spanEnd: Int = -1
   ): Array[Scored] = {
     if (lists.isEmpty || k <= 0) return Array.empty
     val fArr = filters.toArray
@@ -775,7 +800,8 @@ object Wand {
           if (fNext != candidate) { candidate = fNext; aligned = false }
         }
         if (aligned && candidate != Long.MaxValue) {
-          if (!excludedAt(eArr, candidate) && (slots == null || phraseAt(slots, slop))) {
+          if (!excludedAt(eArr, candidate) &&
+            (slots == null || phraseAt(slots, slop, spanEnd))) {
             // advance shoulds to the candidate and count matches
             var nShould = 0
             var j = 0

@@ -157,6 +157,31 @@ class IndicesSpec extends SparkSpec {
     intercept[IllegalArgumentException] { ix.facetCounts("nomatch-*", q, "role") }
   }
 
+  test("multi-index stats merge: exact partial combine, avg re-derived (round-8)") {
+    built
+    val q = "the zanzibar"
+    val per = Seq(
+      new Searcher(spark, s"$root/idx-a", cfg.numShards).fieldStats(q, "dl"),
+      new Searcher(spark, s"$root/idx-b", cfg.numShards).fieldStats(q, "dl"),
+      new MultiSearcher(spark, s"$root/idx-stream").fieldStats(q, "dl"))
+      .map(_.as[(Long, Int, Int, Double, Long)].collect().head)
+    val n = per.map(_._1).sum
+    assert(n > 0 && per.forall(_._1 > 0))
+    val want = (n, per.map(_._2).min, per.map(_._3).max,
+      per.map(_._5).sum.toDouble / n, per.map(_._5).sum)
+    val got = ix.fieldStats("idx-*", q, "dl")
+      .as[(Long, Int, Int, Double, Long)].collect().head
+    assert(got == want)
+    // avg is merged sum ÷ merged count — NEVER the mean of per-index
+    // averages (the fixture's per-index counts differ, so they diverge)
+    val naive = per.map(_._4).sum / per.size
+    assert(per.map(_._1).distinct.size == 1 || math.abs(got._4 - naive) > 0)
+    // alias expression resolves like search; no match fails loudly
+    assert(ix.fieldStats("ab", q, "dl").as[(Long, Int, Int, Double, Long)]
+      .collect().head._1 == per(0)._1 + per(1)._1)
+    intercept[IllegalArgumentException] { ix.fieldStats("nomatch-*", q, "dl") }
+  }
+
   test("an index directory created AFTER a same-named alias fails loudly (round-8 advice)") {
     built
     Aliases.add(fs, root, "shadow", Seq("idx-a"))

@@ -1125,6 +1125,23 @@ class QuerySurfaceSpec extends SparkSpec {
         .collect().toSeq
       == single.compositeAgg("the", lv8, 7, after = Some(Seq("assistant", 30)))
         .collect().toSeq)
+
+    // round-8 stretch parity: boosting / span_first / min_score /
+    // completion suggester across segments
+    assert(multi.boosting("the zanzibar", "quasar", 10).collect().toSeq
+      == single.boosting("the zanzibar", "quasar", 10).collect().toSeq)
+    assert(multi.boosting("the zanzibar", "quasar", 10).count() > 0)
+    assert(multi.searchSpanFirst("the", 3, 10).toSeq
+      == single.searchSpanFirst("the", 3, 10).toSeq)
+    assert(multi.searchSpanFirst("the", 3, 10).nonEmpty)
+    val ms8 = single.search("the zanzibar", 10)
+    val t8 = ms8(ms8.length / 2).score
+    assert(multi.searchMinScore("the zanzibar", 10, t8).toSeq
+      == single.searchMinScore("the zanzibar", 10, t8).toSeq)
+    assert(multi.searchMinScore("the zanzibar", 10, t8).nonEmpty)
+    assert(multi.suggestCompletion("t1", 5).as[(String, Long)].collect().toSeq
+      == single.suggestCompletion("t1", 5).as[(String, Long)].collect().toSeq)
+    assert(multi.suggestCompletion("t1", 5).count() > 0)
     all.unpersist(blocking = false)
   }
 
@@ -1143,17 +1160,35 @@ class QuerySurfaceSpec extends SparkSpec {
         .orderBy(col("score").desc, col("docId").asc).limit(k)
         .as[(Int, Long, Double)].collect().toSeq
     }
-    val got = searcher.collapse(q, "dl", 10).as[(Int, Long, Double)].collect().toSeq
+    def hits(df: org.apache.spark.sql.DataFrame): Seq[(Int, Long, Double)] =
+      df.select(col("key"), col("doc_id"), col("score"))
+        .as[(Int, Long, Double)].collect().toSeq
+    val got = hits(searcher.collapse(q, "dl", 10))
     assert(got == want(filtered = false, 10) && got.size == 10)
     // one hit per key, ranked by the group's best
     assert(got.map(_._1).distinct.size == got.size)
     assert(got.map(_._3) == got.map(_._3).sorted.reverse)
     // warm dictionary path resolves terms identically
-    assert(warmed.collapse(q, "dl", 10).as[(Int, Long, Double)].collect().toSeq == got)
+    assert(hits(warmed.collapse(q, "dl", 10)) == got)
     // filter context restricts membership, scores stay full-corpus
-    val gotF = searcher.collapse(q, "dl", 10, filters = Seq("role" -> "user"))
-      .as[(Int, Long, Double)].collect().toSeq
+    val gotF = hits(searcher.collapse(q, "dl", 10, filters = Seq("role" -> "user")))
     assert(gotF == want(filtered = true, 10) && gotF.nonEmpty)
+    // inner_hits: each kept group returns its ≤ M best hits in rank
+    // order; group selection and ordering stay EXACTLY the best-hit
+    // page (rank-1 rows ≡ the innerHits=1 result)
+    val inner = searcher.collapse(q, "dl", 5, innerHits = 3)
+      .as[(Int, Int, Long, Double)].collect().toSeq
+    assert(inner.filter(_._2 == 1).map(r => (r._1, r._3, r._4)) == want(filtered = false, 5))
+    val fullRank = Oracle.topK(docsDF, q, Int.MaxValue)
+      .join(docsDF.select(col("docId"), col("dl").as("key")), Seq("docId"))
+      .withColumn("rn", row_number().over(w8)).filter(col("rn") <= lit(3))
+      .as[(Long, Double, Int, Int)].collect()
+      .map { case (id, s, key, rn) => (key, rn, id, s) }.toSeq
+    for ((key, rows) <- inner.groupBy(_._1)) {
+      // the group's inner hits are the per-key ranking prefix
+      assert(rows.sortBy(_._2) == fullRank.filter(_._1 == key).sortBy(_._2).take(rows.size))
+      assert(rows.map(_._2).sorted == (1 to rows.size))
+    }
     // collapsing differs from plain top-k EXACTLY when a key repeats
     // there (all-distinct keys ⇒ collapse ≡ plain, also pinned)
     val plain = searcher.search(q, 10).map(_.docId).toSeq
@@ -1164,10 +1199,146 @@ class QuerySurfaceSpec extends SparkSpec {
     else assert(got.map(_._2) == plain)
     // a coarse key (role: 2 values) must dedup a >2-hit ranking
     val gotRole = searcher.collapse(q, "role", 5)
+      .select(col("key"), col("doc_id"), col("score"))
       .as[(String, Long, Double)].collect().toSeq
     assert(gotRole.map(_._1).distinct.size == gotRole.size && gotRole.size <= 3)
     // no matching term → empty frame with the contract schema
     assert(searcher.collapse("qqqzzz", "dl", 5).collect().isEmpty)
+  }
+
+  test("boosting: negative membership demotes by the factor ≡ oracle (round-8)") {
+    val posQ = "the zanzibar"
+    val negQ = "quasar"
+    val negSet = tok.filter(col("term").isin(Analyzer.analyzeQuery(negQ).toSeq: _*))
+      .select(col("docId")).distinct().withColumn("__neg", lit(true))
+    def want(k: Int, b: Double): Seq[(Long, Double)] =
+      Oracle.topK(docsDF, posQ, Int.MaxValue)
+        .join(negSet, Seq("docId"), "left")
+        .select(col("docId"),
+          when(col("__neg").isNotNull, col("score") * lit(b))
+            .otherwise(col("score")).as("score"))
+        .orderBy(col("score").desc, col("docId").asc).limit(k)
+        .as[(Long, Double)].collect().toSeq
+    // the fixture actually exercises demotion (pos ∩ neg non-empty)
+    assert(Oracle.topK(docsDF, posQ, Int.MaxValue)
+      .join(negSet, Seq("docId"), "left_semi").count() > 0)
+    val got = searcher.boosting(posQ, negQ, 10).as[(Long, Double)].collect().toSeq
+    assert(got == want(10, 0.5) && got.nonEmpty)
+    assert(warmed.boosting(posQ, negQ, 10).as[(Long, Double)].collect().toSeq == got)
+    // negative_boost = 1 ⇒ no demotion ⇒ the plain ranking
+    assert(searcher.boosting(posQ, negQ, 10, negativeBoost = 1.0)
+      .as[(Long, Double)].collect().toSeq
+      == searcher.search(posQ, 10).map(h => (h.docId, h.score)).toSeq)
+    // matching the negative ALONE never matches: hits ⊆ positive set
+    val posSet = tok.filter(col("term").isin(Analyzer.analyzeQuery(posQ).toSeq: _*))
+      .select("docId").distinct().as[Long].collect().toSet
+    assert(got.forall(h => posSet.contains(h._1)))
+    // no positive term in the index → empty frame, contract schema
+    val none = searcher.boosting("qqqzzz", negQ, 10)
+    assert(none.columns.toSeq == Seq("doc_id", "score") && none.count() == 0)
+    intercept[IllegalArgumentException] { searcher.boosting(posQ, negQ, 10, -0.1) }
+  }
+
+  test("span_first: occurrence must start inside the first N positions (round-8)") {
+    val posDF = docsDF.select(col("docId"),
+      posexplode(Analyzer.tokensCol(col("text")))).toDF("docId", "p", "term").cache()
+    val t = "zanzibar"
+    def wantTerm(end: Int, k: Int): Seq[Scored] = {
+      val mem = posDF.filter(col("term") === lit(t) && col("p") + lit(1) <= lit(end))
+        .select("docId").distinct()
+      Oracle.topK(docsDF, t, Int.MaxValue).join(mem, Seq("docId"), "left_semi")
+        .orderBy(col("score").desc, col("docId").asc).limit(k)
+        .as[Scored].collect().toSeq
+    }
+    for (end <- Seq(1, 3, 10, 100)) {
+      val got = searcher.searchSpanFirst(t, end, 10).toSeq
+      assert(got == wantTerm(end, 10), s"end=$end")
+      assert(warmed.searchSpanFirst(t, end, 10).toSeq == got, s"warm end=$end")
+    }
+    // the gate is real: huge end ≡ the plain term query; the fixture
+    // has docs where the term first occurs PAST a tight bound
+    assert(searcher.searchSpanFirst(t, 1 << 20, 10).toSeq == searcher.search(t, 10).toSeq)
+    assert(wantTerm(3, Int.MaxValue).size < wantTerm(1 << 20, Int.MaxValue).size)
+    assert(searcher.searchSpanFirst(t, 1 << 20, 10).nonEmpty)
+
+    // phrase form: the adjacency chain must END within the bound —
+    // fixture bigram picked from the corpus (most frequent adjacent pair)
+    val big = posDF.as("x").join(posDF.as("y"),
+        expr("x.docId = y.docId AND y.p = x.p + 1"))
+      .groupBy(col("x.term").as("a"), col("y.term").as("b"))
+      .agg(countDistinct(col("x.docId")).as("n"))
+      .orderBy(col("n").desc, col("a").asc, col("b").asc).head()
+    val (ta, tb) = (big.getString(0), big.getString(1))
+    val ph = s"$ta $tb"
+    def wantPhrase(end: Int, k: Int): Seq[Scored] = {
+      val pa = posDF.filter(col("term") === lit(ta)).select(col("docId"), col("p").as("pa"))
+      val pb = posDF.filter(col("term") === lit(tb)).select(col("docId"), col("p").as("pb"))
+      val mem = pa.join(pb, Seq("docId"))
+        .filter(col("pb") === col("pa") + lit(1) && col("pa") + lit(2) <= lit(end))
+        .select("docId").distinct()
+      Oracle.topK(docsDF, ph, Int.MaxValue).join(mem, Seq("docId"), "left_semi")
+        .orderBy(col("score").desc, col("docId").asc).limit(k)
+        .as[Scored].collect().toSeq
+    }
+    for (end <- Seq(2, 8, 1 << 20)) {
+      val got = searcher.searchSpanFirst(ph, end, 10).toSeq
+      assert(got == wantPhrase(end, 10), s"phrase '$ph' end=$end")
+      assert(warmed.searchSpanFirst(ph, end, 10).toSeq == got, s"warm phrase end=$end")
+    }
+    assert(searcher.searchSpanFirst(ph, 1 << 20, 10).nonEmpty)
+    // a span ending exactly AT the bound matches; one past it does not
+    // (end() <= end — the Lucene SpanFirstQuery boundary)
+    val firstEnds = posDF.filter(col("term") === lit(t))
+      .groupBy("docId").agg(min(col("p")).as("p0"))
+    val tightest = firstEnds.agg(min(col("p0") + lit(1)).cast("long")).head().getLong(0).toInt
+    assert(searcher.searchSpanFirst(t, tightest, 10).nonEmpty)
+    if (tightest > 1) assert(searcher.searchSpanFirst(t, tightest - 1, 10).isEmpty)
+    intercept[IllegalArgumentException] { searcher.searchSpanFirst(t, 0, 10) }
+    assert(searcher.searchSpanFirst("", 5, 10).isEmpty)
+    posDF.unpersist(blocking = false)
+  }
+
+  test("min_score: sub-threshold hits drop from the page (round-8)") {
+    val q = "the zanzibar"
+    val plain = searcher.search(q, 10)
+    assert(plain.length == 10)
+    val t = plain(4).score // threshold at the 5th hit keeps ties
+    val got = searcher.searchMinScore(q, 10, t).toSeq
+    assert(got == plain.filter(_.score >= t).toSeq && got.nonEmpty)
+    // filter(top-k) ≡ top-k(filter): threshold over the FULL ranking
+    val want = Oracle.topK(docsDF, q, Int.MaxValue).filter(col("score") >= lit(t))
+      .orderBy(col("score").desc, col("docId").asc).limit(10)
+      .as[Scored].collect().toSeq
+    assert(got == want)
+    assert(warmed.searchMinScore(q, 10, t).toSeq == got)
+    // degenerate thresholds
+    assert(searcher.searchMinScore(q, 10, Double.MaxValue).isEmpty)
+    assert(searcher.searchMinScore(q, 10, 0.0).toSeq == plain.toSeq)
+  }
+
+  test("completion suggester: prefix completions by popularity (round-8)") {
+    def want(p: String, k: Int): Seq[(String, Long)] =
+      tok.filter(col("term").startsWith(p)).groupBy(col("term"))
+        .agg(count(lit(1)).as("w"))
+        .orderBy(col("w").desc, col("term").asc).limit(k)
+        .as[(String, Long)].collect().toSeq
+    for (p <- Seq("t", "z", "th")) {
+      val got = searcher.suggestCompletion(p, 5).as[(String, Long)].collect().toSeq
+      assert(got == want(p, 5), s"prefix '$p'")
+      assert(warmed.suggestCompletion(p, 5).as[(String, Long)].collect().toSeq == got,
+        s"warm prefix '$p'")
+    }
+    // the fixture exercises the cap (vocab has > 5 t-prefixed terms)
+    assert(searcher.suggestCompletion("t", 5).count() == 5)
+    assert(searcher.suggestCompletion("t", 5000).count() > 5)
+    // unknown prefix → empty; un-analyzable prefix → empty (not a scan)
+    assert(searcher.suggestCompletion("qqqzzz", 5).count() == 0)
+    assert(searcher.suggestCompletion("#", 5).count() == 0)
+    // keyword/tier/fielded-text namespaces never surface: every
+    // suggestion is a bare analyzed token
+    val all = searcher.suggestCompletion("t", 5000).as[(String, Long)].collect()
+    assert(all.forall { case (s, _) => !s.startsWith("#") && !s.startsWith("%") })
+    intercept[IllegalArgumentException] { searcher.suggestCompletion("t", 0) }
   }
 
   test("function_score decay: closed-form contract points; rescore window ≡ oracle (round-8)") {
