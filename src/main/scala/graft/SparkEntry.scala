@@ -735,6 +735,25 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
           col("max").cast("long").as("max"), round(col("avg"), 6).as("avg"),
           col("sum").cast("long").as("sum"))
     }),
+    "q_multi_index_percentiles" -> ((s, dir) => {
+      // ES multi-index percentiles: exact order statistic over the
+      // UNIONED per-index match sets in ONE job (no sketch-state merge
+      // needed — the indexes partition documents, so the union is the
+      // global match set)
+      val root = documentsMultiIndexRoot(s, dir)
+      new graft.query.Indices(s, root, 8)
+        .percentiles("all", Bm25Query, "n_chars", Seq(0.25, 0.5, 0.9))
+        .select(col("p"), round(col("value"), 4).as("value"))
+    }),
+    "q_multi_index_cardinality" -> ((s, dir) => {
+      import s.implicits._
+      // ES multi-index cardinality: distinct values de-dup ACROSS
+      // indexes inside the unioned match set (per-index counts cannot
+      // merge exactly — a value in both halves must count once)
+      val root = documentsMultiIndexRoot(s, dir)
+      Seq(new graft.query.Indices(s, root, 8)
+        .cardinality("idx-*", Bm25Query, "source")).toDF("n_distinct")
+    }),
     "q_boosting" -> ((s, dir) =>
       // ES boosting query: hits = positive-query BM25 match set; hits
       // ALSO matching the negative query ('merge') keep their rank
@@ -1677,6 +1696,21 @@ SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(min(n_chars) AS BIGINT) AS "min"
        CAST(max(n_chars) AS BIGINT) AS "max", round(avg(n_chars), 6) AS "avg",
        CAST(sum(n_chars) AS BIGINT) AS "sum"
 FROM documents
+WHERE doc_id IN (SELECT DISTINCT doc_id FROM tok
+                 WHERE term IN ${inList(Analyzer.analyzeQuery(Bm25Query).toSeq)})""",
+      // multi-index percentiles/cardinality twins: the halves partition
+      // documents, so the unioned match set ≡ the whole-table match set
+      "q_multi_index_percentiles" ->
+        s"""${toksCte("documents", "doc_id")},
+m AS (SELECT n_chars FROM documents
+      WHERE doc_id IN (SELECT DISTINCT doc_id FROM tok
+                       WHERE term IN ${inList(Analyzer.analyzeQuery(Bm25Query).toSeq)})),
+sel AS (SELECT quantile_cont(n_chars, [0.25, 0.5, 0.9]) AS vals FROM m)
+SELECT CAST(t.p AS DOUBLE) AS p, round(CAST(t.v AS DOUBLE), 4) AS value
+FROM (SELECT unnest([0.25, 0.5, 0.9]) AS p, unnest(vals) AS v FROM sel) t ORDER BY p""",
+      "q_multi_index_cardinality" ->
+        s"""${toksCte("documents", "doc_id")}
+SELECT CAST(count(DISTINCT source) AS BIGINT) AS n_distinct FROM documents
 WHERE doc_id IN (SELECT DISTINCT doc_id FROM tok
                  WHERE term IN ${inList(Analyzer.analyzeQuery(Bm25Query).toSeq)})""",
       // boosting twin: positive scored CTE, negative MEMBERSHIP demotes

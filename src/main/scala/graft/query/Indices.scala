@@ -300,6 +300,63 @@ class Indices(spark: SparkSession, root: String, numShards: Int = 8) {
         (col("sum").cast("double") / col("n_docs")).as("avg"), col("sum"))
   }
 
+  /** The resolved indexes' matched (docId, field) frames unioned into
+    * one distributed plan — the shared input of the ORDER-STATISTIC
+    * cross-index aggregations below. Exact without any sketch-state
+    * merge: a doc lives in exactly one index, so the union IS the
+    * global match set (the round-7 review marked cross-index
+    * percentiles "documented-hard" assuming partial-merge; unioning
+    * the still-distributed match sets sidesteps it — one job, match
+    * sets never on the driver).
+    */
+  private def matchedUnion(expr: String, query: String, field: String): DataFrame = {
+    val frames = resolve(expr).map { n =>
+      searcherFor(n) match {
+        case Right(ms) => ms.matchedField(query, field)
+        case Left(s) => s.matchedField(query, field)
+      }
+    }
+    require(frames.nonEmpty, s"expression '$expr' matched no index under $root")
+    frames.reduce(_ unionByName _)
+  }
+
+  /** Multi-index `percentiles` (ES `_search` aggs over `idx-*`): exact
+    * `percentile` (or the `percentile_approx` sketch when
+    * `approximate`) over the UNIONED match sets — identical rules to
+    * the per-index aggregation, exact across indexes. Returns (p,
+    * value) rows like the per-index surface.
+    */
+  def percentiles(expr: String, query: String, field: String, ps: Seq[Double],
+      approximate: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.{array, element_at, lit, posexplode}
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      "percentiles must be in [0, 1]")
+    val pLits = array(ps.map(lit): _*)
+    val aggExpr =
+      if (approximate) percentile_approx(col(field), pLits, lit(10000))
+      else percentile(col(field), pLits)
+    matchedUnion(expr, query, field)
+      .agg(aggExpr.as("vals"))
+      .select(posexplode(col("vals")).as(Seq("pos", "value")))
+      .select(element_at(pLits, col("pos").cast("int") + 1).as("p"),
+        col("value").cast("double").as("value"))
+      .orderBy(col("p"))
+  }
+
+  /** Multi-index `cardinality`: distinct field values over the unioned
+    * match sets — exact by default (distinct de-dups ACROSS indexes in
+    * the same job — per-index counts cannot merge exactly, which is
+    * why this rides the union), HLL sketch when `approximate`.
+    */
+  def cardinality(expr: String, query: String, field: String,
+      approximate: Boolean = false): Long = {
+    val joined = matchedUnion(expr, query, field)
+    val agg =
+      if (approximate) joined.agg(approx_count_distinct(col(field)).as("c"))
+      else joined.agg(countDistinct(col(field)).as("c"))
+    agg.head().getLong(0)
+  }
+
   /** Run `f` over the resolved index names concurrently, results in
     * input order (deterministic — downstream merges re-sort anyway).
     */

@@ -1793,6 +1793,14 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
         agg.head().getLong(0)
     }
 
+  /** The matched (docId, field-value) frame across segments (LWW-exact,
+    * tombstones excluded) — see [[Searcher.matchedField]]; consumed by
+    * the cross-index aggregations in [[Indices]].
+    */
+  def matchedField(query: String, field: String): DataFrame =
+    rawDocs.select(col("docId"), col(field))
+      .join(matchingOrEmpty(query), Seq("docId"))
+
   /** ES `percentiles` aggregation over the cross-segment match set
     * (exact `percentile`, or `percentile_approx` when `approximate` —
     * same rules as the single-index searcher).

@@ -2066,6 +2066,17 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
         max(col(field)).as("max"), avg(col(field)).as("avg"),
         sum(col(field)).as("sum"))
 
+  /** The matched (docId, field-value) frame — the DISTRIBUTED input
+    * every value aggregation consumes, exposed (lazy, unexecuted) so
+    * cross-index aggregations ([[Indices.percentiles]] / `cardinality`)
+    * can union the per-index match sets into ONE job: a doc lives in
+    * exactly one index, so the union IS the global match set and any
+    * order-statistic over it is exact — no sketch-state merge needed.
+    */
+  def matchedField(query: String, field: String): DataFrame =
+    docs.select(col("docId"), col(field))
+      .join(matchingOrEmpty(query), Seq("docId"))
+
   /** Match set sorted by a FIELD instead of by score (ES `sort`): docs
     * containing ≥1 query term, ordered by `field` (desc/asc) with docId
     * as the deterministic tiebreak, top `k`. Plan: membership scan →

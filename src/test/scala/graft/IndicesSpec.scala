@@ -182,6 +182,44 @@ class IndicesSpec extends SparkSpec {
     intercept[IllegalArgumentException] { ix.fieldStats("nomatch-*", q, "dl") }
   }
 
+  test("multi-index percentiles/cardinality ride the unioned match set (round-8)") {
+    built
+    val qq = "the zanzibar"
+    def frames(field: String) = Seq(
+      new Searcher(spark, s"$root/idx-a", cfg.numShards).matchedField(qq, field),
+      new Searcher(spark, s"$root/idx-b", cfg.numShards).matchedField(qq, field),
+      new MultiSearcher(spark, s"$root/idx-stream").matchedField(qq, field))
+    // exact percentiles ≡ closest-ranks linear interpolation over the
+    // concatenated per-index matched values (independent construction)
+    val values = frames("dl")
+      .flatMap(_.select(col("dl").cast("double")).as[Double].collect()).sorted
+    assert(values.nonEmpty)
+    def quant(p: Double): Double = {
+      val h = (values.size - 1) * p
+      val lo = math.floor(h).toInt
+      val hi = math.ceil(h).toInt
+      values(lo) + (h - lo) * (values(hi) - values(lo))
+    }
+    val ps = Seq(0.25, 0.5, 0.9)
+    val got = ix.percentiles("idx-*", qq, "dl", ps)
+      .as[(Double, Double)].collect().toSeq
+    assert(got.map(_._1) == ps)
+    for ((p, v) <- got)
+      assert(math.abs(v - quant(p)) < 1e-9, s"p=$p got=$v want=${quant(p)}")
+    // cardinality de-dups ACROSS indexes: every index carries the same
+    // role values, so the per-index sum strictly exceeds the union
+    val perCard = Seq(
+      new Searcher(spark, s"$root/idx-a", cfg.numShards).cardinality(qq, "role"),
+      new Searcher(spark, s"$root/idx-b", cfg.numShards).cardinality(qq, "role"),
+      new MultiSearcher(spark, s"$root/idx-stream").cardinality(qq, "role"))
+    val gotC = ix.cardinality("idx-*", qq, "role")
+    val wantC = frames("role")
+      .flatMap(_.select("role").as[String].collect()).distinct.size.toLong
+    assert(gotC == wantC && gotC > 0)
+    assert(perCard.sum > gotC)
+    intercept[IllegalArgumentException] { ix.percentiles("nomatch-*", qq, "dl", ps) }
+  }
+
   test("an index directory created AFTER a same-named alias fails loudly (round-8 advice)") {
     built
     Aliases.add(fs, root, "shadow", Seq("idx-a"))
