@@ -348,6 +348,19 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
   private val AndQuery = "spark window customer"
   private val PhraseQuery = "merge sort" // adjacent bigram present at every sf
 
+  /** Stored percolator rules (q_percolate) — shared with the twin so the
+    * SQL VALUES lists are DERIVED from the same definition (no drift).
+    * One rule per mode: or + minimum_should_match, and, phrase.
+    */
+  private val PercolateRules = Seq(
+    graft.query.Percolator.StoredQuery("r-or", "stream scan"),
+    graft.query.Percolator.StoredQuery("r-msm2", Bm25Query,
+      graft.query.Percolator.Or, minShouldMatch = 3),
+    graft.query.Percolator.StoredQuery("r-and", "slow query",
+      graft.query.Percolator.And),
+    graft.query.Percolator.StoredQuery("r-phrase", PhraseQuery,
+      graft.query.Percolator.Phrase))
+
   /** Flagship: BM25 WAND top-10 over sf0.001 documents via the full
     * engine (index build + compressed blocks + block-max WAND).
     */
@@ -754,6 +767,22 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
       Seq(new graft.query.Indices(s, root, 8)
         .cardinality("idx-*", Bm25Query, "source")).toDF("n_distinct")
     }),
+    "q_explain" -> ((s, dir) => {
+      // ES _explain: per-term BM25 breakdown of the flagship query's
+      // top-1 hit — sum(weight) is bit-identical to the search score
+      val searcher = new Searcher(s, documentsIndex(s, dir), 8)
+      val top = searcher.search(Bm25Query, 1).head
+      searcher.explain(Bm25Query, top.docId)
+        .select(col("term"), col("tf").cast("long").as("tf"), col("df"),
+          col("dl").cast("long").as("dl"), round(col("idf"), 6).as("idf"),
+          round(col("weight"), 6).as("weight"))
+    }),
+    "q_percolate" -> ((s, dir) =>
+      // ES percolator (reverse search): which stored alert rules fire
+      // on each document — the analyzed rule set broadcast, ONE
+      // shuffle-free corpus pass with term->rule candidate pruning
+      graft.query.Percolator.percolate(s, documentsDocsDF(s, dir), PercolateRules)
+        .select(col("docId").as("doc_id"), col("query_id"))),
     "q_boosting" -> ((s, dir) =>
       // ES boosting query: hits = positive-query BM25 match set; hits
       // ALSO matching the negative query ('merge') keep their rank
@@ -882,6 +911,34 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
         .select(col("lang"), col("bucket"), col("n_docs"), col("deriv"),
           col("cum"), col("avg_chars"))
         .orderBy(col("lang"), col("bucket"))
+    }),
+    "q_pipeline_moving" -> ((s, dir) => {
+      // ES moving_avg + serial_diff over the same composite bucket
+      // frame — trailing-window mean and lagged difference per parent
+      val buckets = new Searcher(s, documentsIndex(s, dir), 8)
+        .compositeAgg(Bm25Query, Seq(
+          graft.query.TermsLevel("lang", "lang"),
+          graft.query.HistogramLevel("n_chars", 500L, "bucket")),
+          size = 10000, statField = Some("n_chars"))
+      val mv = graft.query.Aggs.movingAvg(
+        buckets, Seq("lang"), "bucket", "n_docs", 3, "mov3")
+      graft.query.Aggs.serialDiff(mv, Seq("lang"), "bucket", "n_docs", 2, "sdiff2")
+        .select(col("lang"), col("bucket"), col("n_docs"),
+          round(col("mov3"), 6).as("mov3"), col("sdiff2"))
+        .orderBy(col("lang"), col("bucket"))
+    }),
+    "q_stats_bucket" -> ((s, dir) => {
+      // ES stats_bucket (sibling pipeline agg): one row of stats over
+      // the bucket frame's doc counts — subsumes max/min/sum/avg_bucket
+      val buckets = new Searcher(s, documentsIndex(s, dir), 8)
+        .compositeAgg(Bm25Query, Seq(
+          graft.query.TermsLevel("lang", "lang"),
+          graft.query.HistogramLevel("n_chars", 500L, "bucket")),
+          size = 10000, statField = Some("n_chars"))
+      graft.query.Aggs.statsBucket(buckets, "n_docs")
+        .select(col("n_buckets"), col("min").cast("long").as("min"),
+          col("max").cast("long").as("max"), round(col("avg"), 6).as("avg"),
+          col("sum").cast("long").as("sum"))
     }),
     "q_facet_stats" -> ((s, dir) =>
       // ES sub-aggregation: terms buckets over lang with nested stats of
@@ -1675,6 +1732,35 @@ SELECT lang, bucket, n_docs,
        CAST(sum(n_docs) OVER (PARTITION BY lang ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
        round(CAST(s AS DOUBLE) / n_docs, 6) AS avg_chars
 FROM b ORDER BY lang, bucket""",
+      // moving_avg/serial_diff twin: the same bucket CTE, DuckDB window
+      // math (trailing 3-row mean, lag-2 difference)
+      "q_pipeline_moving" ->
+        s"""${toksCte("documents", "doc_id")},
+b AS (SELECT d.lang AS lang, CAST(floor(n_chars / 500) * 500 AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents d
+      WHERE d.doc_id IN (SELECT DISTINCT doc_id FROM tok
+                         WHERE term IN ${inList(Analyzer.analyzeQuery(Bm25Query).toSeq)})
+        AND d.lang IS NOT NULL AND d.n_chars IS NOT NULL
+      GROUP BY 1, 2)
+SELECT lang, bucket, n_docs,
+       round(avg(n_docs) OVER (PARTITION BY lang ORDER BY bucket ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mov3,
+       n_docs - lag(n_docs, 2) OVER (PARTITION BY lang ORDER BY bucket) AS sdiff2
+FROM b ORDER BY lang, bucket""",
+      // stats_bucket twin: plain stats over the bucket CTE's counts
+      "q_stats_bucket" ->
+        s"""${toksCte("documents", "doc_id")},
+b AS (SELECT d.lang AS lang, CAST(floor(n_chars / 500) * 500 AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents d
+      WHERE d.doc_id IN (SELECT DISTINCT doc_id FROM tok
+                         WHERE term IN ${inList(Analyzer.analyzeQuery(Bm25Query).toSeq)})
+        AND d.lang IS NOT NULL AND d.n_chars IS NOT NULL
+      GROUP BY 1, 2)
+SELECT CAST(count(*) AS BIGINT) AS n_buckets, CAST(min(n_docs) AS BIGINT) AS "min",
+       CAST(max(n_docs) AS BIGINT) AS "max", round(avg(n_docs), 6) AS "avg",
+       CAST(sum(n_docs) AS BIGINT) AS "sum"
+FROM b""",
       // multi-index facet twin: the two named indexes PARTITION the
       // documents table (null-safe source split), and terms-agg counts
       // are score-free, so the SUM-merged buckets ≡ the whole-table
@@ -1713,6 +1799,65 @@ FROM (SELECT unnest([0.25, 0.5, 0.9]) AS p, unnest(vals) AS v FROM sel) t ORDER 
 SELECT CAST(count(DISTINCT source) AS BIGINT) AS n_distinct FROM documents
 WHERE doc_id IN (SELECT DISTINCT doc_id FROM tok
                  WHERE term IN ${inList(Analyzer.analyzeQuery(Bm25Query).toSeq)})""",
+      // _explain twin: the scored CTE picks the same top-1 doc, then the
+      // per-term components re-derive from tf/df/dl with the SAME
+      // formula text (idfSql / scoreSql) — rounded 6, hash-identical
+      "q_explain" -> {
+        val terms = Analyzer.analyzeQuery(Bm25Query).toSeq
+        val score = Bm25.scoreSql("tf.tf", "df.df", "dl.dl", "st.n", "st.avgdl")
+        s"""${toksCte("documents", "doc_id")},
+dl AS (SELECT d.doc_id, coalesce(t.n, 0) AS dl FROM documents d
+       LEFT JOIN (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id) t ON d.doc_id = t.doc_id),
+st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id, sum($score ORDER BY tf.term ASC) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE tf.term IN ${inList(terms)} GROUP BY tf.doc_id),
+top1 AS (SELECT doc_id FROM scored ORDER BY score DESC, doc_id ASC LIMIT 1)
+SELECT tf.term, CAST(tf.tf AS BIGINT) AS tf, CAST(df.df AS BIGINT) AS df,
+       CAST(dl.dl AS BIGINT) AS dl,
+       round(${Bm25.idfSql("df.df", "st.n")}, 6) AS idf,
+       round($score, 6) AS weight
+FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+WHERE tf.term IN ${inList(terms)} AND tf.doc_id IN (SELECT doc_id FROM top1)
+ORDER BY tf.term"""
+      },
+      // percolate twin: rule VALUES lists DERIVED from PercolateRules
+      // (no drift). or/and unify as count(DISTINCT matched) >= need
+      // (and: need = nterms; nm <= nterms makes >= an equality);
+      // phrase rules are positional adjacency chains (1-based p)
+      "q_percolate" -> {
+        val flat = PercolateRules.filter(_.mode != graft.query.Percolator.Phrase)
+        val qVals = flat.flatMap(r => Analyzer.analyzeQuery(r.query)
+          .map(t => s"('${r.id}', '$t')")).mkString(", ")
+        val metaVals = flat.map { r =>
+          val n = Analyzer.analyzeQuery(r.query).length
+          val need = if (r.mode == graft.query.Percolator.And) n else r.minShouldMatch
+          s"('${r.id}', $need)"
+        }.mkString(", ")
+        val phraseSelects = PercolateRules
+          .filter(_.mode == graft.query.Percolator.Phrase).map { r =>
+            val ws = Analyzer.tokenize(r.query)
+            val joins = (1 until ws.length)
+              .map(j => s"JOIN pos p$j USING (doc_id)").mkString(" ")
+            val conds = ws.zipWithIndex.map { case (w, j) => s"p$j.term = '$w'" } ++
+              (1 until ws.length).map(j => s"p$j.p = p0.p + $j")
+            s"""SELECT DISTINCT p0.doc_id, '${r.id}' AS query_id
+FROM pos p0 $joins WHERE ${conds.mkString(" AND ")}"""
+          }
+        s"""${toksCte("documents", "doc_id")},
+arrs AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '$SqlTokRegex'), x -> x <> '') AS arr FROM documents),
+pos AS (SELECT doc_id, unnest(arr) AS term, unnest(range(1, len(arr)+1)) AS p FROM arrs),
+q(query_id, term) AS (VALUES $qVals),
+meta(query_id, need) AS (VALUES $metaVals),
+m AS (SELECT t.doc_id, q.query_id, count(DISTINCT t.term) AS nm
+      FROM (SELECT DISTINCT doc_id, term FROM tok) t JOIN q USING (term)
+      GROUP BY 1, 2)
+SELECT m.doc_id, m.query_id FROM m JOIN meta USING (query_id) WHERE m.nm >= meta.need
+${phraseSelects.map(s => s"UNION ALL\n$s").mkString("\n")}"""
+      },
       // boosting twin: positive scored CTE, negative MEMBERSHIP demotes
       // by × 0.5 (0.5 is exact in binary — the multiply is
       // bit-reproducible); ordering over the ADJUSTED score

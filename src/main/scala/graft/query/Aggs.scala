@@ -221,4 +221,39 @@ object Aggs {
     */
   def avgBucket(buckets: DataFrame, of: String): DataFrame =
     buckets.agg(avg(col(of)).as("avg_bucket"))
+
+  /** ES `moving_avg` (2.x simple model) / `moving_fn` avg: the mean of
+    * `of` over the trailing `window` buckets (current included) within
+    * each parent bucket, ordered by `orderKey` asc; the leading
+    * partial windows average what exists (ES behavior).
+    */
+  def movingAvg(buckets: DataFrame, parentKeys: Seq[String], orderKey: String,
+      of: String, window: Int, as: String): DataFrame = {
+    require(window >= 1, "moving_avg window must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(parentKeys.map(col): _*).orderBy(col(orderKey).asc)
+      .rowsBetween(-(window - 1).toLong,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    buckets.withColumn(as, avg(col(of)).over(w))
+  }
+
+  /** ES `serial_diff`: value(bucket) − value(`lagN` buckets earlier)
+    * within each parent bucket; the first `lagN` buckets are NULL (ES
+    * omits them).
+    */
+  def serialDiff(buckets: DataFrame, parentKeys: Seq[String], orderKey: String,
+      of: String, lagN: Int, as: String): DataFrame = {
+    require(lagN >= 1, "serial_diff lag must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(parentKeys.map(col): _*).orderBy(col(orderKey).asc)
+    buckets.withColumn(as, col(of) - lag(col(of), lagN).over(w))
+  }
+
+  /** ES `stats_bucket` (sibling pipeline agg): ONE row of (n_buckets,
+    * min, max, avg, sum) over the bucket frame's `of` metric —
+    * subsumes max_bucket / min_bucket / sum_bucket / avg_bucket.
+    */
+  def statsBucket(buckets: DataFrame, of: String): DataFrame =
+    buckets.agg(count(col(of)).as("n_buckets"), min(col(of)).as("min"),
+      max(col(of)).as("max"), avg(col(of)).as("avg"), sum(col(of)).as("sum"))
 }

@@ -32,6 +32,16 @@ object Bm25 {
     log(lit(1.0) + (lit(n) - df + lit(0.5)) / (df + lit(0.5))) * (tf * lit(2.2)) /
       (tf + lit(1.2) * (lit(0.25) + lit(0.75) * dl / lit(avgdl)))
 
+  /** The idf factor alone (the `_explain` breakdown column) — same
+    * sub-expression/operation order as [[scoreCol]]'s first factor.
+    */
+  def idfCol(df: Column, n: Long): Column =
+    log(lit(1.0) + (lit(n) - df + lit(0.5)) / (df + lit(0.5)))
+
+  /** The idf factor as DuckDB SQL (twin of [[idfCol]]). */
+  def idfSql(df: String, n: String): String =
+    s"ln(1 + ($n - $df + 0.5)/($df + 0.5))"
+
   /** The same formula as DuckDB SQL text (driver oracle parity). */
   def scoreSql(tf: String, df: String, dl: String, n: String, avgdl: String): String =
     s"ln(1 + ($n - $df + 0.5)/($df + 0.5)) * ($tf*2.2)/($tf + 1.2*(0.25 + 0.75*$dl/$avgdl))"

@@ -1493,11 +1493,14 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
     * scores under), ascending-term fold per doc, tombstoned/superseded
     * docs anti-joined out.
     */
-  private def scoredMatches(terms: Seq[String]): Option[DataFrame] = {
+  /** Decoded (docId, term, tf, dl, df) posting rows of the query's
+    * terms across segments under the LWW-exact merged df — shared input
+    * of [[scoredMatches]] and [[explain]]. NOT tombstone-filtered;
+    * every consumer must exclude removed docs itself.
+    */
+  private def postingRows(terms: Seq[String]): Option[DataFrame] = {
     val (dfGlobal, perSeg) = lookup(terms.distinct.sorted)
     if (!terms.exists(dfGlobal.contains)) return None
-    val nG = n
-    val avgdlG = avgdl
     val idRows = perSeg.toSeq.flatMap { case ((i, t), ts) =>
       dfGlobal.get(t).map(df => (i, ts.termId, t, df))
     }
@@ -1520,13 +1523,45 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
         val dlA = graft.index.Codec.decodeVarInts(dls, cnt)
         Iterator.range(0, cnt).map(i => (seg, tid, ids(i), tfA(i), dlA(i)))
       }.toDF("seg", "termId", "docId", "tf", "dl")
-    val contrib = posts.join(broadcast(idFrame), Seq("seg", "termId"))
-      .select(col("docId"), struct(col("term"),
-        Bm25.scoreCol(col("tf"), col("df"), col("dl"), nG, avgdlG).as("s")).as("c"))
-    val scored = contrib.groupBy(col("docId"))
-      .agg(aggregate(sort_array(collect_list(col("c"))), lit(0.0),
-        (acc, x) => acc + x.getField("s")).as("score"))
-    Some(if (hasTombstones) scored.join(tombDF, Seq("docId"), "left_anti") else scored)
+    Some(posts.join(broadcast(idFrame), Seq("seg", "termId")))
+  }
+
+  private def scoredMatches(terms: Seq[String]): Option[DataFrame] = {
+    val nG = n
+    val avgdlG = avgdl
+    postingRows(terms).map { rows =>
+      val scored = rows.select(col("docId"), struct(col("term"),
+          Bm25.scoreCol(col("tf"), col("df"), col("dl"), nG, avgdlG).as("s")).as("c"))
+        .groupBy(col("docId"))
+        .agg(aggregate(sort_array(collect_list(col("c"))), lit(0.0),
+          (acc, x) => acc + x.getField("s")).as("score"))
+      if (hasTombstones) scored.join(tombDF, Seq("docId"), "left_anti") else scored
+    }
+  }
+
+  /** ES `_explain` across segments — identical contract to
+    * [[Searcher.explain]] (per-term (tf, df, dl, idf, weight) rows,
+    * sum(weight) ≡ the hit's search score) under the LWW-exact merged
+    * stats; a tombstoned docId explains to zero rows (the doc no
+    * longer exists).
+    */
+  def explain(query: String, docId: Long): DataFrame = {
+    val terms = Analyzer.analyzeQuery(query).toSeq
+    val nG = n
+    val avgdlG = avgdl
+    postingRows(terms) match {
+      case None =>
+        Seq.empty[(String, Int, Long, Int, Double, Double)]
+          .toDF("term", "tf", "df", "dl", "idf", "weight")
+      case Some(rows) =>
+        val mine = rows.filter(col("docId") === lit(docId))
+        val live =
+          if (hasTombstones) mine.join(tombDF, Seq("docId"), "left_anti") else mine
+        live.select(col("term"), col("tf"), col("df"), col("dl"),
+            Bm25.idfCol(col("df"), nG).as("idf"),
+            Bm25.scoreCol(col("tf"), col("df"), col("dl"), nG, avgdlG).as("weight"))
+          .orderBy(col("term"))
+    }
   }
 
   /** ES field collapsing over the union of all segments — identical

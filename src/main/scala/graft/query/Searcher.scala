@@ -1846,11 +1846,14 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
     * determinism rule, bit-identical to the WAND sum (Bm25.scoreCol ≡
     * Bm25.score by construction).
     */
-  private def scoredMatches(terms: Seq[String]): Option[DataFrame] = {
+  /** Decoded (docId, term, tf, dl, df) posting rows of the query's
+    * terms — the shared distributed input of [[scoredMatches]] and
+    * [[explain]]: term-pruned block scan → decode → broadcast join of
+    * the tiny (term, df) frame.
+    */
+  private def postingRows(terms: Seq[String]): Option[DataFrame] = {
     val found = lookupTerms(terms.distinct)
     if (found.isEmpty) return None
-    val nG = stats.n
-    val avgdlG = stats.avgdl
     val termDf = found.values.toSeq.map(ts => (ts.termId, ts.term, ts.df))
       .toDF("termId", "term", "df")
     val posts = selectBlocks(found.values)
@@ -1863,12 +1866,46 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
         val dlA = graft.index.Codec.decodeVarInts(dls, cnt)
         Iterator.range(0, cnt).map(i => (tid, ids(i), tfA(i), dlA(i)))
       }.toDF("termId", "docId", "tf", "dl")
-    val contrib = posts.join(broadcast(termDf), Seq("termId"))
-      .select(col("docId"), struct(col("term"),
-        Bm25.scoreCol(col("tf"), col("df"), col("dl"), nG, avgdlG).as("s")).as("c"))
-    Some(contrib.groupBy(col("docId"))
-      .agg(aggregate(sort_array(collect_list(col("c"))), lit(0.0),
-        (acc, x) => acc + x.getField("s")).as("score")))
+    Some(posts.join(broadcast(termDf), Seq("termId")))
+  }
+
+  private def scoredMatches(terms: Seq[String]): Option[DataFrame] = {
+    val nG = stats.n
+    val avgdlG = stats.avgdl
+    postingRows(terms).map { rows =>
+      rows.select(col("docId"), struct(col("term"),
+          Bm25.scoreCol(col("tf"), col("df"), col("dl"), nG, avgdlG).as("s")).as("c"))
+        .groupBy(col("docId"))
+        .agg(aggregate(sort_array(collect_list(col("c"))), lit(0.0),
+          (acc, x) => acc + x.getField("s")).as("score"))
+    }
+  }
+
+  /** ES `_explain` (GET /index/_explain/{id}): the per-term BM25 score
+    * breakdown of one (query, document) pair — (term, tf, df, dl, idf,
+    * weight) rows, weight = the term's contribution under EXACTLY the
+    * search formula/operation order ([[Bm25.scoreCol]]), so
+    * sum(weight) over the rows is bit-identical to the hit's search
+    * score (pinned in tests). Terms of the query absent from the doc
+    * contribute no row (ES omits non-matching sub-explanations). Plan:
+    * the term-pruned decode of [[postingRows]] filtered to the one
+    * docId — never a corpus scan.
+    */
+  def explain(query: String, docId: Long): DataFrame = {
+    val terms = Analyzer.analyzeQuery(query).toSeq
+    val nG = stats.n
+    val avgdlG = stats.avgdl
+    postingRows(terms) match {
+      case None =>
+        Seq.empty[(String, Int, Long, Int, Double, Double)]
+          .toDF("term", "tf", "df", "dl", "idf", "weight")
+      case Some(rows) =>
+        rows.filter(col("docId") === lit(docId))
+          .select(col("term"), col("tf"), col("df"), col("dl"),
+            Bm25.idfCol(col("df"), nG).as("idf"),
+            Bm25.scoreCol(col("tf"), col("df"), col("dl"), nG, avgdlG).as("weight"))
+          .orderBy(col("term"))
+    }
   }
 
   /** ES field collapsing (`collapse`, round-7 review "What's missing

@@ -1456,4 +1456,40 @@ class QuerySurfaceSpec extends SparkSpec {
           .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
     }
   }
+
+  test("pipeline aggregations: moving_avg / serial_diff / stats_bucket (round-8)") {
+    val lv = Seq(graft.query.TermsLevel("role", "role"),
+      graft.query.HistogramLevel("dl", 20L, "bucket"))
+    val buckets = searcher.compositeAgg("the", lv, 100000, statField = Some("dl"))
+    val out = graft.query.Aggs.serialDiff(
+      graft.query.Aggs.movingAvg(buckets, Seq("role"), "bucket", "n_docs", 3, "mov3"),
+      Seq("role"), "bucket", "n_docs", 2, "sdiff2")
+      .select(col("role"), col("bucket"), col("n_docs"), col("mov3"), col("sdiff2"))
+      .orderBy(col("role"), col("bucket"))
+      .as[(String, Long, Long, Double, Option[Long])].collect().toSeq
+    assert(out.size > 4)
+    for ((_, rows0) <- out.groupBy(_._1)) {
+      val rows = rows0.sortBy(_._2)
+      for (i <- rows.indices) {
+        val win = rows.slice(math.max(0, i - 2), i + 1).map(_._3)
+        assert(rows(i)._4 == win.sum.toDouble / win.size,
+          s"mov3 at $i: ${rows(i)._4} vs window $win")
+        val want = if (i < 2) None else Some(rows(i)._3 - rows(i - 2)._3)
+        assert(rows(i)._5 == want, s"sdiff2 at $i")
+      }
+    }
+    // stats_bucket: one row, subsuming min/max/sum/avg_bucket
+    val st = graft.query.Aggs.statsBucket(buckets, "n_docs")
+      .as[(Long, Long, Long, Double, Long)].head()
+    val counts = out.map(_._3)
+    assert(st == ((counts.size.toLong, counts.min, counts.max,
+      counts.sum.toDouble / counts.size, counts.sum)))
+    // guards
+    intercept[IllegalArgumentException] {
+      graft.query.Aggs.movingAvg(buckets, Seq("role"), "bucket", "n_docs", 0, "m")
+    }
+    intercept[IllegalArgumentException] {
+      graft.query.Aggs.serialDiff(buckets, Seq("role"), "bucket", "n_docs", 0, "s")
+    }
+  }
 }
