@@ -110,6 +110,26 @@ object Plans {
       graft.query.DateHistLevel("ts", "day", "k2")), statField = Some("dl"))
     println(tree.queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode))
+
+    // percolator (round-8 stretch): reverse search must be ONE
+    // shuffle-free pass — no Exchange anywhere; the rule set rides a
+    // broadcast variable, not a join
+    println("\n===================== percolate (shuffle-free single pass) =====================")
+    val perc = graft.query.Percolator.percolate(spark,
+      spark.read.parquet(s"$idxDir/docs"), Seq(
+        graft.query.Percolator.StoredQuery("r1", "zanzibar quasar"),
+        graft.query.Percolator.StoredQuery("r2", "merge sort",
+          graft.query.Percolator.Phrase)))
+    println(perc.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode))
+
+    // _explain (round-8 stretch): the breakdown must come from the
+    // TERM-pruned block scan (termId isin pushdown) — never a corpus
+    // or full-postings scan for one document
+    println("\n===================== _explain (term-pruned block scan) =====================")
+    val expl = searcher.explain("zanzibar quasar", 1L)
+    println(expl.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode))
     spark.stop()
   }
 }
