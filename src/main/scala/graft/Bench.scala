@@ -278,7 +278,7 @@ object Bench {
         "q_dis_max_shared",
         // round-8 stretch operators
         "q_boosting", "q_span_first", "q_min_score", "q_suggest_completion",
-        "q_percolate", "q_explain",
+        "q_percolate", "q_explain", "q_termvectors", "q_scroll_all",
         // round-8 multi-index merges (root built in the warmup above)
         "q_multi_index", "q_multi_index_facet", "q_multi_index_stats",
         "q_multi_index_percentiles", "q_multi_index_cardinality")) {

@@ -777,6 +777,20 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
           col("dl").cast("long").as("dl"), round(col("idf"), 6).as("idf"),
           round(col("weight"), 6).as("weight"))
     }),
+    "q_scroll_all" -> ((s, dir) =>
+      // ES scroll (sort=_doc bulk export): the FULL scored match set as
+      // a distributed frame — no top-k, no global sort in the plan; the
+      // doc_id ordering here exists only for the hash compare
+      new Searcher(s, documentsIndex(s, dir), 8).scrollAll(Bm25Query)
+        .select(col("docId").as("doc_id"), round(col("score"), 4).as("score"))
+        .orderBy(col("doc_id"))),
+    "q_termvectors" -> ((s, dir) =>
+      // ES _termvectors: doc 42's on-the-fly term statistics — one row
+      // per token occurrence (term, 0-based pos, tf, df-from-dict);
+      // offsets stay in the API (no SQL derivation for char offsets)
+      new Searcher(s, documentsIndex(s, dir), 8).termVectors(42L)
+        .select(col("term"), col("pos").cast("long").as("pos"),
+          col("tf").cast("long").as("tf"), col("df"))),
     "q_percolate" -> ((s, dir) =>
       // ES percolator (reverse search): which stored alert rules fire
       // on each document — the analyzed rule set broadcast, ONE
@@ -1824,6 +1838,35 @@ FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
 WHERE tf.term IN ${inList(terms)} AND tf.doc_id IN (SELECT doc_id FROM top1)
 ORDER BY tf.term"""
       },
+      // scroll twin: the scored CTE with NO rank/limit — every matching
+      // doc and its exact BM25 sum
+      "q_scroll_all" -> {
+        val score = Bm25.scoreSql("tf.tf", "df.df", "dl.dl", "st.n", "st.avgdl")
+        s"""${toksCte("documents", "doc_id")},
+dl AS (SELECT d.doc_id, coalesce(t.n, 0) AS dl FROM documents d
+       LEFT JOIN (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id) t ON d.doc_id = t.doc_id),
+st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id, sum($score ORDER BY tf.term ASC) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE tf.term IN ${inList(Analyzer.analyzeQuery(Bm25Query).toSeq)}
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(score, 4) AS score FROM scored ORDER BY doc_id"""
+      },
+      // termvectors twin: positional unnest (1-based p → 0-based pos),
+      // per-(doc, term) tf, corpus-wide df — all from the raw text
+      "q_termvectors" ->
+        s"""WITH arrs AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '$SqlTokRegex'), x -> x <> '') AS arr FROM documents),
+pos AS (SELECT doc_id, unnest(arr) AS term, unnest(range(1, len(arr)+1)) AS p FROM arrs),
+tfd AS (SELECT doc_id, term, count(*) AS tf FROM pos GROUP BY 1, 2),
+dfd AS (SELECT term, count(DISTINCT doc_id) AS df FROM pos GROUP BY 1)
+SELECT p.term, CAST(p.p - 1 AS BIGINT) AS pos, CAST(t.tf AS BIGINT) AS tf,
+       CAST(d.df AS BIGINT) AS df
+FROM pos p JOIN tfd t ON p.doc_id = t.doc_id AND p.term = t.term
+JOIN dfd d ON p.term = d.term
+WHERE p.doc_id = 42 ORDER BY p.term, pos""",
       // percolate twin: rule VALUES lists DERIVED from PercolateRules
       // (no drift). or/and unify as count(DISTINCT matched) >= need
       // (and: need = nterms; nm <= nterms makes >= an equality);

@@ -1564,6 +1564,40 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
     }
   }
 
+  /** ES scroll (`sort: _doc` bulk export) across segments — identical
+    * contract to [[Searcher.scrollAll]]: the full scored match set as a
+    * distributed frame under the LWW-exact merged stats, tombstoned
+    * docs excluded.
+    */
+  def scrollAll(query: String): DataFrame =
+    scoredMatches(Analyzer.analyzeQuery(query).toSeq)
+      .getOrElse(Seq.empty[(Long, Double)].toDF("docId", "score"))
+
+  /** ES `_termvectors` across segments — identical contract to
+    * [[Searcher.termVectors]]; the doc's text comes from ITS segment's
+    * store, df from the LWW-exact merged dictionary, and a tombstoned
+    * docId returns 0 rows (the doc no longer exists).
+    */
+  def termVectors(docId: Long): DataFrame = {
+    val empty = Seq.empty[(String, Int, Int, Int, Int, Long)]
+      .toDF("term", "pos", "start_offset", "end_offset", "tf", "df")
+    if (hasTombstones &&
+        tombDF.filter(col("docId") === lit(docId)).limit(1).count() > 0)
+      return empty
+    val row = rawDocs.filter(col("docId") === lit(docId)).select("text").collect()
+    if (row.isEmpty || row.head.isNullAt(0)) return empty
+    val toks = Analyzer.tokenizeWithOffsets(row.head.getString(0))
+    if (toks.isEmpty) return empty
+    val tf = toks.groupBy(_._1).map { case (t, occ) => t -> occ.length }
+    val (dfGlobal, _) = lookup(tf.keys.toSeq.sorted)
+    toks.zipWithIndex
+      .map { case ((t, s, e), i) =>
+        (t, i, s, e, tf(t), dfGlobal.getOrElse(t, 0L))
+      }
+      .sortBy(r => (r._1, r._2)).toSeq
+      .toDF("term", "pos", "start_offset", "end_offset", "tf", "df")
+  }
+
   /** ES field collapsing over the union of all segments — identical
     * contract to [[Searcher.collapse]] (one best hit per key, global
     * top-k groups), under the merged LWW-exact stats. Same plan shape:

@@ -1908,6 +1908,48 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
     }
   }
 
+  /** ES scroll, the efficient `sort: _doc` bulk-export mode: the FULL
+    * scored match set as a still-distributed (docId, score) frame — no
+    * top-k, no global sort, nothing on the driver. ES pages this
+    * through a stateful cursor because its client is a single process;
+    * the Spark-native equivalent of "scroll every hit" IS the
+    * DataFrame — callers write it out or join it onward, and any
+    * page-sized consumption is a `searchAfter` (Q16/Q25). Scores are
+    * the exact per-doc BM25 sums ([[scoredMatches]]); empty frame when
+    * no query term is indexed.
+    */
+  def scrollAll(query: String): DataFrame =
+    scoredMatches(Analyzer.analyzeQuery(query).toSeq)
+      .getOrElse(Seq.empty[(Long, Double)].toDF("docId", "score"))
+
+  /** ES `_termvectors` (GET /index/_termvectors/{id}, a 2.4-era API):
+    * the document's own term statistics — one row per token occurrence,
+    * (term, pos, start_offset, end_offset, tf, df), term asc / pos asc.
+    * tf/positions/offsets are generated ON THE FLY from the stored text
+    * (exactly ES's behavior when term vectors are not stored in the
+    * mapping); df comes from the index dictionary. Plan: a point read
+    * of the doc-store row (EqualTo(docId) pushed to the
+    * docId-range-partitioned store) + one dict lookup bounded by the
+    * doc's vocabulary — never a corpus pass. Unknown docId → 0 rows
+    * (ES found=false).
+    */
+  def termVectors(docId: Long): DataFrame = {
+    val empty = Seq.empty[(String, Int, Int, Int, Int, Long)]
+      .toDF("term", "pos", "start_offset", "end_offset", "tf", "df")
+    val row = docs.filter(col("docId") === lit(docId)).select("text").collect()
+    if (row.isEmpty || row.head.isNullAt(0)) return empty
+    val toks = Analyzer.tokenizeWithOffsets(row.head.getString(0))
+    if (toks.isEmpty) return empty
+    val tf = toks.groupBy(_._1).map { case (t, occ) => t -> occ.length }
+    val dfs = lookupTerms(tf.keys.toSeq.sorted)
+    toks.zipWithIndex
+      .map { case ((t, s, e), i) =>
+        (t, i, s, e, tf(t), dfs.get(t).map(_.df).getOrElse(0L))
+      }
+      .sortBy(r => (r._1, r._2)).toSeq
+      .toDF("term", "pos", "start_offset", "end_offset", "tf", "df")
+  }
+
   /** ES field collapsing (`collapse`, round-7 review "What's missing
     * #1"): ONE hit per distinct `field` value — the group's best doc by
     * (score desc, docId asc) — globally ranked by that best score, top

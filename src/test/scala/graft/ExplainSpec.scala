@@ -80,6 +80,27 @@ class ExplainSpec extends SparkSpec {
     assert(searcher.explain("the", -1L).count() == 0)
   }
 
+  test("termvectors re-derive from the raw text; offsets slice to the token") {
+    val victim = docsDF.filter(length(col("text")) > 50)
+      .orderBy(col("docId")).select("docId", "text").head()
+    val (id, text) = (victim.getLong(0), victim.getString(1))
+    val got = searcher.termVectors(id)
+      .as[(String, Int, Int, Int, Int, Long)].collect().toSeq
+    val toks = Analyzer.tokenize(text)
+    assert(got.size == toks.length)
+    // independent recompute: tf by counting, df by scanning the store,
+    // positions = token indexes in term-grouped ascending order
+    val want = toks.zipWithIndex.map { case (t, i) =>
+      (t, i, toks.count(_ == t).toLong,
+        docsDF.filter(array_contains(Analyzer.tokensCol(col("text")), t)).count())
+    }.sortBy(r => (r._1, r._2)).toSeq
+    assert(got.map(r => (r._1, r._2, r._5.toLong, r._6)) == want)
+    // offsets slice the original text to exactly the token value
+    for ((t, _, s, e, _, _) <- got)
+      assert(text.substring(s, e).toLowerCase == t, s"offset [$s,$e) for '$t'")
+    assert(searcher.termVectors(-1L).count() == 0)
+  }
+
   test("cross-segment explain: merged stats, tombstoned doc explains to nothing") {
     val dir = s"${TestSpark.tmpRoot}/index-explain-stream"
     val scfg = IndexConfig(numBuckets = 1, partitions = 8)
@@ -103,9 +124,16 @@ class ExplainSpec extends SparkSpec {
         .select("conv_id", "turn_idx").head()
       (r.getString(0), r.getInt(1))
     }
+    // termvectors across segments: the batch-1 doc's text + merged df
+    val tv = ms.termVectors(top.head.docId)
+      .as[(String, Int, Int, Int, Int, Long)].collect().toSeq
+    assert(tv.nonEmpty && tv.forall(_._6 > 0))
+    val dfOfZanzibar = tv.find(_._1 == "zanzibar")
+    for (row <- dfOfZanzibar) assert(row._6 >= 2) // corpus markers + extra row
     StreamingIngest.deleteTurns(spark, dir, Seq((conv, turn)))
     val ms2 = new MultiSearcher(spark, dir)
     assert(ms2.explain(q, victim).count() == 0)
     assert(!ms2.search(q, 3).exists(_.docId == victim))
+    assert(ms2.termVectors(victim).count() == 0)
   }
 }

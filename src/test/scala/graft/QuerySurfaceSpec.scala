@@ -1492,4 +1492,19 @@ class QuerySurfaceSpec extends SparkSpec {
       graft.query.Aggs.serialDiff(buckets, Seq("role"), "bucket", "n_docs", 0, "s")
     }
   }
+
+  test("scrollAll: the full scored match set ≡ the exhaustive oracle, no limit in the plan (round-8)") {
+    val q = "the zanzibar quasar"
+    val got = searcher.scrollAll(q)
+      .as[(Long, Double)].collect().toSeq.sortBy(_._1)
+    val want = graft.query.Oracle.topK(docsDF, q, Int.MaxValue)
+      .select(col("docId"), col("score")).as[(Long, Double)]
+      .collect().toSeq.sortBy(_._1)
+    assert(got == want && got.size > 100)
+    // a bulk-export plan must not cap or globally sort anything
+    val plan = searcher.scrollAll(q).queryExecution.executedPlan.toString
+    assert(!plan.contains("TakeOrderedAndProject") && !plan.contains("GlobalLimit"),
+      s"unexpected cap in:\n$plan")
+    assert(searcher.scrollAll("qqqzzz").count() == 0)
+  }
 }
