@@ -40,4 +40,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // round-1 8g GC-wall went away once per-doc tf aggregation removed
   // the explode+hash-agg allocation storm.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // pin the heap at its max and fault the pages in at JVM start (before
+  // main / any timed region): the committed heap otherwise grows on
+  // demand across the first build reps — measured as a 2-4x wall
+  // slowdown of rep 1-2 (growth pauses + page faults inside the timed
+  // window) with identical steady-state CPU/turn. Standard practice for
+  // any dedicated Spark executor/driver JVM, not a local[32] trick.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  "-XX:+AlwaysPreTouch",
 )

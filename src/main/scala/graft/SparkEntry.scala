@@ -64,7 +64,16 @@ object SparkEntry {
   /** documentsDocs plus the table's keyword metadata columns (kept so
     * the index can store fielded filter terms — `IndexConfig.fieldCols`).
     */
-  private def documentsDocsDF(spark: SparkSession, dir: String): DataFrame = {
+  private val docsDFCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** Memoized DataFrame HANDLE (plan + file listing — no persisted
+    * data): q_percolate re-derives the frame per call, and rebuilding
+    * it re-listed the parquet store each time.
+    */
+  private def documentsDocsDF(spark: SparkSession, dir: String): DataFrame =
+    docsDFCache.computeIfAbsent(dir, d => documentsDocsDFUncached(spark, d))
+
+  private def documentsDocsDFUncached(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
@@ -132,6 +141,28 @@ object SparkEntry {
       root
     })
 
+  /** Open serving handles, one per index dir — the state a serving
+    * deployment holds across requests (round-7 review added exactly
+    * this memoization inside [[graft.query.Indices]]; the harness
+    * entries get the same contract). Reuses ONLY metadata/listing
+    * state: the Searcher's lazy stats row, fieldstats map, and the
+    * parquet DataFrame handles (file listings). No `warm()` is called —
+    * no driver dictionary, no pinned blocks — so every query still runs
+    * the cold distributed path, and nothing about any query's RESULT
+    * depends on the reuse. Before this, every timed entry re-listed and
+    * re-read the same four parquet stores (~8 extra Spark jobs per
+    * query — round-9 job-breakdown measurement).
+    */
+  private val searcherCache = new java.util.concurrent.ConcurrentHashMap[String, Searcher]()
+  private def searcherOf(s: SparkSession, indexDir: String): Searcher =
+    searcherCache.computeIfAbsent(indexDir, d => new Searcher(s, d, 8))
+  private val indicesCache = new java.util.concurrent.ConcurrentHashMap[String, graft.query.Indices]()
+  private def indicesOf(s: SparkSession, root: String): graft.query.Indices =
+    indicesCache.computeIfAbsent(root, r => new graft.query.Indices(s, r, 8))
+  private val msCache = new java.util.concurrent.ConcurrentHashMap[String, graft.query.MultiSearcher]()
+  private def msOf(s: SparkSession, dir: String): graft.query.MultiSearcher =
+    msCache.computeIfAbsent(dir, d => new graft.query.MultiSearcher(s, d))
+
   private def rankHits(spark: SparkSession, hits: Array[graft.model.Scored],
       rankBase: Long = 0L): DataFrame = {
     import spark.implicits._
@@ -142,7 +173,7 @@ object SparkEntry {
 
   private def wandTopK(spark: SparkSession, dir: String, q: String, k: Int,
       conjunctive: Boolean, phrase: Boolean = false): DataFrame = {
-    val s = new Searcher(spark, documentsIndex(spark, dir), 8)
+    val s = searcherOf(spark, documentsIndex(spark, dir))
     val hits =
       if (phrase) s.searchPhrase(q, k)
       else if (conjunctive) s.searchConjunctive(q, k)
@@ -487,33 +518,33 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
     // to the tf table directly
     "q_bm25_prefix" -> ((s, dir) => {
       import s.implicits._
-      rankHits(s, new Searcher(s, documentsIndex(s, dir), 8).searchPrefix("s", 10))
+      rankHits(s, searcherOf(s, documentsIndex(s, dir)).searchPrefix("s", 10))
     }),
     "q_bm25_wildcard" -> ((s, dir) => {
       import s.implicits._
-      rankHits(s, new Searcher(s, documentsIndex(s, dir), 8).searchWildcard("s*a*", 10))
+      rankHits(s, searcherOf(s, documentsIndex(s, dir)).searchWildcard("s*a*", 10))
     }),
     "q_bm25_fuzzy" -> ((s, dir) => {
       import s.implicits._
-      rankHits(s, new Searcher(s, documentsIndex(s, dir), 8).searchFuzzy("sprak", 10, maxDist = 2))
+      rankHits(s, searcherOf(s, documentsIndex(s, dir)).searchFuzzy("sprak", 10, maxDist = 2))
     }),
     "q_bm25_fuzzy_prefix" -> ((s, dir) => {
       // ES fuzzy prefix_length: candidates share the first 2 chars (the
       // cold dict scan becomes a row-group-prunable startsWith)
-      rankHits(s, new Searcher(s, documentsIndex(s, dir), 8)
+      rankHits(s, searcherOf(s, documentsIndex(s, dir))
         .searchFuzzy("sprak", 10, maxDist = 2, prefixLength = 2))
     }),
     "q_constant_score" -> ((s, dir) =>
       // ES constant_score: filter-context membership, score = boost,
       // deterministic docId-asc ties — no BM25, no WAND
-      new Searcher(s, documentsIndex(s, dir), 8)
+      searcherOf(s, documentsIndex(s, dir))
         .searchConstantScore(Bm25Query, 10, boost = 2.5,
           filters = Seq("lang" -> "en"))
         .select(col("docId").as("doc_id"), col("score"))),
     "q_rescore" -> ((s, dir) =>
       // ES function_score field_value_factor via a rescore window:
       // top-50 BM25 hits re-ranked by bm25 * (0.001 * n_chars), top 10
-      new Searcher(s, documentsIndex(s, dir), 8)
+      searcherOf(s, documentsIndex(s, dir))
         .rescoreByFieldFactor(Bm25Query, 10, window = 50, "n_chars", 0.001)
         .select(col("docId").as("doc_id"), round(col("score"), 4).as("score"))),
     "q_decay_recency" -> ((s, dir) =>
@@ -522,7 +553,7 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
       // bm25 · 0.5^((d/scale)²), d = |ts − origin| millis, scale = 90d
       // — the recency boost ES users run on the reference's
       // created/lastChanged date mapping
-      new Searcher(s, documentsIndex(s, dir), 8)
+      searcherOf(s, documentsIndex(s, dir))
         .rescoreByDecay(Bm25Query, 10, window = 50, "ts", shape = "gauss",
           origin = (DecayEpochMs + 364L * DayMs).toDouble,
           scale = 90.0 * DayMs)
@@ -531,13 +562,13 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
       // ES field collapsing: ONE best hit per `lang` (score desc, docId
       // asc within the group), groups ranked by their best hit, top 5 —
       // needs the SCORED match set (top-k alone cannot collapse)
-      new Searcher(s, documentsIndex(s, dir), 8)
+      searcherOf(s, documentsIndex(s, dir))
         .collapse(Bm25Query, "lang", 5)
         .select(col("key"), col("doc_id"), round(col("score"), 4).as("score"))),
     "q_collapse_inner" -> ((s, dir) =>
       // ES collapse + inner_hits: top-3 groups by their best hit, each
       // returning its <=2 best hits in hit_rank order
-      new Searcher(s, documentsIndex(s, dir), 8)
+      searcherOf(s, documentsIndex(s, dir))
         .collapse(Bm25Query, "lang", 3, innerHits = 2)
         .select(col("key"), col("hit_rank"), col("doc_id"),
           round(col("score"), 4).as("score"))),
@@ -545,19 +576,19 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
       // ES `regexp` query: whole-term anchoring (Lucene), deterministic
       // term-asc capped expansion, BM25 OR — 'sp.rk|wind.w' expands to
       // {spark, window}
-      rankHits(s, new Searcher(s, documentsIndex(s, dir), 8).searchRegexp("sp.rk|wind.w", 10))
+      rankHits(s, searcherOf(s, documentsIndex(s, dir)).searchRegexp("sp.rk|wind.w", 10))
     }),
     "q_bm25_match_fuzzy" -> ((s, dir) => {
       // ES match + fuzziness: EVERY query token expands (per-token cap)
       // and the union scores as one BM25 OR; each expansion scores with
       // its own idf (documented deviation from ES's blended rewrite)
-      rankHits(s, new Searcher(s, documentsIndex(s, dir), 8)
+      rankHits(s, searcherOf(s, documentsIndex(s, dir))
         .searchMatchFuzzy("sprak windoq", 10, maxDist = 2))
     }),
     "q_dis_max" -> ((s, dir) => {
       // ES dis_max as a general combinator: best sub-query's BM25 sum +
       // tie_breaker · the others (the best-fields fold over query groups)
-      rankHits(s, new Searcher(s, documentsIndex(s, dir), 8)
+      rankHits(s, searcherOf(s, documentsIndex(s, dir))
         .searchDisMax(Seq("spark window", "query merge"), 10, tieBreaker = 0.3))
     }),
     "q_dis_max_shared" -> ((s, dir) => {
@@ -565,49 +596,49 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
       // missing #5"): 'window' belongs to BOTH groups and contributes
       // to each group's sum independently — one scored iterator per
       // (group, term), exactly ES's isolated sub-query scoring
-      rankHits(s, new Searcher(s, documentsIndex(s, dir), 8)
+      rankHits(s, searcherOf(s, documentsIndex(s, dir))
         .searchDisMax(Seq("spark window", "window merge"), 10, tieBreaker = 0.3))
     }),
     "q_bm25_filtered" -> ((s, dir) => {
       // ES bool query, filter context: score = plain BM25 under FULL
       // corpus stats, membership restricted by the fielded keyword term
       // #lang:fr (one extra unscored posting list in the WAND)
-      rankHits(s, new Searcher(s, documentsIndex(s, dir), 8)
+      rankHits(s, searcherOf(s, documentsIndex(s, dir))
         .searchBool(Bm25Query, 10, filters = Seq("lang" -> "fr")))
     }),
     "q_bm25_mustnot" -> ((s, dir) => {
-      rankHits(s, new Searcher(s, documentsIndex(s, dir), 8)
+      rankHits(s, searcherOf(s, documentsIndex(s, dir))
         .searchBool(Bm25Query, 10, mustNot = Seq("lang" -> "en", "source" -> "src1")))
     }),
     "q_bm25_terms" -> ((s, dir) => {
       // ES `terms` clause: one UnionCursor over the values' posting lists
-      rankHits(s, new Searcher(s, documentsIndex(s, dir), 8)
+      rankHits(s, searcherOf(s, documentsIndex(s, dir))
         .searchBool(Bm25Query, 10, anyFilters = Seq("lang" -> Seq("fr", "es"))))
     }),
     "q_bm25_range" -> ((s, dir) => {
       // ES `range` clause (lexicographic, inclusive): dictionary-expanded
       // to the stored #lang values in ['d','f'] = {de, en, es}
-      rankHits(s, new Searcher(s, documentsIndex(s, dir), 8)
+      rankHits(s, searcherOf(s, documentsIndex(s, dir))
         .searchBool(Bm25Query, 10, rangeFilters = Seq(("lang", "d", "f"))))
     }),
     "q_bm25_range_numeric" -> ((s, dir) => {
       // tiered numeric trie range on the HIGH-CARDINALITY n_chars field
       // (IndexConfig.numericFieldCols): the clause is a bounded set of
       // trie cells, never one dictionary term per distinct value
-      rankHits(s, new Searcher(s, documentsIndex(s, dir), 8)
+      rankHits(s, searcherOf(s, documentsIndex(s, dir))
         .searchBool(Bm25Query, 10, numericRangeFilters = Seq(("n_chars", 137L, 2741L))))
     }),
     "q_bm25_field" -> ((s, dir) => {
       // fielded match (ES {"match": {"title": ...}}): BM25 over the
       // 'title' analyzed field under the FIELD's own stats — df per
       // %title term, field dl, (docCount, avgdl) from fieldstats/
-      rankHits(s, new Searcher(s, documentsIndex(s, dir), 8)
+      rankHits(s, searcherOf(s, documentsIndex(s, dir))
         .searchField("title", Bm25Query, 10))
     }),
     "q_bm25_multimatch" -> ((s, dir) => {
       // ES multi_match (most_fields): text×1 + title×2, every matched
       // (field, term) contribution boost-scaled, one ascending-key sum
-      rankHits(s, new Searcher(s, documentsIndex(s, dir), 8)
+      rankHits(s, searcherOf(s, documentsIndex(s, dir))
         .multiMatch("spark query", Seq("text" -> 1.0, "title" -> 2.0), 10))
     }),
     "q_bm25_multimatch_best" -> ((s, dir) => {
@@ -615,20 +646,20 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
       // score = best field's boost-scaled sum + 0.3 × the other
       // field's — evaluated as one ascending-namespaced-key weighted
       // fold (tb=1 ≡ most_fields bit-exactly)
-      rankHits(s, new Searcher(s, documentsIndex(s, dir), 8)
+      rankHits(s, searcherOf(s, documentsIndex(s, dir))
         .multiMatch("spark query", Seq("text" -> 1.0, "title" -> 2.0), 10,
           bestFields = true, tieBreaker = 0.3))
     }),
     "q_bm25_field_phrase" -> ((s, dir) => {
       // fielded match_phrase: adjacency over the FIELD's own positions,
       // conjunctive per-field BM25 scoring (round-5 review ask #4)
-      rankHits(s, new Searcher(s, documentsIndex(s, dir), 8)
+      rankHits(s, searcherOf(s, documentsIndex(s, dir))
         .searchField("title", "column vector", 10, phrase = true))
     }),
     "q_bm25_field_prefix" -> ((s, dir) => {
       // per-field term expansion (ES prefix on an analyzed sub-field):
       // expands within the %title: namespace, scores under field stats
-      rankHits(s, new Searcher(s, documentsIndex(s, dir), 8)
+      rankHits(s, searcherOf(s, documentsIndex(s, dir))
         .searchPrefix("s", 10, field = "title"))
     }),
     "q_bm25_phrase_prefix" -> ((s, dir) => {
@@ -636,13 +667,13 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
       // to the ≤50 term-asc dictionary terms starting 's' and rides the
       // phrase as ONE multi-term union slot (Lucene MultiPhraseQuery);
       // score = BM25 of the fixed terms (the slot gates membership)
-      rankHits(s, new Searcher(s, documentsIndex(s, dir), 8)
+      rankHits(s, searcherOf(s, documentsIndex(s, dir))
         .searchPhrasePrefix("merge s", 10))
     }),
     "q_facet_terms_range" -> ((s, dir) =>
       // aggregation over the FULL bool query incl. a `terms` clause and
       // a lexicographic keyword `range` clause (round-5 review ask #6)
-      new Searcher(s, documentsIndex(s, dir), 8)
+      searcherOf(s, documentsIndex(s, dir))
         .facetCounts(Bm25Query, "source",
           anyFilters = Seq("lang" -> Seq("fr", "es", "de")),
           rangeFilters = Seq(("source", "src1", "src2")))),
@@ -650,43 +681,43 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
       // ES `exists` query: docs that HAVE the title field (≥1 token) —
       // the `_field_names`-style marker term rides the WAND as one more
       // filter cursor, never a doc-store scan
-      rankHits(s, new Searcher(s, documentsIndex(s, dir), 8)
+      rankHits(s, searcherOf(s, documentsIndex(s, dir))
         .searchBool(Bm25Query, 10, exists = Seq("title")))
     }),
     "q_bm25_missing" -> ((s, dir) => {
       // ES must_not exists ("missing"): docs WITHOUT the title field —
       // the exists marker rides the must_not cursor set
-      rankHits(s, new Searcher(s, documentsIndex(s, dir), 8)
+      rankHits(s, searcherOf(s, documentsIndex(s, dir))
         .searchBool(Bm25Query, 10, missing = Seq("title")))
     }),
     "q_cardinality" -> ((s, dir) => {
       import s.implicits._
       // ES cardinality agg: distinct source values among the match set
       // (exact distributed count-distinct; approximate=true = HLL++)
-      Seq(new Searcher(s, documentsIndex(s, dir), 8)
+      Seq(searcherOf(s, documentsIndex(s, dir))
         .cardinality(Bm25Query, "source")).toDF("n_distinct")
     }),
     "q_percentiles" -> ((s, dir) =>
       // ES percentiles agg over the match set (exact closest-ranks
       // linear interpolation — the quantile_cont rule both sides)
-      new Searcher(s, documentsIndex(s, dir), 8)
+      searcherOf(s, documentsIndex(s, dir))
         .percentiles(Bm25Query, "n_chars", Seq(0.25, 0.5, 0.9))
         .select(col("p"), round(col("value"), 4).as("value"))),
     "q_facet_top" -> ((s, dir) =>
       // ES terms agg DEFAULT ordering: top `size` buckets by doc count
       // desc (value asc tiebreak) — TakeOrderedAndProject over the agg
-      new Searcher(s, documentsIndex(s, dir), 8)
+      searcherOf(s, documentsIndex(s, dir))
         .facetCounts(Bm25Query, "source", size = 3)),
     "q_ranges_agg" -> ((s, dir) =>
       // ES range aggregation: half-open [from, to) buckets, each an
       // independent conditional count in ONE pass over the match set
-      new Searcher(s, documentsIndex(s, dir), 8)
+      searcherOf(s, documentsIndex(s, dir))
         .rangesAgg(Bm25Query, "n_chars",
           Seq((None, Some(500L)), (Some(500L), Some(2000L)), (Some(2000L), None)))),
     "q_filters_agg" -> ((s, dir) =>
       // ES filters aggregation: named keyword-predicate buckets, each
       // an independent conditional count in ONE pass (overlap allowed)
-      new Searcher(s, documentsIndex(s, dir), 8)
+      searcherOf(s, documentsIndex(s, dir))
         .filtersAgg(Bm25Query, Seq(
           "english" -> ("lang", "en"),
           "src1" -> ("source", "src1"),
@@ -694,27 +725,27 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
     "q_top_hits" -> ((s, dir) =>
       // ES top_hits sub-aggregation: per-lang top-3 matching docs by
       // n_chars (window group-limit — the per-shard-heap plan shape)
-      new Searcher(s, documentsIndex(s, dir), 8)
+      searcherOf(s, documentsIndex(s, dir))
         .facetTopHits(Bm25Query, "lang", "n_chars", 3)),
     "q_significant_terms" -> ((s, dir) =>
       // ES significant_terms: JLH-scored over-represented terms of the
       // match set; background stats come from the DICTIONARY, never a
       // second corpus scan
-      new Searcher(s, documentsIndex(s, dir), 8)
+      searcherOf(s, documentsIndex(s, dir))
         .significantTerms(Bm25Query, 10, minDocCount = 5L)
         .select(col("term"), col("fg_count"), col("bg_count"),
           round(col("score"), 4).as("score"))),
     "q_suggest" -> ((s, dir) =>
       // ES term suggester ("did you mean"): dictionary terms within 2
       // edits of the misspelling, ranked (dist asc, df desc, term asc)
-      new Searcher(s, documentsIndex(s, dir), 8)
+      searcherOf(s, documentsIndex(s, dir))
         .suggestTerms("sprak", 5, maxDist = 2)),
     "q_multi_index_boost" -> ((s, dir) => {
       // ES indices_boost: one index's scores multiply by a constant
       // factor BEFORE the cross-index merge (per-index ranking is
       // preserved — the boosted global top-k stays exact)
       val root = documentsMultiIndexRoot(s, dir)
-      new graft.query.Indices(s, root, 8)
+      indicesOf(s, root)
         .search("idx-*", Bm25Query, 10, indicesBoost = Map("idx-src1" -> 3.0))
         .select(col("index"), col("docId").as("doc_id"),
           round(col("score"), 4).as("score"))
@@ -725,7 +756,7 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
       // index asc, docId asc) — alias 'all' ≡ pattern 'idx-*', pinned
       // in IndicesSpec
       val root = documentsMultiIndexRoot(s, dir)
-      new graft.query.Indices(s, root, 8).search("idx-*", Bm25Query, 10)
+      indicesOf(s, root).search("idx-*", Bm25Query, 10)
         .select(col("index"), col("docId").as("doc_id"),
           round(col("score"), 4).as("score"))
     }),
@@ -735,7 +766,7 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
       // index — the ES coordinating-node bucket merge); the two halves
       // partition documents, so the merge ≡ the whole-table facet
       val root = documentsMultiIndexRoot(s, dir)
-      new graft.query.Indices(s, root, 8).facetCounts("all", Bm25Query, "lang")
+      indicesOf(s, root).facetCounts("all", Bm25Query, "lang")
     }),
     "q_multi_index_stats" -> ((s, dir) => {
       // ES multi-index stats aggregation: per-index one-row stats
@@ -743,7 +774,7 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
       // combine, avg re-derived from merged sum ÷ count); the halves
       // partition documents, so the merge ≡ the whole-table stats
       val root = documentsMultiIndexRoot(s, dir)
-      new graft.query.Indices(s, root, 8).fieldStats("all", Bm25Query, "n_chars")
+      indicesOf(s, root).fieldStats("all", Bm25Query, "n_chars")
         .select(col("n_docs"), col("min").cast("long").as("min"),
           col("max").cast("long").as("max"), round(col("avg"), 6).as("avg"),
           col("sum").cast("long").as("sum"))
@@ -754,7 +785,7 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
       // needed — the indexes partition documents, so the union is the
       // global match set)
       val root = documentsMultiIndexRoot(s, dir)
-      new graft.query.Indices(s, root, 8)
+      indicesOf(s, root)
         .percentiles("all", Bm25Query, "n_chars", Seq(0.25, 0.5, 0.9))
         .select(col("p"), round(col("value"), 4).as("value"))
     }),
@@ -764,13 +795,13 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
       // indexes inside the unioned match set (per-index counts cannot
       // merge exactly — a value in both halves must count once)
       val root = documentsMultiIndexRoot(s, dir)
-      Seq(new graft.query.Indices(s, root, 8)
+      Seq(indicesOf(s, root)
         .cardinality("idx-*", Bm25Query, "source")).toDF("n_distinct")
     }),
     "q_explain" -> ((s, dir) => {
       // ES _explain: per-term BM25 breakdown of the flagship query's
       // top-1 hit — sum(weight) is bit-identical to the search score
-      val searcher = new Searcher(s, documentsIndex(s, dir), 8)
+      val searcher = searcherOf(s, documentsIndex(s, dir))
       val top = searcher.search(Bm25Query, 1).head
       searcher.explain(Bm25Query, top.docId)
         .select(col("term"), col("tf").cast("long").as("tf"), col("df"),
@@ -781,14 +812,14 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
       // ES scroll (sort=_doc bulk export): the FULL scored match set as
       // a distributed frame — no top-k, no global sort in the plan; the
       // doc_id ordering here exists only for the hash compare
-      new Searcher(s, documentsIndex(s, dir), 8).scrollAll(Bm25Query)
+      searcherOf(s, documentsIndex(s, dir)).scrollAll(Bm25Query)
         .select(col("docId").as("doc_id"), round(col("score"), 4).as("score"))
         .orderBy(col("doc_id"))),
     "q_termvectors" -> ((s, dir) =>
       // ES _termvectors: doc 42's on-the-fly term statistics — one row
       // per token occurrence (term, 0-based pos, tf, df-from-dict);
       // offsets stay in the API (no SQL derivation for char offsets)
-      new Searcher(s, documentsIndex(s, dir), 8).termVectors(42L)
+      searcherOf(s, documentsIndex(s, dir)).termVectors(42L)
         .select(col("term"), col("pos").cast("long").as("pos"),
           col("tf").cast("long").as("tf"), col("df"))),
     "q_percolate" -> ((s, dir) =>
@@ -801,7 +832,7 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
       // ES boosting query: hits = positive-query BM25 match set; hits
       // ALSO matching the negative query ('merge') keep their rank
       // eligibility with score × negative_boost = 0.5
-      new Searcher(s, documentsIndex(s, dir), 8)
+      searcherOf(s, documentsIndex(s, dir))
         .boosting(Bm25Query, "merge", 10, negativeBoost = 0.5)
         .select(col("doc_id"), round(col("score"), 4).as("score"))),
     "q_span_first" -> ((s, dir) =>
@@ -809,36 +840,36 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
       // span end <= 8 — i.e. starting inside the field's first 8 token
       // positions; scored by the engine's phrase rule (BM25 sum of the
       // distinct terms)
-      rankHits(s, new Searcher(s, documentsIndex(s, dir), 8)
+      rankHits(s, searcherOf(s, documentsIndex(s, dir))
         .searchSpanFirst(PhraseQuery, 8, 10))),
     "q_min_score" -> ((s, dir) =>
       // ES min_score: the plain top-10 with sub-threshold hits removed
       // (filter(top-k) ≡ top-k(filter) — scores below rank k are ≤ the
       // rank-k score)
-      rankHits(s, new Searcher(s, documentsIndex(s, dir), 8)
+      rankHits(s, searcherOf(s, documentsIndex(s, dir))
         .searchMinScore(Bm25Query, 10, 1.43))),
     "q_suggest_completion" -> ((s, dir) =>
       // ES completion-suggester analog: dictionary terms extending 's',
       // ranked by popularity (df desc, term asc), cap IN the plan
-      new Searcher(s, documentsIndex(s, dir), 8).suggestCompletion("s", 5)),
+      searcherOf(s, documentsIndex(s, dir)).suggestCompletion("s", 5)),
     "q_phrase_suggest" -> ((s, dir) =>
       // ES phrase suggester: per-slot correction candidates (term-
       // suggester rank, incl. the token itself), candidate phrases
       // scored by adjacent-bigram doc-counts from POSITIONAL postings
-      new Searcher(s, documentsIndex(s, dir), 8)
+      searcherOf(s, documentsIndex(s, dir))
         .phraseSuggest("marge sort", 5, maxDist = 2, maxPerSlot = 3)),
     "q_more_like_this" -> ((s, dir) => {
       // ES more_like_this: doc 7's terms ranked by the integer-exact
       // rare-first rule (tf desc, df asc, term asc), top 25 become an
       // OR query, the source doc excluded from the hits
-      rankHits(s, new Searcher(s, documentsIndex(s, dir), 8)
+      rankHits(s, searcherOf(s, documentsIndex(s, dir))
         .moreLikeThis(7L, 10))
     }),
     "q_query_string" -> ((s, dir) => {
       // Lucene/ES query_string: the URI-search mini-language compiled
       // to the engine's bool query — scored OR words, a keyword filter,
       // an analyzed-text must_not, and a tiered numeric range clause
-      rankHits(s, new Searcher(s, documentsIndex(s, dir), 8)
+      rankHits(s, searcherOf(s, documentsIndex(s, dir))
         .searchQueryString("spark query window lang:en -merge n_chars:[137 TO 2741]",
           10, graft.query.QueryString.Schema(keywordFields = Set("lang", "source"),
             numericFields = Set("n_chars"), textFields = Set("title"))))
@@ -846,13 +877,13 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
     "q_bm25_should" -> ((s, dir) => {
       // ES bool should: optional scoring clause — matched should terms
       // add their BM25 contribution, membership still requires >=1 must
-      rankHits(s, new Searcher(s, documentsIndex(s, dir), 8)
+      rankHits(s, searcherOf(s, documentsIndex(s, dir))
         .searchBool("spark query", 10, should = "window customer"))
     }),
     "q_bm25_minmatch" -> ((s, dir) => {
       // minimum_should_match over a pure should group: docs matching
       // >= 2 of the 4 terms, scored by their matched sum
-      rankHits(s, new Searcher(s, documentsIndex(s, dir), 8)
+      rankHits(s, searcherOf(s, documentsIndex(s, dir))
         .searchBool("", 10, should = Bm25Query, minShouldMatch = 2))
     }),
     "q_bm25_proximity" -> ((s, dir) =>
@@ -860,29 +891,29 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
       // positional moves — INCLUDING the transposed 'sort merge'
       // (width 2) — via positional postings + the Lucene width model,
       // conjunctive BM25 scoring
-      rankHits(s, new Searcher(s, documentsIndex(s, dir), 8)
+      rankHits(s, searcherOf(s, documentsIndex(s, dir))
         .searchPhrase(PhraseQuery, 10, slop = 2))),
     "q_bm25_page2" -> ((s, dir) => {
       // ES from-pagination: hits 11..20 of the ranking
-      rankHits(s, new Searcher(s, documentsIndex(s, dir), 8)
+      rankHits(s, searcherOf(s, documentsIndex(s, dir))
         .search(Bm25Query, 10, from = 10), rankBase = 10L)
     }),
     "q_bm25_search_after" -> ((s, dir) => {
       // ES search_after: page 2 via the (score, docId) cursor of page
       // 1's last hit — identical rows to from=10 (twin shares the
       // OFFSET oracle)
-      val se = new Searcher(s, documentsIndex(s, dir), 8)
+      val se = searcherOf(s, documentsIndex(s, dir))
       val page1 = se.search(Bm25Query, 10)
       rankHits(s, se.searchAfter(Bm25Query, 10, page1.last), rankBase = 10L)
     }),
     "q_facet_histogram" -> ((s, dir) =>
       // ES histogram aggregation over the FULL match set (fixed-width
       // numeric buckets of n_chars among docs matching >=1 query term)
-      new Searcher(s, documentsIndex(s, dir), 8)
+      searcherOf(s, documentsIndex(s, dir))
         .numericHistogram(Bm25Query, "n_chars", 200L)),
     "q_stats_field" -> ((s, dir) =>
       // ES stats aggregation over the match set
-      new Searcher(s, documentsIndex(s, dir), 8)
+      searcherOf(s, documentsIndex(s, dir))
         .fieldStats(Bm25Query, "n_chars")
         .select(col("n_docs"), col("min").cast("long").as("min"),
           col("max").cast("long").as("max"), round(col("avg"), 6).as("avg"),
@@ -891,7 +922,7 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
       // ES nested sub-aggregation tree, 3 levels (terms lang → terms
       // source → n_chars histogram) + stats, EVERY level from ONE
       // match-set join + ONE rollup pass; depth = defined key count
-      new Searcher(s, documentsIndex(s, dir), 8)
+      searcherOf(s, documentsIndex(s, dir))
         .nestedAgg(Bm25Query, Seq(
           graft.query.TermsLevel("lang", "k1"),
           graft.query.TermsLevel("source", "k2"),
@@ -901,7 +932,7 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
       // ES composite aggregation, page 2: flat (lang, source) key
       // tuples keys-asc, EXCLUSIVE after-cursor ('en', 'src2'), 5
       // buckets per page — the scalable bucket-export path
-      new Searcher(s, documentsIndex(s, dir), 8)
+      searcherOf(s, documentsIndex(s, dir))
         .compositeAgg(Bm25Query, Seq(
           graft.query.TermsLevel("lang", "k1"),
           graft.query.TermsLevel("source", "k2")),
@@ -911,7 +942,7 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
       // over ONE composite bucket frame (lang → n_chars histogram):
       // window/arithmetic passes on the aggregated buckets, never a
       // second match-set pass
-      val buckets = new Searcher(s, documentsIndex(s, dir), 8)
+      val buckets = searcherOf(s, documentsIndex(s, dir))
         .compositeAgg(Bm25Query, Seq(
           graft.query.TermsLevel("lang", "lang"),
           graft.query.HistogramLevel("n_chars", 500L, "bucket")),
@@ -929,7 +960,7 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
     "q_pipeline_moving" -> ((s, dir) => {
       // ES moving_avg + serial_diff over the same composite bucket
       // frame — trailing-window mean and lagged difference per parent
-      val buckets = new Searcher(s, documentsIndex(s, dir), 8)
+      val buckets = searcherOf(s, documentsIndex(s, dir))
         .compositeAgg(Bm25Query, Seq(
           graft.query.TermsLevel("lang", "lang"),
           graft.query.HistogramLevel("n_chars", 500L, "bucket")),
@@ -944,7 +975,7 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
     "q_stats_bucket" -> ((s, dir) => {
       // ES stats_bucket (sibling pipeline agg): one row of stats over
       // the bucket frame's doc counts — subsumes max/min/sum/avg_bucket
-      val buckets = new Searcher(s, documentsIndex(s, dir), 8)
+      val buckets = searcherOf(s, documentsIndex(s, dir))
         .compositeAgg(Bm25Query, Seq(
           graft.query.TermsLevel("lang", "lang"),
           graft.query.HistogramLevel("n_chars", 500L, "bucket")),
@@ -957,7 +988,7 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
     "q_facet_stats" -> ((s, dir) =>
       // ES sub-aggregation: terms buckets over lang with nested stats of
       // n_chars per bucket — one groupBy on the match-set join
-      new Searcher(s, documentsIndex(s, dir), 8)
+      searcherOf(s, documentsIndex(s, dir))
         .facetStats(Bm25Query, "lang", "n_chars")
         .select(col("value"), col("n_docs"), col("min").cast("long").as("min"),
           col("max").cast("long").as("max"), round(col("avg"), 6).as("avg"),
@@ -966,12 +997,12 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
       // ES aggs run over the FULL bool query: facet restricted by a
       // filter clause (semi-join of the clause's posting docIds — no
       // doc-store predicate scan)
-      new Searcher(s, documentsIndex(s, dir), 8)
+      searcherOf(s, documentsIndex(s, dir))
         .facetCounts(Bm25Query, "lang", filters = Seq("source" -> "src1"))),
     "q_count_range" -> ((s, dir) => {
       import s.implicits._
       // hits.total of a bool query with a numeric trie range clause
-      Seq(new Searcher(s, documentsIndex(s, dir), 8)
+      Seq(searcherOf(s, documentsIndex(s, dir))
         .matchCount(Bm25Query, numericRangeFilters = Seq(("n_chars", 137L, 2741L))))
         .toDF("n_hits")
     }),
@@ -979,17 +1010,17 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
       // ES terms aggregation (facets) over the FULL match set: doc
       // counts per lang among docs containing >=1 query term — runs
       // index-side (block scan -> docId decode -> join -> hash agg)
-      new Searcher(s, documentsIndex(s, dir), 8).facetCounts(Bm25Query, "lang")),
+      searcherOf(s, documentsIndex(s, dir)).facetCounts(Bm25Query, "lang")),
     "q_sort_by_field" -> ((s, dir) =>
       // ES `sort`: match set ordered by a stored field, not by score
       // (membership scan -> docId join -> TakeOrderedAndProject)
-      new Searcher(s, documentsIndex(s, dir), 8)
+      searcherOf(s, documentsIndex(s, dir))
         .searchSortedBy(Bm25Query, "dl", 10)
         .select(col("docId").as("doc_id"), col("dl"))),
     "q_match_count" -> ((s, dir) => {
       import s.implicits._
       // ES hits.total / _count: one distributed count of the match set
-      Seq(new Searcher(s, documentsIndex(s, dir), 8).matchCount(Bm25Query))
+      Seq(searcherOf(s, documentsIndex(s, dir)).matchCount(Bm25Query))
         .toDF("n_hits")
     }),
     "q_bm25_oracle" -> ((s, dir) => {
@@ -1134,7 +1165,7 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
     "q_upsert_lww" -> ((s, _) => {
       // re-ingesting (conv-00000003, 1) with marker-free text supersedes
       // the older segment's doc: the marker query keeps ONLY conv-17
-      new graft.query.MultiSearcher(s, upsertIndex(s))
+      msOf(s, upsertIndex(s))
         .searchResolved("zanzibar quasar lattice", 10)
         .select(col("rank").cast("long").as("rank"), col("conv_id"),
           col("turn_idx").cast("long").as("turn_idx"))
@@ -1143,7 +1174,7 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
       // (conv-00000099, 1) — holder of the full 'cinnabar monolith
       // archipelago' marker — was deleted; only the partial marker at
       // (conv-00000042, 2) remains
-      new graft.query.MultiSearcher(s, upsertIndex(s))
+      msOf(s, upsertIndex(s))
         .searchResolved("cinnabar monolith archipelago", 10)
         .select(col("rank").cast("long").as("rank"), col("conv_id"),
           col("turn_idx").cast("long").as("turn_idx"))
@@ -1158,7 +1189,7 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
         new IndexBuilder(s, out, "verify-transcripts", IndexConfig(partitions = 8)).build(docs)
         out
       })
-      new Searcher(s, dir, 8).searchResolved("zanzibar quasar lattice", 10)
+      searcherOf(s, dir).searchResolved("zanzibar quasar lattice", 10)
         .select(col("rank").cast("long").as("rank"), col("docId"),
           col("conv_id"), col("turn_idx").cast("long").as("turn_idx"))
     })

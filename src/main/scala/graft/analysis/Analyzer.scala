@@ -25,8 +25,65 @@ object Analyzer {
   val MaxTokenLen = 255
   private val pattern = java.util.regex.Pattern.compile(TokenRegex)
 
-  /** Scala-side tokenizer — identical semantics to [[tokensCol]]. */
+  /** Scala-side tokenizer — identical semantics to [[tokensCol]].
+    *
+    * ASCII fast path (the same single-scan kernel as
+    * [[TokenizeKernel]], on chars): for pure-ASCII input,
+    * `toLowerCase(Locale.ROOT)` only maps A-Z → a-z and the
+    * `[^\p{L}\p{N}]+` split reduces to runs of [0-9A-Za-z], so one
+    * char scan with inline lowercasing is exactly the regex result —
+    * no full lowercased copy, no regex engine, no intermediate parts
+    * array. This function runs inside the build's typed mapPartitions
+    * (tf+positions fold, dl computation), where the regex was a
+    * measured ~13% of executor CPU (round-9 thread-dump sampling).
+    * Any non-ASCII char falls back to the regex path (Unicode
+    * letter/digit classes). Equivalence is property-tested
+    * (AnalyzerSpec).
+    */
   def tokenize(text: String): Array[String] = {
+    if (text == null || text.isEmpty) return Array.empty
+    val n = text.length
+    var i = 0
+    while (i < n) {
+      if (text.charAt(i) >= 0x80) return tokenizeRegex(text)
+      i += 1
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[String](8)
+    i = 0
+    while (i < n) {
+      var c = text.charAt(i)
+      if ((c >= '0' && c <= '9') || (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')) {
+        val start = i
+        i += 1
+        var needsLower = c >= 'A' && c <= 'Z'
+        var run = true
+        while (i < n && run) {
+          c = text.charAt(i)
+          if ((c >= '0' && c <= '9') || (c >= 'a' && c <= 'z')) i += 1
+          else if (c >= 'A' && c <= 'Z') { needsLower = true; i += 1 }
+          else run = false
+        }
+        val len = math.min(i - start, MaxTokenLen)
+        if (!needsLower) out += text.substring(start, start + len)
+        else {
+          val arr = new Array[Char](len)
+          var j = 0
+          while (j < len) {
+            val ch = text.charAt(start + j)
+            arr(j) = if (ch >= 'A' && ch <= 'Z') (ch + 32).toChar else ch
+            j += 1
+          }
+          out += new String(arr)
+        }
+      } else i += 1
+    }
+    out.toArray
+  }
+
+  /** The original regex implementation — the non-ASCII fallback and the
+    * equivalence oracle for the fast path.
+    */
+  private[analysis] def tokenizeRegex(text: String): Array[String] = {
     if (text == null || text.isEmpty) return Array.empty
     val lowered = text.toLowerCase(Locale.ROOT)
     val parts = pattern.split(lowered, -1)

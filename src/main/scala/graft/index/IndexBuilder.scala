@@ -499,8 +499,8 @@ class IndexBuilder(
     * is per-partition imperative logic, the documented legitimate use of
     * typed mapPartitions.)
     */
-  def postingsOf(docs: DataFrame): DataFrame = {
-    val withPos = cfg.storePositions
+  def postingsOf(docs: DataFrame, withPayload: Boolean = true): DataFrame = {
+    val withPos = cfg.storePositions && withPayload
     docs.select(col("docId"), col("dl"), col("text"))
       .as[(Long, Int, String)]
       .mapPartitions { it =>
@@ -523,7 +523,8 @@ class IndexBuilder(
           while (entries.hasNext) {
             val e = entries.next()
             val a = e.getValue
-            out(j) = (e.getKey, id, a.n, dl, a.payload(dl, withPos))
+            out(j) = (e.getKey, id, a.n, dl,
+              if (withPayload) a.payload(dl, withPos) else Array.emptyByteArray)
             j += 1
           }
           out.iterator
@@ -538,17 +539,22 @@ class IndexBuilder(
     * docs — ES semantics). Same output schema as [[postingsOf]], so the
     * streams union and flow through the identical dict/block phases.
     */
-  def fieldPostingsOf(docs: DataFrame, field: String): DataFrame = {
-    val withPos = cfg.storePositions
+  def fieldPostingsOf(docs: DataFrame, field: String,
+      withPayload: Boolean = true): DataFrame = {
+    val withPos = cfg.storePositions && withPayload
     docs.select(col("docId"), col("dl"), col(field).cast("string"))
       .as[(Long, Int, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, dl, v) =>
           if (v == null) Iterator.empty
           else {
-            val a = new PosAcc
-            if (withPos) a.add(0) else a.n = 1
-            val pay = a.payload(dl, withPos)
+            val pay =
+              if (!withPayload) Array.emptyByteArray
+              else {
+                val a = new PosAcc
+                if (withPos) a.add(0) else a.n = 1
+                a.payload(dl, withPos)
+              }
             // value term + the `_field_names`-style exists marker
             Iterator((FieldTerms.term(field, v), id, 1, dl, pay),
               (FieldTerms.existsTerm(field), id, 1, dl, pay))
@@ -562,16 +568,21 @@ class IndexBuilder(
     * zero-padded term plus every tier term
     * ([[FieldTerms.numericValueTerms]]). Same schema as [[postingsOf]].
     */
-  def numericFieldPostingsOf(docs: DataFrame, field: String): DataFrame = {
-    val withPos = cfg.storePositions
+  def numericFieldPostingsOf(docs: DataFrame, field: String,
+      withPayload: Boolean = true): DataFrame = {
+    val withPos = cfg.storePositions && withPayload
     docs.select(col("docId"), col("dl"), col(field).cast("long"))
       .as[(Long, Int, Option[Long])]
       .mapPartitions { it =>
         it.flatMap {
           case (id, dl, Some(v)) if v >= 0 =>
-            val a = new PosAcc
-            if (withPos) a.add(0) else a.n = 1
-            val pay = a.payload(dl, withPos)
+            val pay =
+              if (!withPayload) Array.emptyByteArray
+              else {
+                val a = new PosAcc
+                if (withPos) a.add(0) else a.n = 1
+                a.payload(dl, withPos)
+              }
             (FieldTerms.numericValueTerms(field, v).iterator ++
               Iterator.single(FieldTerms.existsTerm(field)))
               .map(t => (t, id, 1, dl, pay))
@@ -588,8 +599,9 @@ class IndexBuilder(
     * model). Null/empty values emit nothing (the doc is outside the
     * field's docCount).
     */
-  def textFieldPostingsOf(docs: DataFrame, field: String): DataFrame = {
-    val withPos = cfg.storePositions
+  def textFieldPostingsOf(docs: DataFrame, field: String,
+      withPayload: Boolean = true): DataFrame = {
+    val withPos = cfg.storePositions && withPayload
     val prefix = FieldTerms.textTerm(field, "")
     docs.select(col("docId"), col(field).cast("string"))
       .as[(Long, String)]
@@ -616,12 +628,18 @@ class IndexBuilder(
             while (entries.hasNext) {
               val e = entries.next()
               val a = e.getValue
-              out(j) = (prefix + e.getKey, id, a.n, fdl, a.payload(fdl, withPos))
+              out(j) = (prefix + e.getKey, id, a.n, fdl,
+                if (withPayload) a.payload(fdl, withPos) else Array.emptyByteArray)
               j += 1
             }
-            val ea = new PosAcc
-            if (withPos) ea.add(0) else ea.n = 1
-            out(j) = (FieldTerms.existsTerm(field), id, 1, fdl, ea.payload(fdl, withPos))
+            val epay =
+              if (!withPayload) Array.emptyByteArray
+              else {
+                val ea = new PosAcc
+                if (withPos) ea.add(0) else ea.n = 1
+                ea.payload(fdl, withPos)
+              }
+            out(j) = (FieldTerms.existsTerm(field), id, 1, fdl, epay)
             out.iterator
           }
         }
@@ -629,14 +647,21 @@ class IndexBuilder(
       .toDF("term", "docId", "tf", "dl", "pay")
   }
 
-  /** Text postings plus any configured fielded keyword postings. */
-  def allPostingsOf(docs: DataFrame): DataFrame = {
-    val withFields = cfg.fieldCols.foldLeft(postingsOf(docs))(
-      (acc, f) => acc.unionByName(fieldPostingsOf(docs, f)))
+  /** Text postings plus any configured fielded keyword postings.
+    * `withPayload = false` skips building the packed per-posting payload
+    * (varint tf/dl + position gaps) — for consumers that only need the
+    * (term, docId, tf, dl) columns (the dict0 aggregation): the payload
+    * is produced inside typed closures, so Catalyst cannot column-prune
+    * it away, and at ~40 M postings/M-turns the dead encode was a
+    * measured allocation hot spot (round-9).
+    */
+  def allPostingsOf(docs: DataFrame, withPayload: Boolean = true): DataFrame = {
+    val withFields = cfg.fieldCols.foldLeft(postingsOf(docs, withPayload))(
+      (acc, f) => acc.unionByName(fieldPostingsOf(docs, f, withPayload)))
     val withNumeric = cfg.numericFieldCols.foldLeft(withFields)(
-      (acc, f) => acc.unionByName(numericFieldPostingsOf(docs, f)))
+      (acc, f) => acc.unionByName(numericFieldPostingsOf(docs, f, withPayload)))
     cfg.textFieldCols.foldLeft(withNumeric)(
-      (acc, f) => acc.unionByName(textFieldPostingsOf(docs, f)))
+      (acc, f) => acc.unionByName(textFieldPostingsOf(docs, f, withPayload)))
   }
 
   /** Direct per-term df/cf (single hash agg — partial+final via Catalyst). */
@@ -811,10 +836,18 @@ class IndexBuilder(
       case (acc, (f, i)) =>
         when(col("term").startsWith(lit(FieldTerms.textTerm(f, ""))), lit(i + 1)).otherwise(acc)
     }
+    // dict0 only consumes (term, docId, tf): when the postings are NOT
+    // materialized to parquet (the default — each consumer re-derives
+    // the stream), feed it a payload-free re-derivation so the dict
+    // pass skips the packed-payload encode entirely (the payload is
+    // built inside a typed closure — column pruning can't remove it)
+    val dictSource =
+      if (cfg.materializePostings) postings0
+      else allPostingsOf(docs, withPayload = false)
     phase("dict0") {
       val numShards = cfg.numShards
       val obs = org.apache.spark.sql.Observation()
-      val dict0 = dictSalted(postings0, cfg.salt)
+      val dict0 = dictSalted(dictSource, cfg.salt)
         .as[(String, Long, Long)]
         .map { case (t, df, cf) => (t, GraftHash.shardOf(t, numShards), df, cf) }
         .toDF("term", "shard", "df", "cf")

@@ -239,10 +239,14 @@ object Dedup {
     val sh = shingles(df, idCol, textCol, shingleK)
     val sets = sh.groupBy(col(idCol)).agg(collect_set(col("sh")).as("shs")).cache()
     val np = numPerms
-    val sigs = sets.as[(Long, Seq[String])]
+    // cache only when r > 1: that branch reads sigs three times (banded
+    // + both sides of the signature join); the r = 1 branch reads it
+    // ONCE (banded — the collision count IS the estimate), so caching
+    // there was a pure extra materialization pass (round-9)
+    val sigs0 = sets.as[(Long, Seq[String])]
       .map { case (id, s) => (id, minhashSignature(s, np)) }
       .toDF(idCol, "sig")
-      .cache()
+    val sigs = if (rpb == 1) sigs0 else sigs0.cache()
     val survivors: DataFrame =
       if (rpb == 1) {
         // r = 1: band key = (component index, value); the per-pair
@@ -290,7 +294,7 @@ object Dedup {
       // (round-3 review)
       .localCheckpoint(true)
     sets.unpersist(blocking = false)
-    sigs.unpersist(blocking = false)
+    if (rpb != 1) sigs.unpersist(blocking = false)
     out
   }
 

@@ -255,10 +255,10 @@ class Indices(spark: SparkSession, root: String, numShards: Int = 8) {
     * Spark job), merged by key with SUM — exact for counts-style aggs
     * because a doc lives in exactly one index (ES merges per-shard
     * count buckets the same way). `size` applies AFTER the merge (the
-    * ES coordinating-node rule). Sketch-merged aggs (percentiles,
-    * cardinality) are deliberately NOT offered cross-index: exact
-    * merges need sketch state the DataFrame API doesn't expose —
-    * callers run them per index.
+    * ES coordinating-node rule). Order-statistic aggs (percentiles,
+    * cardinality) are served by [[percentiles]]/[[cardinality]] below
+    * over the UNIONED still-distributed match sets — exact without any
+    * sketch-state merge.
     */
   def facetCounts(expr: String, query: String, field: String,
       size: Int = 0): DataFrame = {

@@ -1410,6 +1410,16 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
     * None when no segment holds any of the terms.
     */
   private def decodeDocIds(perSeg: Map[(Int, String), TermStats],
+      terms: Set[String]): Option[DataFrame] =
+    decodeDocIdsRaw(perSeg, terms).map(_.distinct())
+
+  /** Same decoded stream WITHOUT the distinct — for the right side of
+    * semi/anti joins, where dedup is redundant (set-membership
+    * semantics) and the distinct's Exchange+HashAggregate is a pure
+    * cost (guide §2.4). Identical single-index reasoning in
+    * [[Searcher]].
+    */
+  private def decodeDocIdsRaw(perSeg: Map[(Int, String), TermStats],
       terms: Set[String]): Option[DataFrame] = {
     val pruned = segBlocks.zipWithIndex.flatMap { case (b, i) =>
       val ids = perSeg.collect { case ((`i`, t), ts) if terms.contains(t) => ts }.toSeq
@@ -1422,8 +1432,7 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
     else Some(pruned.reduce(_ unionByName _)
       .as[(Array[Byte], Int, Long)]
       .flatMap { case (ds, n0, first) => graft.index.Codec.deltaDecode(ds, n0, first) }
-      .toDF("docId")
-      .distinct())
+      .toDF("docId"))
   }
 
   /** Membership of the FULL bool query across segments (ES aggs run
@@ -1457,13 +1466,13 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
     if (foundClauses.exists(_.isEmpty)) return None
     var m = decodeDocIds(perSeg, scoredFound.toSet).getOrElse(return None)
     for (cl <- foundClauses)
-      decodeDocIds(perSeg, cl.toSet) match {
+      decodeDocIdsRaw(perSeg, cl.toSet) match {
         case Some(c) => m = m.join(c, Seq("docId"), "left_semi")
         case None => return None
       }
     val exFound = excludeTerms.filter(dfGlobal.contains)
     if (exFound.nonEmpty)
-      decodeDocIds(perSeg, exFound.toSet).foreach(e =>
+      decodeDocIdsRaw(perSeg, exFound.toSet).foreach(e =>
         m = m.join(e, Seq("docId"), "left_anti"))
     // ONE tombstone snapshot per searcher (the cached check): the WAND
     // paths' exclusion blocks and the agg paths' anti-join see the same
@@ -1581,10 +1590,12 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
   def termVectors(docId: Long): DataFrame = {
     val empty = Seq.empty[(String, Int, Int, Int, Int, Long)]
       .toDF("term", "pos", "start_offset", "end_offset", "tf", "df")
-    if (hasTombstones &&
-        tombDF.filter(col("docId") === lit(docId)).limit(1).count() > 0)
-      return empty
-    val row = rawDocs.filter(col("docId") === lit(docId)).select("text").collect()
+    // tombstone exclusion folded into the ONE point-read job (left_anti
+    // before the collect) — a separate tombDF count was an extra Spark
+    // job per call, scaling with tombstone-frame scan cost (r8 ADVICE)
+    val mine = rawDocs.filter(col("docId") === lit(docId)).select(col("docId"), col("text"))
+    val live = if (hasTombstones) mine.join(tombDF, Seq("docId"), "left_anti") else mine
+    val row = live.select("text").collect()
     if (row.isEmpty || row.head.isNullAt(0)) return empty
     val toks = Analyzer.tokenizeWithOffsets(row.head.getString(0))
     if (toks.isEmpty) return empty
@@ -2118,8 +2129,11 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
         .withColumn("seg", lit(i)))
     }
     if (pruned.isEmpty) return Map.empty
-    val mapDF = perSeg.toSeq.map { case ((i, t), ts) => (i, ts.termId, t) }
-      .toDF("seg", "termId", "term")
+    // (seg, termId) → term resolved inside the decode closure from the
+    // tiny driver map — the broadcast join was one more job + exchange
+    // per call (round-9; single-index twin identical)
+    val segIdToTerm: Map[(Int, Long), String] =
+      perSeg.map { case ((i, t), ts) => ((i, ts.termId), t) }
     val exploded = pruned.reduce(_ unionByName _)
       .select(col("seg").as("_1"), struct(all_block_cols: _*).as("_2"))
       .as[(Int, PostingBlock)]
@@ -2129,13 +2143,12 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
         // loud like the phrase executor (see the single-index twin)
         if (poss == null) throw new IllegalStateException(
           "index stores no positions — phrase_suggest needs storePositions=true")
+        val term = segIdToTerm((seg, b.termId))
         for {
           i <- d.docIds.indices.iterator
           p <- poss(i).iterator
-        } yield (seg, b.termId, d.docIds(i), p)
-      }.toDF("seg", "termId", "docId", "pos")
-      .join(broadcast(mapDF), Seq("seg", "termId"))
-      .select(col("term"), col("docId"), col("pos"))
+        } yield (term, d.docIds(i), p)
+      }.toDF("term", "docId", "pos")
     val visible =
       if (hasTombstones) exploded.join(tombDF, Seq("docId"), "left_anti") else exploded
     Searcher.bigramCountsOf(visible, pairsFound)

@@ -5,8 +5,9 @@ import org.apache.spark.sql.functions.col
 
 import graft.analysis.Analyzer
 
-/** ES percolator — reverse search (the `percolate` API of the ES 2.4
-  * cluster the reference populates, ESService.java:125-129): QUERIES are
+/** ES percolator — reverse search (a percolate API the ES 2.4-era
+  * clusters the reference targets support; the reference code itself
+  * only populates the index and does not call it): QUERIES are
   * stored, and a batch of incoming DOCUMENTS is matched against them —
   * the alerting/routing primitive ("which saved alert rules fire on
   * this new conversation turn?").
@@ -69,6 +70,12 @@ object Percolator {
       require(toks.nonEmpty, s"stored query '${q.id}' analyzes to no terms")
       require(q.minShouldMatch >= 1,
         s"stored query '${q.id}': minimumShouldMatch must be >= 1")
+      // msm only has meaning in Or mode — accepting (and ignoring) it on
+      // And/Phrase rules would contradict the file's loud-guard style
+      // (r8 ADVICE)
+      require(q.mode == Or || q.minShouldMatch == 1,
+        s"stored query '${q.id}': minimumShouldMatch applies to Or-mode " +
+          "rules only (And/Phrase would silently ignore it)")
       val terms = toks.distinct
       require(q.mode != Or || q.minShouldMatch <= terms.length,
         s"stored query '${q.id}': minimumShouldMatch ${q.minShouldMatch} " +

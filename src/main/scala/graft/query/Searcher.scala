@@ -254,15 +254,22 @@ private[query] object Searcher {
       pairs: Seq[(String, String)]): Map[(String, String), Long] = {
     val spark = exploded.sparkSession
     import spark.implicits._
-    val pairsDF = pairs.toDF("a", "b")
-    val lhs = exploded
-      .join(broadcast(pairsDF.select(col("a")).distinct()), col("term") === col("a"))
+    // the pair lists are driver-known and tiny (≤ slots × cap²), so
+    // membership goes in as literal isin/equality predicates instead of
+    // three broadcast joins — each broadcast was its own Spark job plus
+    // an exchange in the plan (round-9: the phrase-suggest entry ran 17
+    // jobs, 4 of them broadcast builds; guide §2.4)
+    val aTerms = pairs.map(_._1).distinct
+    val bTerms = pairs.map(_._2).distinct
+    val lhs = exploded.filter(col("term").isin(aTerms: _*))
       .select(col("term").as("ta"), col("docId"), (col("pos") + lit(1)).as("nxt"))
-    val rhs = exploded
-      .join(broadcast(pairsDF.select(col("b")).distinct()), col("term") === col("b"))
+    val rhs = exploded.filter(col("term").isin(bTerms: _*))
       .select(col("term").as("tb"), col("docId"), col("pos").as("nxt"))
+    val pairPred = pairs
+      .map { case (a, b) => col("ta") === lit(a) && col("tb") === lit(b) }
+      .reduce(_ || _)
     lhs.join(rhs, Seq("docId", "nxt"))
-      .join(broadcast(pairsDF), col("ta") === col("a") && col("tb") === col("b"), "left_semi")
+      .filter(pairPred)
       .groupBy(col("ta"), col("tb"))
       .agg(countDistinct(col("docId")).as("n"))
       .as[(String, String, Long)].collect()
@@ -1673,7 +1680,10 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
     val found = lookupTerms(terms)
     val pairsFound = pairs.distinct.filter(p => found.contains(p._1) && found.contains(p._2))
     if (pairsFound.isEmpty) return Map.empty
-    val idToTerm = found.map { case (t, ts) => (ts.termId, t) }.toSeq.toDF("termId", "term")
+    // termId → term resolved INSIDE the decode closure from the tiny
+    // driver map (rides the task closure) — the broadcast join here was
+    // one more job + exchange per call (round-9)
+    val idToTerm: Map[Long, String] = found.map { case (t, ts) => (ts.termId, t) }
     val exploded = selectBlocks(found.values).as[PostingBlock]
       .flatMap { b =>
         val d = graft.index.Codec.decodeBlock(b)
@@ -1682,13 +1692,12 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
         // all-zero bigram scores (wrong ranking), not an obvious error
         if (poss == null) throw new IllegalStateException(
           "index stores no positions — phrase_suggest needs storePositions=true")
+        val term = idToTerm(b.termId)
         for {
           i <- d.docIds.indices.iterator
           p <- poss(i).iterator
-        } yield (b.termId, d.docIds(i), p)
-      }.toDF("termId", "docId", "pos")
-      .join(broadcast(idToTerm), Seq("termId"))
-      .select(col("term"), col("docId"), col("pos"))
+        } yield (term, d.docIds(i), p)
+      }.toDF("term", "docId", "pos")
     Searcher.bigramCountsOf(exploded, pairsFound)
   }
 
@@ -1782,12 +1791,21 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
     * read — three columns, parquet-pruned past the tf/dl/pos streams).
     */
   private def decodeDocIds(found: Iterable[TermStats]): DataFrame =
+    decodeDocIdsRaw(found).distinct()
+
+  /** Same decoded docId stream WITHOUT the distinct: the right side of
+    * a left_semi/left_anti join needs no dedup (membership only), so
+    * clause/exclude cursors skip the distinct's Exchange+HashAggregate
+    * entirely (guide §2.4 — remove shuffles outright). Results are
+    * identical: semi/anti join semantics are set-membership regardless
+    * of right-side multiplicity.
+    */
+  private def decodeDocIdsRaw(found: Iterable[TermStats]): DataFrame =
     selectBlocks(found)
       .select(col("docs"), col("count"), col("firstDocId"))
       .as[(Array[Byte], Int, Long)]
       .flatMap { case (docs, n0, first) => graft.index.Codec.deltaDecode(docs, n0, first) }
       .toDF("docId")
-      .distinct()
 
   /** Membership of the FULL bool query (ES aggregations/counts run over
     * the filtered query, not just the scored terms): docs matching ≥1
@@ -1827,10 +1845,10 @@ class Searcher(spark: SparkSession, indexDir: String, numShards: Int) {
     if (foundClauses.exists(_.isEmpty)) return None
     var m = decodeDocIds(scoredFound.map(found))
     for (cl <- foundClauses)
-      m = m.join(decodeDocIds(cl.map(found)), Seq("docId"), "left_semi")
+      m = m.join(decodeDocIdsRaw(cl.map(found)), Seq("docId"), "left_semi")
     val exFound = excludeTerms.filter(found.contains)
     if (exFound.nonEmpty)
-      m = m.join(decodeDocIds(exFound.map(found)), Seq("docId"), "left_anti")
+      m = m.join(decodeDocIdsRaw(exFound.map(found)), Seq("docId"), "left_anti")
     Some(m)
   }
 
