@@ -54,7 +54,7 @@ object SparkEntry {
 
   private[graft] def documentsDocs(spark: SparkSession, dir: String) = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/documents.parquet")
+    table(spark, s"$dir/documents.parquet")
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, t) =>
         Doc(id, f"doc-$id%08d", 0, "doc", t, None, new Timestamp(0L), Analyzer.tokenize(t).length)
@@ -64,6 +64,17 @@ object SparkEntry {
   /** documentsDocs plus the table's keyword metadata columns (kept so
     * the index can store fielded filter terms — `IndexConfig.fieldCols`).
     */
+  /** Memoized parquet table HANDLES (schema + file listing only — no
+    * data is persisted, every action re-reads the files): the
+    * relational entries re-opened their tables on every timed call,
+    * re-reading footers for schema inference and re-listing the
+    * directory each time (driver-side work plus listing jobs that are
+    * not the query being measured).
+    */
+  private val tableCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def table(s: SparkSession, path: String): DataFrame =
+    tableCache.computeIfAbsent(path, p => s.read.parquet(p))
+
   private val docsDFCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   /** Memoized DataFrame HANDLE (plan + file listing — no persisted
@@ -75,7 +86,7 @@ object SparkEntry {
 
   private def documentsDocsDFUncached(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/documents.parquet")
+    table(spark, s"$dir/documents.parquet")
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
         col("n_chars").cast("long"))
       .as[(Long, String, String, String, Long)]
@@ -401,13 +412,13 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- scans / filters / projections (SURVEY §2.1–2.2) ----
     "q_filter_keyword" -> ((s, dir) => {
-      s.read.parquet(s"$dir/documents.parquet")
+      table(s, s"$dir/documents.parquet")
         .filter(col("lang") === lit("en"))
         .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
         .orderBy(col("source"))
     }),
     "q_filter_range" -> ((s, dir) => {
-      s.read.parquet(s"$dir/events.parquet")
+      table(s, s"$dir/events.parquet")
         .filter(col("ts") >= lit("2024-01-10").cast("timestamp") &&
           col("ts") < lit("2024-01-20").cast("timestamp") && col("value") > lit(0.0))
         .groupBy(col("event_type"))
@@ -416,7 +427,7 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
     }),
     // ---- aggregation / join / top-k / window / set ops (§2.4–2.8) ----
     "q_agg_lineitem" -> ((s, dir) => {
-      s.read.parquet(s"$dir/lineitem.parquet")
+      table(s, s"$dir/lineitem.parquet")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
@@ -426,8 +437,8 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
     "q_join_broadcast" -> ((s, dir) => {
-      val li = s.read.parquet(s"$dir/lineitem.parquet")
-      val o = broadcast(s.read.parquet(s"$dir/orders.parquet"))
+      val li = table(s, s"$dir/lineitem.parquet")
+      val o = broadcast(table(s, s"$dir/orders.parquet"))
       li.join(o, li("l_orderkey") === o("o_orderkey"))
         .groupBy(col("o_orderpriority"))
         .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
@@ -435,7 +446,7 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
         .orderBy(col("o_orderpriority"))
     }),
     "q_topk_orders" -> ((s, dir) => {
-      s.read.parquet(s"$dir/orders.parquet")
+      table(s, s"$dir/orders.parquet")
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
         .select(col("o_orderkey"), col("o_totalprice"))
         .limit(10)
@@ -443,28 +454,28 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
     "q_window_rank" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("source")).orderBy(col("n_chars").desc, col("doc_id").asc)
-      s.read.parquet(s"$dir/documents.parquet")
+      table(s, s"$dir/documents.parquet")
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= lit(3))
         .select(col("source"), col("rank"), col("doc_id"), col("n_chars"))
         .orderBy(col("source"), col("rank"))
     }),
     "q_union_dedup" -> ((s, dir) => {
-      val d = s.read.parquet(s"$dir/documents.parquet")
+      val d = table(s, s"$dir/documents.parquet")
       d.filter(col("lang") === lit("en")).select(col("doc_id"))
         .unionByName(d.filter(col("source") === lit("src1")).select(col("doc_id")))
         .dropDuplicates("doc_id")
         .orderBy(col("doc_id"))
     }),
     "q_validation_counters" -> ((s, dir) => {
-      s.read.parquet(s"$dir/documents.parquet").agg(
+      table(s, s"$dir/documents.parquet").agg(
         count(lit(1)).as("n_total"),
         sum(when(length(col("text")) === lit(0), 1L).otherwise(0L)).as("n_empty_text"),
         sum(when(length(col("text")) =!= col("n_chars"), 1L).otherwise(0L)).as("n_bad_nchars"))
     }),
     // ---- compat scalar functions (§2.3) ----
     "q_date_multiformat" -> ((s, dir) => {
-      val e = s.read.parquet(s"$dir/events.parquet").filter(col("event_id") < lit(1000))
+      val e = table(s, s"$dir/events.parquet").filter(col("event_id") < lit(1000))
       val str = when(pmod(col("event_id"), lit(3)) === lit(0), date_format(col("ts"), "dd.MM.yyyy HH:mm:ss"))
         .when(pmod(col("event_id"), lit(3)) === lit(1), date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
         .otherwise(date_format(col("ts"), "MM/dd/yyyy HH:mm:ss"))
@@ -474,7 +485,7 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
         .orderBy(col("event_id"))
     }),
     "q_size_parse" -> ((s, dir) => {
-      s.read.parquet(s"$dir/documents.parquet")
+      table(s, s"$dir/documents.parquet")
         .withColumn("size_str",
           concat(lit("doc ("), (col("n_chars") * lit(1000)).cast("string"), lit(" Bytes)")))
         .select(col("doc_id"), CatalogCompat.sizeToBytes(col("size_str")).as("size_bytes"))
@@ -482,25 +493,25 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
     }),
     // ---- fulltext: tokenize / tf / df / stats / BM25 (§2.1 S10, §2.4 A6–A8, §3.3) ----
     "q_tokenize_count" -> ((s, dir) => {
-      s.read.parquet(s"$dir/documents.parquet")
+      table(s, s"$dir/documents.parquet")
         .select(col("doc_id"), Analyzer.dlCol(col("text")).cast("long").as("n_tokens"))
         .orderBy(col("doc_id"))
     }),
     "q_tf" -> ((s, dir) => {
-      s.read.parquet(s"$dir/documents.parquet")
+      table(s, s"$dir/documents.parquet")
         .select(col("doc_id"), explode(Analyzer.tokensCol(col("text"))).as("term"))
         .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
         .orderBy(col("term"), col("doc_id"))
     }),
     "q_df" -> ((s, dir) => {
-      s.read.parquet(s"$dir/documents.parquet")
+      table(s, s"$dir/documents.parquet")
         .select(col("doc_id"), explode(Analyzer.tokensCol(col("text"))).as("term"))
         .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
         .groupBy(col("term")).agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
         .orderBy(col("term"))
     }),
     "q_corpus_stats" -> ((s, dir) => {
-      s.read.parquet(s"$dir/documents.parquet")
+      table(s, s"$dir/documents.parquet")
         .select(Analyzer.dlCol(col("text")).as("dl"))
         .agg(count(lit(1)).as("n_docs"), round(avg(col("dl")), 6).as("avgdl"))
     }),
@@ -1035,11 +1046,11 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
     }),
     // ---- dedup family ----
     "q_dedup_exact" -> ((s, dir) => {
-      Dedup.exactGroups(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+      Dedup.exactGroups(table(s, s"$dir/documents.parquet"), "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
     "q_jaccard_pairs" -> ((s, dir) => {
-      Dedup.jaccardPairs(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", 3, 0.3)
+      Dedup.jaccardPairs(table(s, s"$dir/documents.parquet"), "doc_id", "text", 3, 0.3)
         .select(col("ida"), col("idb"), col("jaccard"))
         .orderBy(col("ida"), col("idb"))
     }),
@@ -1050,14 +1061,14 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
       // drops a true pair w.p. ≤ 3.2e-5): the output is the exact
       // all-pairs answer, so the DuckDB twin is the exact all-pairs
       // Jaccard. bands = 0 (derived r>1 banding) is the scale default.
-      Dedup.minhashNearDup(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+      Dedup.minhashNearDup(table(s, s"$dir/documents.parquet"), "doc_id", "text",
         shingleK = 3, numPerms = 64, minJ = 0.3, bands = 64)
         .orderBy(col("ida"), col("idb"))
     }),
     "q_minhash_est" -> ((s, dir) => {
       // the estimated-Jaccard sketch variant (engine-defined hashes —
       // rows-only; recall/precision pinned by OpsSpec)
-      Dedup.minhashPairs(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+      Dedup.minhashPairs(table(s, s"$dir/documents.parquet"), "doc_id", "text",
         shingleK = 3, numPerms = 64, bands = 16, minEstJ = 0.3)
         .orderBy(col("ida"), col("idb"))
     }),
@@ -1065,19 +1076,19 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
       // pigeonhole banding makes recall exactly 1, and the MD5-based
       // token hash makes the whole SimHash computable in DuckDB — the
       // twin is the exact all-pairs Hamming join
-      Dedup.simhashPairs(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", maxHamming = 3)
+      Dedup.simhashPairs(table(s, s"$dir/documents.parquet"), "doc_id", "text", maxHamming = 3)
         .select(col("ida"), col("idb"), col("hamming").cast("long").as("hamming"))
         .orderBy(col("ida"), col("idb"))
     }),
     "q_fingerprint" -> ((s, dir) => {
-      s.read.parquet(s"$dir/documents.parquet")
+      table(s, s"$dir/documents.parquet")
         .select(col("doc_id"), TextOps.fingerprintCol(col("text")).as("fp"))
         .orderBy(col("doc_id"))
     }),
     // ---- similarity search ----
     "q_ann_cosine" -> ((s, dir) => {
       import s.implicits._
-      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val emb = table(s, s"$dir/embeddings.parquet")
       val q = emb.filter(col("vec_id") === lit(0))
         .select(col("embedding")).head().getSeq[Float](0).toArray
       val ids = Similarity.bruteTopK(emb, "vec_id", "embedding", q, 10, excludeId = 0L)
@@ -1093,7 +1104,7 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
       // are isotropic (true neighbors near-orthogonal), so any smaller
       // radius would be corpus-dependent; OpsSpec pins the small-radius
       // recall behavior on planted near-dup vectors instead.
-      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val emb = table(s, s"$dir/embeddings.parquet")
       val q = emb.filter(col("vec_id") === lit(0))
         .select(col("embedding")).head().getSeq[Float](0).toArray
       val ids = Similarity.lshTopK(emb, "vec_id", "embedding", q, 10,
@@ -1104,12 +1115,12 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
     }),
     // ---- text analysis ----
     "q_langid" -> ((s, dir) => {
-      s.read.parquet(s"$dir/documents.parquet")
+      table(s, s"$dir/documents.parquet")
         .select(col("doc_id"), TextOps.langIdCol(col("text")).as("lang_pred"))
         .orderBy(col("doc_id"))
     }),
     "q_quality" -> ((s, dir) => {
-      s.read.parquet(s"$dir/documents.parquet")
+      table(s, s"$dir/documents.parquet")
         .select(col("doc_id"),
           round(TextOps.stopRatioCol(col("text")), 4).as("stop_ratio"),
           round(TextOps.punctRatioCol(col("text")), 4).as("punct_ratio"),
@@ -1117,7 +1128,7 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
         .orderBy(col("doc_id"))
     }),
     "q_token_counts" -> ((s, dir) => {
-      s.read.parquet(s"$dir/documents.parquet")
+      table(s, s"$dir/documents.parquet")
         .select(col("doc_id"),
           TextOps.wsTokensCol(col("text")).cast("long").as("ws_tokens"),
           TextOps.bpeTokensCol(col("text")).cast("long").as("bpe_tokens"))
@@ -1126,7 +1137,7 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
     // ---- multimodal plumbing ----
     "q_multimodal_meta" -> ((s, dir) => {
       Multimodal.extractMeta(
-        Multimodal.attachBinary(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text"))
+        Multimodal.attachBinary(table(s, s"$dir/documents.parquet"), "doc_id", "text"))
         .toDF()
         .select(col("doc_id"), col("mime"), col("n_bytes").cast("long").as("n_bytes"),
           col("width").cast("long").as("width"), col("height").cast("long").as("height"),
@@ -1140,7 +1151,7 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
       // cos>=0.3) = (1-0.597^2)^48 ~ 7e-10 — making the output equal the
       // exact all-pairs answer (the DuckDB twin). The defaults
       // (0.95, 8 bits x 16 bands) are the production near-dup config.
-      Dedup.embeddingPairs(s.read.parquet(s"$dir/embeddings.parquet"),
+      Dedup.embeddingPairs(table(s, s"$dir/embeddings.parquet"),
         "vec_id", "embedding", minCosine = 0.3, bitsPerBand = 2, bands = 48)
         .orderBy(col("ida"), col("idb"))
     }),

@@ -851,9 +851,22 @@ class IndexBuilder(
         .as[(String, Long, Long)]
         .map { case (t, df, cf) => (t, GraftHash.shardOf(t, numShards), df, cf) }
         .toDF("term", "shard", "df", "cf")
-        .withColumn("termId", monotonically_increasing_id())
+        // termId PACKS the shard into its low end (id·numShards + shard,
+        // still unique/opaque): the block shuffle can then re-derive
+        // shard from termId AFTER the exchange instead of carrying a
+        // fifth 8-byte UnsafeRow slot per posting (guide §2.3 — shuffle
+        // fewer bytes). monotonically_increasing_id < 2^49 (16-bit
+        // partition id · 33-bit counter) so the product cannot overflow
+        // for any sane shard count.
+        .withColumn("termId",
+          monotonically_increasing_id() * lit(numShards.toLong) + col("shard"))
         .withColumn("fieldId", fieldIdExpr)
-        .select(col("term"), col("termId"), col("shard"), col("df"), col("cf"), col("fieldId"))
+        // `tidp`: marker that termId is shard-packed — a resume over a
+        // pre-packing dict0 (column absent) keeps the legacy wide-row
+        // block shuffle (termId % numShards would be garbage there)
+        .withColumn("tidp", lit(true))
+        .select(col("term"), col("termId"), col("shard"), col("df"), col("cf"),
+          col("fieldId"), col("tidp"))
         // vocab + total postings ride the write job (Observation) — the
         // block phase needs Σdf for its hot-term threshold, and reading
         // it back from the manifest costs zero jobs on resume too
@@ -940,10 +953,18 @@ class IndexBuilder(
         // (projected above the sort), so its shuffle bytes/turn stay
         // exactly the round-4 shape (bench-tracked)
         val hasTextFields = cfg.textFieldCols.nonEmpty
+        // shard-packed termIds (dict0 `tidp` marker): the shuffle rows
+        // drop the shard slot entirely — it is re-derived from termId
+        // AFTER the exchange (one projection over the sorted stream).
+        // A resume over a pre-packing dict0 keeps the legacy wide row.
+        val packedTid = dict0.columns.contains("tidp")
         val scored = postings0
-          .join(dict0.select(Seq(col("term"), col("termId"), col("shard"), col("df")) ++
+          .join(dict0.select(Seq(col("term"), col("termId")) ++
+            (if (packedTid) Nil else Seq(col("shard"))) ++ Seq(col("df")) ++
             (if (hasTextFields) Seq(col("fieldId")) else Nil): _*), Seq("term"))
-          .select(Seq(col("termId"), col("shard"), col("docId"), col("df"), col("pay")) ++
+          .select(Seq(col("termId")) ++
+            (if (packedTid) Nil else Seq(col("shard"))) ++
+            Seq(col("docId"), col("df"), col("pay")) ++
             (if (hasTextFields) Seq(col("fieldId")) else Nil): _*)
         val bucketExpr = least(floor(col("docId") / lit(bucketWidth)), lit(cfg.numBuckets - 1L))
         val slicePid = least(
@@ -956,8 +977,17 @@ class IndexBuilder(
         val bw = bucketWidth
         val fNs = fieldNs
         val fAds = fieldAvgdls
-        val shuffled = DirectPartition.byComputedPid(scored, pid, numParts)
+        val sorted = DirectPartition.byComputedPid(scored, pid, numParts)
           .sortWithinPartitions(col("termId"), col("docId"))
+        // re-attach shard post-exchange for packed termIds (a Project
+        // above the sort — row order within partitions is preserved);
+        // encoder tuple order is (termId, shard, docId, df, pay[, fieldId])
+        val shuffled =
+          if (!packedTid) sorted
+          else sorted.select(Seq(col("termId"),
+            pmod(col("termId"), lit(cfg.numShards.toLong)).cast("int").as("shard"),
+            col("docId"), col("df"), col("pay")) ++
+            (if (hasTextFields) Seq(col("fieldId")) else Nil): _*)
         val blocks = (if (hasTextFields) shuffled
           else shuffled.withColumn("fieldId", lit(0)))
           .as[(Long, Int, Long, Long, Array[Byte], Int)]

@@ -26,20 +26,45 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("copies"))
       .select(col(idCol), col("copies"))
 
+  /** Per-row k-shingle ARRAY (distinct, possibly empty) over an
+    * ALREADY-MATERIALIZED token-array column. The token column must be
+    * projected first (a named attribute): referencing the tokenizer
+    * expression itself here would re-evaluate it per element_at inside
+    * the lambda (no CSE across lambda boundaries — measured 4x
+    * regression when inlined).
+    */
+  private def shingleArrayOf(toks: org.apache.spark.sql.Column, k: Int) =
+    array_distinct(
+      when(size(toks) < lit(k), array())
+        .otherwise(transform(
+          sequence(lit(0), size(toks) - lit(k)),
+          i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + lit(j + 1))): _*)
+        )))
+
   /** Word k-shingles of the analyzed token stream, as a distinct set. */
-  def shingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    val toks = Analyzer.tokensCol(col(textCol))
-    df.select(col(idCol), toks.as("toks"))
-      .withColumn(
-        "sh",
-        when(size(col("toks")) < lit(k), array())
-          .otherwise(transform(
-            sequence(lit(0), size(col("toks")) - lit(k)),
-            i => concat_ws(" ", (0 until k).map(j => element_at(col("toks"), i + lit(j + 1))): _*)
-          ))
-      )
-      .select(col(idCol), explode(array_distinct(col("sh"))).as("sh"))
-  }
+  def shingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    df.select(col(idCol), Analyzer.tokensCol(col(textCol)).as("toks"))
+      .select(col(idCol), explode(shingleArrayOf(col("toks"), k)).as("sh"))
+
+  /** One row per doc with its distinct shingle SET as an array column
+    * `shs` — docs with fewer than k tokens are absent (identical
+    * membership to `shingles().groupBy().collect_set()`, which this
+    * replaces: the explode → Exchange → collect_set round trip
+    * rebuilt per doc exactly the array this computes in the scan, with
+    * a shuffle of every shingle string in between — guide §2.4).
+    * Set ORDER differs from collect_set's arbitrary order; every
+    * consumer (min-hash over the set, array_intersect cardinality) is
+    * order-insensitive.
+    */
+  def shingleSets(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    df.select(col(idCol), Analyzer.tokensCol(col(textCol)).as("toks"))
+      // membership filter BEFORE the shingle projection, phrased on the
+      // token count (n ≥ k ⟺ ≥ 1 shingle ⟺ non-empty distinct set):
+      // filtering on size(shs) instead gets predicate-pushed below the
+      // projection with the alias substituted into the transform
+      // lambda, re-evaluating the tokenizer per element (measured 10x)
+      .filter(size(col("toks")) >= lit(k))
+      .select(col(idCol), shingleArrayOf(col("toks"), k).as("shs"))
 
   /** Exact n-gram Jaccard near-dup pairs (the oracle path; quadratic in
     * bucket size — use the MinHash path at scale).
@@ -236,8 +261,9 @@ object Dedup {
     val rpb = numPerms / nBands
     val estCut = math.max(1.0 / numPerms,
       minJ - 4.0 * math.sqrt(minJ * (1.0 - minJ) / numPerms))
-    val sh = shingles(df, idCol, textCol, shingleK)
-    val sets = sh.groupBy(col(idCol)).agg(collect_set(col("sh")).as("shs")).cache()
+    // per-doc shingle sets straight off the scan — no explode, no
+    // shuffle, no collect_set (see shingleSets)
+    val sets = shingleSets(df, idCol, textCol, shingleK).cache()
     val np = numPerms
     // cache only when r > 1: that branch reads sigs three times (banded
     // + both sides of the signature join); the r = 1 branch reads it

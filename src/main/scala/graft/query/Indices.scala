@@ -262,7 +262,12 @@ class Indices(spark: SparkSession, root: String, numShards: Int = 8) {
     */
   def facetCounts(expr: String, query: String, field: String,
       size: Int = 0): DataFrame = {
-    val frames = resolve(expr).map { n =>
+    // per-index PLAN construction fans out concurrently too: building
+    // each index's facet plan runs that index's dictionary-lookup job,
+    // which would otherwise serialize on the driver (same rationale as
+    // the round-8 search/counts fan-out; the merged plan still executes
+    // as ONE job)
+    val frames = parallel(resolve(expr)) { n =>
       searcherFor(n) match {
         case Right(ms) => ms.facetCounts(query, field)
         case Left(s) => s.facetCounts(query, field)
@@ -286,7 +291,8 @@ class Indices(spark: SparkSession, root: String, numShards: Int = 8) {
     * min/max (ignored by the merge).
     */
   def fieldStats(expr: String, query: String, field: String): DataFrame = {
-    val frames = resolve(expr).map { n =>
+    // concurrent per-index plan construction (see facetCounts)
+    val frames = parallel(resolve(expr)) { n =>
       searcherFor(n) match {
         case Right(ms) => ms.fieldStats(query, field)
         case Left(s) => s.fieldStats(query, field)
@@ -310,7 +316,8 @@ class Indices(spark: SparkSession, root: String, numShards: Int = 8) {
     * sets never on the driver).
     */
   private def matchedUnion(expr: String, query: String, field: String): DataFrame = {
-    val frames = resolve(expr).map { n =>
+    // concurrent per-index plan construction (see facetCounts)
+    val frames = parallel(resolve(expr)) { n =>
       searcherFor(n) match {
         case Right(ms) => ms.matchedField(query, field)
         case Left(s) => s.matchedField(query, field)
