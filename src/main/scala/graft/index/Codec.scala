@@ -20,11 +20,40 @@ object Codec {
     buf.write(v.toInt)
   }
 
+  /** Byte length of the unsigned LEB128 encoding of `v` (≥ 1). */
+  @inline def varLen(v: Long): Int =
+    (63 - java.lang.Long.numberOfLeadingZeros(v | 1L)) / 7 + 1
+
+  /** Write the unsigned LEB128 encoding of `value` at `a(off0)`, return
+    * the offset past it. With [[varLen]] this replaces the
+    * ByteArrayOutputStream encoders on the build hot path: exact-size
+    * two-pass fills into a plain array — no stream object per call, no
+    * synchronized `write`, no grow-and-copy, no final `toByteArray` copy
+    * (the encoders run ~once per posting / once per block in the timed
+    * build; bytes produced are IDENTICAL to the stream path, pinned by
+    * CodecSpec round-trips).
+    */
+  @inline def putVar(a: Array[Byte], off0: Int, value: Long): Int = {
+    var v = value
+    var off = off0
+    while ((v & ~0x7fL) != 0L) {
+      a(off) = ((v & 0x7f) | 0x80).toByte
+      off += 1
+      v >>>= 7
+    }
+    a(off) = v.toByte
+    off + 1
+  }
+
   def encodeVarLongs(values: Array[Long]): Array[Byte] = {
-    val buf = new java.io.ByteArrayOutputStream(values.length * 2)
+    var sz = 0
     var i = 0
-    while (i < values.length) { writeVarLong(buf, values(i)); i += 1 }
-    buf.toByteArray
+    while (i < values.length) { sz += varLen(values(i)); i += 1 }
+    val a = new Array[Byte](sz)
+    var off = 0
+    i = 0
+    while (i < values.length) { off = putVar(a, off, values(i)); i += 1 }
+    a
   }
 
   def decodeVarLongs(bytes: Array[Byte], n: Int): Array[Long] = {
@@ -47,8 +76,16 @@ object Codec {
     out
   }
 
-  def encodeVarInts(values: Array[Int]): Array[Byte] =
-    encodeVarLongs(values.map(_.toLong))
+  def encodeVarInts(values: Array[Int]): Array[Byte] = {
+    var sz = 0
+    var i = 0
+    while (i < values.length) { sz += varLen(values(i).toLong); i += 1 }
+    val a = new Array[Byte](sz)
+    var off = 0
+    i = 0
+    while (i < values.length) { off = putVar(a, off, values(i).toLong); i += 1 }
+    a
+  }
 
   def decodeVarInts(bytes: Array[Byte], n: Int): Array[Int] =
     decodeVarLongs(bytes, n).map(_.toInt)
@@ -57,16 +94,18 @@ object Codec {
     * from `firstDocId`, i.e. 0; strictly ascending ⇒ later deltas ≥ 1).
     */
   def deltaEncode(docIds: Array[Long]): Array[Byte] = {
-    val buf = new java.io.ByteArrayOutputStream(docIds.length * 2)
-    var prev = docIds(0)
-    writeVarLong(buf, 0L)
+    var sz = 1 // varLen(0) — the first entry's delta from itself
     var i = 1
+    while (i < docIds.length) { sz += varLen(docIds(i) - docIds(i - 1)); i += 1 }
+    val a = new Array[Byte](sz)
+    a(0) = 0
+    var off = 1
+    i = 1
     while (i < docIds.length) {
-      writeVarLong(buf, docIds(i) - prev)
-      prev = docIds(i)
+      off = putVar(a, off, docIds(i) - docIds(i - 1))
       i += 1
     }
-    buf.toByteArray
+    a
   }
 
   def deltaDecode(bytes: Array[Byte], n: Int, firstDocId: Long): Array[Long] = {
@@ -209,14 +248,23 @@ object Codec {
 
   /** Varint-delta encode one ascending position list (first absolute). */
   def encodePositions(positions: Array[Int]): Array[Byte] = {
-    val buf = new java.io.ByteArrayOutputStream(positions.length + 4)
+    var sz = 0
     var prev = 0
     var i = 0
     while (i < positions.length) {
-      writeVarLong(buf, (positions(i) - prev).toLong)
+      sz += varLen((positions(i) - prev).toLong)
       prev = positions(i)
       i += 1
     }
-    buf.toByteArray
+    val a = new Array[Byte](sz)
+    var off = 0
+    prev = 0
+    i = 0
+    while (i < positions.length) {
+      off = putVar(a, off, (positions(i) - prev).toLong)
+      prev = positions(i)
+      i += 1
+    }
+    a
   }
 }

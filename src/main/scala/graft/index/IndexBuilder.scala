@@ -993,14 +993,27 @@ class IndexBuilder(
           .as[(Long, Int, Long, Long, Array[Byte], Int)]
           .mapPartitions(rows => BlockEncoder.encodeFused(rows, blockSize, fNs, fAds,
             bw, nBuckets))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        blocks.write.partitionBy("bucket", "shard")
+        // ONE pass, no cache: the encoded blocks flow straight into the
+        // parquet write, carrying a precomputed per-block byte count
+        // (`nbytes`), and the term partials aggregate from a
+        // COLUMN-PRUNED read of the just-written store (bucket/termId/
+        // maxScore/count/nbytes — a few MB) instead of a MEMORY_AND_DISK
+        // persist of the whole encoded index (guide §5: cache only when
+        // recompute is dearer — here "recompute" is a metadata-column
+        // scan; the persist was a full extra copy of every payload byte
+        // through the block manager inside the timed build). Readers
+        // bind block columns by name, so the extra column is invisible
+        // to them; compaction re-selects named columns and drops it.
+        blocks
+          .withColumn("nbytes", length(col("docs")) + length(col("tfs"))
+            + length(col("dls")) + length(col("poss")))
+          .write.partitionBy("bucket", "shard")
           .mode(SaveMode.Overwrite).parquet(blocksPath)
-        blocks.groupBy(col("bucket"), col("termId"))
+        spark.read.parquet(blocksPath)
+          .groupBy(col("bucket"), col("termId"))
           .agg(max(col("maxScore")).as("maxScore"), sum(col("count")).as("dfb"),
-            sum(length(col("docs")) + length(col("tfs")) + length(col("dls")) + length(col("poss"))).as("bytesb"))
+            sum(col("nbytes")).as("bytesb"))
           .write.partitionBy("bucket").mode(SaveMode.Overwrite).parquet(partialsPath)
-        blocks.unpersist(blocking = false)
         // per-bucket manifest metrics: one tiny groupBy over the just-
         // written partials (round-2 review: an Observation with
         // 2×numBuckets conditional sums is an 8192-expression
@@ -1126,19 +1139,30 @@ private[index] final class PosAcc {
     * a separate position array.
     */
   def payload(dl: Int, withPos: Boolean): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream(if (withPos) n + 6 else 6)
-    Codec.writeVarLong(out, n.toLong)
-    Codec.writeVarLong(out, dl.toLong)
+    // exact-size two-pass fill (Codec.varLen/putVar) — this runs once
+    // per posting in the tokenize pass; the former per-call
+    // ByteArrayOutputStream (synchronized writes + grow + toByteArray
+    // copy) was measurable allocation churn at ~40 M postings/M-turns.
+    // Bytes produced are identical.
+    var sz = Codec.varLen(n.toLong) + Codec.varLen(dl.toLong)
+    if (withPos) {
+      var prev = 0
+      var i = 0
+      while (i < n) { sz += Codec.varLen((buf(i) - prev).toLong); prev = buf(i); i += 1 }
+    }
+    val a = new Array[Byte](sz)
+    var off = Codec.putVar(a, 0, n.toLong)
+    off = Codec.putVar(a, off, dl.toLong)
     if (withPos) {
       var prev = 0
       var i = 0
       while (i < n) {
-        Codec.writeVarLong(out, (buf(i) - prev).toLong)
+        off = Codec.putVar(a, off, (buf(i) - prev).toLong)
         prev = buf(i)
         i += 1
       }
     }
-    out.toByteArray
+    a
   }
 }
 

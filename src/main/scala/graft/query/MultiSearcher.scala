@@ -229,7 +229,13 @@ class MultiSearcher(spark: SparkSession, indexDir: String) {
   private val segDicts: Seq[DataFrame] =
     segments.map(s => spark.read.parquet(s"$s/dict"))
   private val segBlocks: Seq[DataFrame] =
-    segments.map(s => spark.read.parquet(s"$s/blocks"))
+    // bind the CANONICAL PostingBlock columns at the read (name-based
+    // select): segments built by different writer revisions may carry
+    // extra build-internal columns (e.g. the round-9 `nbytes` partials
+    // feed), and cross-segment unionByName requires a stable schema
+    segments.map(s => spark.read.parquet(s"$s/blocks")
+      .select("termId", "shard", "bucket", "blockId", "firstDocId", "lastDocId",
+        "count", "docs", "tfs", "dls", "poss", "maxTf", "maxScore"))
   private val segDocs: Seq[DataFrame] =
     segments.map(s => spark.read.parquet(s"$s/docs"))
 
