@@ -326,6 +326,20 @@ final case class IndexConfig(
       * filter — ES missing-value semantics).
       */
     numericFieldCols: Seq[String] = Nil,
+    /** Vocabulary gate for the blocks-phase term→termId TRANSLATE map
+      * (round-9): when the dictionary has ≤ this many terms, the block
+      * pass resolves (termId, df, fieldId) inside the tokenize closure
+      * via a broadcast java map instead of a broadcast-hash JOIN on the
+      * term string — the join probe (UnsafeRow key encode +
+      * BytesToBytesMap lookup + arrayEquals per posting) was a measured
+      * 24% of build executor CPU (round-9 JFR sampling). Same gated-
+      * broadcast pattern as `Searcher.warm(maxDriverDictTerms)`: above
+      * the gate (vocabularies that would not fit executor memory — the
+      * 10^12-turn case) the path falls back to the join, which AQE
+      * plans as broadcast or shuffle join by size as before. 0 disables
+      * the translate map entirely (always join).
+      */
+    maxTranslateVocab: Long = 4_000_000L,
     /** Doc columns to index as ADDITIONAL analyzed text fields
       * (`%field:token` terms, [[FieldTerms.textTerm]]) — the ES
       * multi-field mapping (reference mapping.json:12-17 +
@@ -499,38 +513,74 @@ class IndexBuilder(
     * is per-partition imperative logic, the documented legitimate use of
     * typed mapPartitions.)
     */
-  def postingsOf(docs: DataFrame, withPayload: Boolean = true): DataFrame = {
+  def postingsOf(docs: DataFrame, withPayload: Boolean = true,
+      translate: IndexBuilder.Translate = None): DataFrame = {
     val withPos = cfg.storePositions && withPayload
-    docs.select(col("docId"), col("dl"), col("text"))
+    val src = docs.select(col("docId"), col("dl"), col("text"))
       .as[(Long, Int, String)]
-      .mapPartitions { it =>
-        // per-doc term table; PosAcc is reused across docs via clear()
-        val acc = new java.util.HashMap[String, PosAcc](128)
-        it.flatMap { case (id, dl, text) =>
-          acc.clear()
-          val toks = Analyzer.tokenize(text)
-          var i = 0
-          while (i < toks.length) {
-            val prev = acc.get(toks(i))
-            val a = if (prev == null) { val p = new PosAcc; acc.put(toks(i), p); p } else prev
-            if (withPos) a.add(i) else a.n += 1
-            i += 1
+    translate match {
+      case Some(bc) =>
+        // TRANSLATED stream (round-9, see IndexConfig.maxTranslateVocab):
+        // (termId, df, fieldId) resolved against the broadcast dict0 map
+        // IN this closure — term strings never leave it, so the blocks
+        // pass needs no join and no per-posting string UnsafeRow
+        src.mapPartitions { it =>
+          val m = bc.value
+          val acc = new java.util.HashMap[String, PosAcc](128)
+          it.flatMap { case (id, dl, text) =>
+            acc.clear()
+            val toks = Analyzer.tokenize(text)
+            var i = 0
+            while (i < toks.length) {
+              val prev = acc.get(toks(i))
+              val a = if (prev == null) { val p = new PosAcc; acc.put(toks(i), p); p } else prev
+              if (withPos) a.add(i) else a.n += 1
+              i += 1
+            }
+            val out = new Array[(Long, Long, Long, Array[Byte], Int)](acc.size)
+            val entries = acc.entrySet().iterator()
+            var j = 0
+            while (entries.hasNext) {
+              val e = entries.next()
+              val a = e.getValue
+              val v = IndexBuilder.resolved(m, e.getKey)
+              out(j) = (v(0), id, v(1),
+                if (withPayload) a.payload(dl, withPos) else Array.emptyByteArray,
+                v(2).toInt)
+              j += 1
+            }
+            out.iterator
           }
-          // materialize eagerly: `acc` is reused for the next doc
-          val out = new Array[(String, Long, Int, Int, Array[Byte])](acc.size)
-          val entries = acc.entrySet().iterator()
-          var j = 0
-          while (entries.hasNext) {
-            val e = entries.next()
-            val a = e.getValue
-            out(j) = (e.getKey, id, a.n, dl,
-              if (withPayload) a.payload(dl, withPos) else Array.emptyByteArray)
-            j += 1
+        }.toDF("termId", "docId", "df", "pay", "fieldId")
+      case None =>
+        src.mapPartitions { it =>
+          // per-doc term table; PosAcc is reused across docs via clear()
+          val acc = new java.util.HashMap[String, PosAcc](128)
+          it.flatMap { case (id, dl, text) =>
+            acc.clear()
+            val toks = Analyzer.tokenize(text)
+            var i = 0
+            while (i < toks.length) {
+              val prev = acc.get(toks(i))
+              val a = if (prev == null) { val p = new PosAcc; acc.put(toks(i), p); p } else prev
+              if (withPos) a.add(i) else a.n += 1
+              i += 1
+            }
+            // materialize eagerly: `acc` is reused for the next doc
+            val out = new Array[(String, Long, Int, Int, Array[Byte])](acc.size)
+            val entries = acc.entrySet().iterator()
+            var j = 0
+            while (entries.hasNext) {
+              val e = entries.next()
+              val a = e.getValue
+              out(j) = (e.getKey, id, a.n, dl,
+                if (withPayload) a.payload(dl, withPos) else Array.emptyByteArray)
+              j += 1
+            }
+            out.iterator
           }
-          out.iterator
-        }
-      }
-      .toDF("term", "docId", "tf", "dl", "pay")
+        }.toDF("term", "docId", "tf", "dl", "pay")
+    }
   }
 
   /** One tf=1 posting per doc for a metadata column's exact value
@@ -540,28 +590,51 @@ class IndexBuilder(
     * streams union and flow through the identical dict/block phases.
     */
   def fieldPostingsOf(docs: DataFrame, field: String,
-      withPayload: Boolean = true): DataFrame = {
+      withPayload: Boolean = true,
+      translate: IndexBuilder.Translate = None): DataFrame = {
     val withPos = cfg.storePositions && withPayload
-    docs.select(col("docId"), col("dl"), col(field).cast("string"))
+    val src = docs.select(col("docId"), col("dl"), col(field).cast("string"))
       .as[(Long, Int, String)]
-      .mapPartitions { it =>
-        it.flatMap { case (id, dl, v) =>
-          if (v == null) Iterator.empty
-          else {
-            val pay =
-              if (!withPayload) Array.emptyByteArray
-              else {
-                val a = new PosAcc
-                if (withPos) a.add(0) else a.n = 1
-                a.payload(dl, withPos)
-              }
-            // value term + the `_field_names`-style exists marker
-            Iterator((FieldTerms.term(field, v), id, 1, dl, pay),
-              (FieldTerms.existsTerm(field), id, 1, dl, pay))
+    translate match {
+      case Some(bc) =>
+        src.mapPartitions { it =>
+          val m = bc.value
+          it.flatMap { case (id, dl, v) =>
+            if (v == null) Iterator.empty
+            else {
+              val pay =
+                if (!withPayload) Array.emptyByteArray
+                else {
+                  val a = new PosAcc
+                  if (withPos) a.add(0) else a.n = 1
+                  a.payload(dl, withPos)
+                }
+              val t1 = IndexBuilder.resolved(m, FieldTerms.term(field, v))
+              val t2 = IndexBuilder.resolved(m, FieldTerms.existsTerm(field))
+              Iterator((t1(0), id, t1(1), pay, t1(2).toInt),
+                (t2(0), id, t2(1), pay, t2(2).toInt))
+            }
           }
-        }
-      }
-      .toDF("term", "docId", "tf", "dl", "pay")
+        }.toDF("termId", "docId", "df", "pay", "fieldId")
+      case None =>
+        src.mapPartitions { it =>
+          it.flatMap { case (id, dl, v) =>
+            if (v == null) Iterator.empty
+            else {
+              val pay =
+                if (!withPayload) Array.emptyByteArray
+                else {
+                  val a = new PosAcc
+                  if (withPos) a.add(0) else a.n = 1
+                  a.payload(dl, withPos)
+                }
+              // value term + the `_field_names`-style exists marker
+              Iterator((FieldTerms.term(field, v), id, 1, dl, pay),
+                (FieldTerms.existsTerm(field), id, 1, dl, pay))
+            }
+          }
+        }.toDF("term", "docId", "tf", "dl", "pay")
+    }
   }
 
   /** One tf=1 posting per (doc, tier) for a numeric column: the exact
@@ -569,27 +642,51 @@ class IndexBuilder(
     * ([[FieldTerms.numericValueTerms]]). Same schema as [[postingsOf]].
     */
   def numericFieldPostingsOf(docs: DataFrame, field: String,
-      withPayload: Boolean = true): DataFrame = {
+      withPayload: Boolean = true,
+      translate: IndexBuilder.Translate = None): DataFrame = {
     val withPos = cfg.storePositions && withPayload
-    docs.select(col("docId"), col("dl"), col(field).cast("long"))
+    val src = docs.select(col("docId"), col("dl"), col(field).cast("long"))
       .as[(Long, Int, Option[Long])]
-      .mapPartitions { it =>
-        it.flatMap {
-          case (id, dl, Some(v)) if v >= 0 =>
-            val pay =
-              if (!withPayload) Array.emptyByteArray
-              else {
-                val a = new PosAcc
-                if (withPos) a.add(0) else a.n = 1
-                a.payload(dl, withPos)
-              }
-            (FieldTerms.numericValueTerms(field, v).iterator ++
-              Iterator.single(FieldTerms.existsTerm(field)))
-              .map(t => (t, id, 1, dl, pay))
-          case _ => Iterator.empty
-        }
-      }
-      .toDF("term", "docId", "tf", "dl", "pay")
+    translate match {
+      case Some(bc) =>
+        src.mapPartitions { it =>
+          val m = bc.value
+          it.flatMap {
+            case (id, dl, Some(v)) if v >= 0 =>
+              val pay =
+                if (!withPayload) Array.emptyByteArray
+                else {
+                  val a = new PosAcc
+                  if (withPos) a.add(0) else a.n = 1
+                  a.payload(dl, withPos)
+                }
+              (FieldTerms.numericValueTerms(field, v).iterator ++
+                Iterator.single(FieldTerms.existsTerm(field)))
+                .map { t =>
+                  val r = IndexBuilder.resolved(m, t)
+                  (r(0), id, r(1), pay, r(2).toInt)
+                }
+            case _ => Iterator.empty
+          }
+        }.toDF("termId", "docId", "df", "pay", "fieldId")
+      case None =>
+        src.mapPartitions { it =>
+          it.flatMap {
+            case (id, dl, Some(v)) if v >= 0 =>
+              val pay =
+                if (!withPayload) Array.emptyByteArray
+                else {
+                  val a = new PosAcc
+                  if (withPos) a.add(0) else a.n = 1
+                  a.payload(dl, withPos)
+                }
+              (FieldTerms.numericValueTerms(field, v).iterator ++
+                Iterator.single(FieldTerms.existsTerm(field)))
+                .map(t => (t, id, 1, dl, pay))
+            case _ => Iterator.empty
+          }
+        }.toDF("term", "docId", "tf", "dl", "pay")
+    }
   }
 
   /** Analyzed postings of an ADDITIONAL text field ([[FieldTerms
@@ -600,51 +697,96 @@ class IndexBuilder(
     * field's docCount).
     */
   def textFieldPostingsOf(docs: DataFrame, field: String,
-      withPayload: Boolean = true): DataFrame = {
+      withPayload: Boolean = true,
+      translate: IndexBuilder.Translate = None): DataFrame = {
     val withPos = cfg.storePositions && withPayload
     val prefix = FieldTerms.textTerm(field, "")
-    docs.select(col("docId"), col(field).cast("string"))
+    val src = docs.select(col("docId"), col(field).cast("string"))
       .as[(Long, String)]
-      .mapPartitions { it =>
-        val acc = new java.util.HashMap[String, PosAcc](32)
-        it.flatMap { case (id, v) =>
-          val toks = if (v == null) Array.empty[String] else Analyzer.tokenize(v)
-          if (toks.isEmpty) Iterator.empty
-          else {
-            acc.clear()
-            var i = 0
-            while (i < toks.length) {
-              val prev = acc.get(toks(i))
-              val a = if (prev == null) { val p = new PosAcc; acc.put(toks(i), p); p } else prev
-              if (withPos) a.add(i) else a.n += 1
-              i += 1
-            }
-            val fdl = toks.length
-            // +1: the exists marker (≥ 1 token ⇔ the doc is in the
-            // field's docCount — same membership rule as fieldstats)
-            val out = new Array[(String, Long, Int, Int, Array[Byte])](acc.size + 1)
-            val entries = acc.entrySet().iterator()
-            var j = 0
-            while (entries.hasNext) {
-              val e = entries.next()
-              val a = e.getValue
-              out(j) = (prefix + e.getKey, id, a.n, fdl,
-                if (withPayload) a.payload(fdl, withPos) else Array.emptyByteArray)
-              j += 1
-            }
-            val epay =
-              if (!withPayload) Array.emptyByteArray
-              else {
-                val ea = new PosAcc
-                if (withPos) ea.add(0) else ea.n = 1
-                ea.payload(fdl, withPos)
+    translate match {
+      case Some(bc) =>
+        src.mapPartitions { it =>
+          val m = bc.value
+          val acc = new java.util.HashMap[String, PosAcc](32)
+          it.flatMap { case (id, v) =>
+            val toks = if (v == null) Array.empty[String] else Analyzer.tokenize(v)
+            if (toks.isEmpty) Iterator.empty
+            else {
+              acc.clear()
+              var i = 0
+              while (i < toks.length) {
+                val prev = acc.get(toks(i))
+                val a = if (prev == null) { val p = new PosAcc; acc.put(toks(i), p); p } else prev
+                if (withPos) a.add(i) else a.n += 1
+                i += 1
               }
-            out(j) = (FieldTerms.existsTerm(field), id, 1, fdl, epay)
-            out.iterator
+              val fdl = toks.length
+              val out = new Array[(Long, Long, Long, Array[Byte], Int)](acc.size + 1)
+              val entries = acc.entrySet().iterator()
+              var j = 0
+              while (entries.hasNext) {
+                val e = entries.next()
+                val a = e.getValue
+                val r = IndexBuilder.resolved(m, prefix + e.getKey)
+                out(j) = (r(0), id, r(1),
+                  if (withPayload) a.payload(fdl, withPos) else Array.emptyByteArray,
+                  r(2).toInt)
+                j += 1
+              }
+              val epay =
+                if (!withPayload) Array.emptyByteArray
+                else {
+                  val ea = new PosAcc
+                  if (withPos) ea.add(0) else ea.n = 1
+                  ea.payload(fdl, withPos)
+                }
+              val er = IndexBuilder.resolved(m, FieldTerms.existsTerm(field))
+              out(j) = (er(0), id, er(1), epay, er(2).toInt)
+              out.iterator
+            }
           }
-        }
-      }
-      .toDF("term", "docId", "tf", "dl", "pay")
+        }.toDF("termId", "docId", "df", "pay", "fieldId")
+      case None =>
+        src.mapPartitions { it =>
+          val acc = new java.util.HashMap[String, PosAcc](32)
+          it.flatMap { case (id, v) =>
+            val toks = if (v == null) Array.empty[String] else Analyzer.tokenize(v)
+            if (toks.isEmpty) Iterator.empty
+            else {
+              acc.clear()
+              var i = 0
+              while (i < toks.length) {
+                val prev = acc.get(toks(i))
+                val a = if (prev == null) { val p = new PosAcc; acc.put(toks(i), p); p } else prev
+                if (withPos) a.add(i) else a.n += 1
+                i += 1
+              }
+              val fdl = toks.length
+              // +1: the exists marker (≥ 1 token ⇔ the doc is in the
+              // field's docCount — same membership rule as fieldstats)
+              val out = new Array[(String, Long, Int, Int, Array[Byte])](acc.size + 1)
+              val entries = acc.entrySet().iterator()
+              var j = 0
+              while (entries.hasNext) {
+                val e = entries.next()
+                val a = e.getValue
+                out(j) = (prefix + e.getKey, id, a.n, fdl,
+                  if (withPayload) a.payload(fdl, withPos) else Array.emptyByteArray)
+                j += 1
+              }
+              val epay =
+                if (!withPayload) Array.emptyByteArray
+                else {
+                  val ea = new PosAcc
+                  if (withPos) ea.add(0) else ea.n = 1
+                  ea.payload(fdl, withPos)
+                }
+              out(j) = (FieldTerms.existsTerm(field), id, 1, fdl, epay)
+              out.iterator
+            }
+          }
+        }.toDF("term", "docId", "tf", "dl", "pay")
+    }
   }
 
   /** Text postings plus any configured fielded keyword postings.
@@ -655,13 +797,14 @@ class IndexBuilder(
     * it away, and at ~40 M postings/M-turns the dead encode was a
     * measured allocation hot spot (round-9).
     */
-  def allPostingsOf(docs: DataFrame, withPayload: Boolean = true): DataFrame = {
-    val withFields = cfg.fieldCols.foldLeft(postingsOf(docs, withPayload))(
-      (acc, f) => acc.unionByName(fieldPostingsOf(docs, f, withPayload)))
+  def allPostingsOf(docs: DataFrame, withPayload: Boolean = true,
+      translate: IndexBuilder.Translate = None): DataFrame = {
+    val withFields = cfg.fieldCols.foldLeft(postingsOf(docs, withPayload, translate))(
+      (acc, f) => acc.unionByName(fieldPostingsOf(docs, f, withPayload, translate)))
     val withNumeric = cfg.numericFieldCols.foldLeft(withFields)(
-      (acc, f) => acc.unionByName(numericFieldPostingsOf(docs, f, withPayload)))
+      (acc, f) => acc.unionByName(numericFieldPostingsOf(docs, f, withPayload, translate)))
     cfg.textFieldCols.foldLeft(withNumeric)(
-      (acc, f) => acc.unionByName(textFieldPostingsOf(docs, f, withPayload)))
+      (acc, f) => acc.unionByName(textFieldPostingsOf(docs, f, withPayload, translate)))
   }
 
   /** Direct per-term df/cf (single hash agg — partial+final via Catalyst). */
@@ -958,14 +1101,38 @@ class IndexBuilder(
         // AFTER the exchange (one projection over the sorted stream).
         // A resume over a pre-packing dict0 keeps the legacy wide row.
         val packedTid = dict0.columns.contains("tidp")
-        val scored = postings0
-          .join(dict0.select(Seq(col("term"), col("termId")) ++
-            (if (packedTid) Nil else Seq(col("shard"))) ++ Seq(col("df")) ++
-            (if (hasTextFields) Seq(col("fieldId")) else Nil): _*), Seq("term"))
-          .select(Seq(col("termId")) ++
-            (if (packedTid) Nil else Seq(col("shard"))) ++
-            Seq(col("docId"), col("df"), col("pay")) ++
-            (if (hasTextFields) Seq(col("fieldId")) else Nil): _*)
+        // term→(termId, df, fieldId) TRANSLATE map (round-9, see
+        // IndexConfig.maxTranslateVocab): when the vocabulary fits, the
+        // posting generators resolve ids inside the tokenize closure and
+        // the string join disappears from the plan (its probe was ~24%
+        // of build executor CPU). Applies only to the default re-derive
+        // mode over a shard-packed dict0; materialized postings and
+        // legacy-resume keep the join (over-gate vocabularies fall back
+        // to it too — AQE sizes that join as before).
+        val translate: IndexBuilder.Translate =
+          if (!packedTid || cfg.materializePostings || cfg.maxTranslateVocab <= 0) None
+          else if (dict0.count() > cfg.maxTranslateVocab) None
+          else {
+            val rows = dict0.select(col("term"), col("termId"), col("df"), col("fieldId"))
+              .as[(String, Long, Long, Int)].collect()
+            val m = new java.util.HashMap[String, Array[Long]](rows.length * 2)
+            rows.foreach { case (t, tid, df, fid) => m.put(t, Array(tid, df, fid.toLong)) }
+            Some(spark.sparkContext.broadcast(m))
+          }
+        val scored = translate match {
+          case Some(_) =>
+            allPostingsOf(docs, withPayload = true, translate = translate)
+              .select(Seq(col("termId"), col("docId"), col("df"), col("pay")) ++
+                (if (hasTextFields) Seq(col("fieldId")) else Nil): _*)
+          case None => postings0
+            .join(dict0.select(Seq(col("term"), col("termId")) ++
+              (if (packedTid) Nil else Seq(col("shard"))) ++ Seq(col("df")) ++
+              (if (hasTextFields) Seq(col("fieldId")) else Nil): _*), Seq("term"))
+            .select(Seq(col("termId")) ++
+              (if (packedTid) Nil else Seq(col("shard"))) ++
+              Seq(col("docId"), col("df"), col("pay")) ++
+              (if (hasTextFields) Seq(col("fieldId")) else Nil): _*)
+        }
         val bucketExpr = least(floor(col("docId") / lit(bucketWidth)), lit(cfg.numBuckets - 1L))
         val slicePid = least(
           floor((col("docId") - bucketExpr * lit(bucketWidth)) / lit(subWidth)),
@@ -1014,6 +1181,7 @@ class IndexBuilder(
           .agg(max(col("maxScore")).as("maxScore"), sum(col("count")).as("dfb"),
             sum(col("nbytes")).as("bytesb"))
           .write.partitionBy("bucket").mode(SaveMode.Overwrite).parquet(partialsPath)
+        translate.foreach(_.unpersist(false))
         // per-bucket manifest metrics: one tiny groupBy over the just-
         // written partials (round-2 review: an Observation with
         // 2×numBuckets conditional sums is an 8192-expression
@@ -1115,6 +1283,27 @@ class IndexBuilder(
       case Some(v) => spark.conf.set("spark.sql.files.maxPartitionBytes", v)
       case None => spark.conf.unset("spark.sql.files.maxPartitionBytes")
     }
+  }
+}
+
+object IndexBuilder {
+  /** Broadcast dict0 translate map: term → [termId, df, fieldId]
+    * (see IndexConfig.maxTranslateVocab). None = use the join path.
+    */
+  type Translate =
+    Option[org.apache.spark.broadcast.Broadcast[java.util.HashMap[String, Array[Long]]]]
+
+  /** Loud-guard translate lookup: every generated term MUST be in dict0
+    * (both derive from the same deterministic posting stream); a miss
+    * means the docs or config diverged from the dictionary's lineage,
+    * and silently dropping the posting would corrupt the index.
+    */
+  def resolved(m: java.util.HashMap[String, Array[Long]], term: String): Array[Long] = {
+    val v = m.get(term)
+    if (v == null) throw new IllegalStateException(
+      s"term '$term' is absent from the dict0 translate map — the posting stream " +
+        "diverged from the dictionary lineage (rebuild without resume)")
+    v
   }
 }
 

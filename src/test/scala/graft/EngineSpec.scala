@@ -443,6 +443,39 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("blocks-phase translate map ≡ join path: stores content-identical (round-9)") {
+    // one corpus, two builds: default (vocab under the gate ⇒ broadcast
+    // translate map resolves termId/df/fieldId inside the tokenize
+    // closure) vs maxTranslateVocab = 0 (the string join, also the
+    // over-gate fallback at 10^12-scale vocabularies). Every posting
+    // generator is exercised: main text + keyword (role) + numeric trie
+    // (turn_idx) + extra analyzed text (tool, incl. nulls). The two
+    // paths must yield the SAME posting rows into the same routing, so
+    // dict and decoded blocks must be content-identical.
+    val turns = DocIds.dedup(Transcripts.generate(spark, 150L))
+    val docs = DocIds.assign(turns, 4)
+    val base = IndexConfig(numBuckets = 2, numShards = 8, blockSize = 32, partitions = 4,
+      fieldCols = Seq("role"), numericFieldCols = Seq("turn_idx"), textFieldCols = Seq("tool"))
+    val dirT = s"${TestSpark.tmpRoot}/index-translate"
+    val dirJ = s"${TestSpark.tmpRoot}/index-joinpath"
+    new IndexBuilder(spark, dirT, "snap-tr", base).build(docs)
+    new IndexBuilder(spark, dirJ, "snap-tr", base.copy(maxTranslateVocab = 0)).build(docs)
+    def dictRows(d: String) = spark.read.parquet(s"$d/dict")
+      .select("term", "termId", "shard", "df", "cf", "maxScore")
+      .as[(String, Long, Int, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(dictRows(dirT) == dictRows(dirJ))
+    def blockRows(d: String) = spark.read.parquet(s"$d/blocks")
+      .as[graft.model.PostingBlock].collect()
+      .sortBy(b => (b.termId, b.bucket, b.blockId))
+      .map(b => (b.termId, b.shard, b.bucket, b.blockId, b.firstDocId, b.lastDocId,
+        b.count, b.docs.toSeq, b.tfs.toSeq, b.dls.toSeq, b.poss.toSeq, b.maxTf, b.maxScore))
+      .toSeq
+    assert(blockRows(dirT) == blockRows(dirJ))
+    val sT = new Searcher(spark, dirT, base.numShards)
+    val sJ = new Searcher(spark, dirJ, base.numShards)
+    assert(sT.search("the zanzibar", 10).toSeq == sJ.search("the zanzibar", 10).toSeq)
+  }
+
   test("salted dictionary ≡ direct dictionary") {
     val b = new IndexBuilder(spark, indexDir, "snap-test-1", cfg)
     val postings = b.postingsOf(docsDF)
