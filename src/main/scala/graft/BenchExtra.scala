@@ -100,6 +100,7 @@ object BenchExtra {
       val walls = new Array[Double](3)
       var bestJobs = ""
       var i = 0
+      spark.sparkContext.setJobDescription(s"benchx: $name") // guide §1.5
       while (i < 3) {
         timer.reset()
         val t0 = System.nanoTime()
@@ -109,6 +110,7 @@ object BenchExtra {
         if (i == 1) bestJobs = timer.summary // middle rep's breakdown
         i += 1
       }
+      spark.sparkContext.setJobDescription(null)
       java.util.Arrays.sort(walls)
       println(f"$name%-28s ${walls(1)}%8.3f  $bestJobs")
     }

@@ -850,9 +850,13 @@ class IndexBuilder(
       if (resume && isDone(cell)) skipped += cell
       else {
         val t0 = System.nanoTime()
-        val m = body
-        writeManifest(m.copy(wallSec = (System.nanoTime() - t0) / 1e9))
-        built += cell
+        // label the cell's jobs (guide §1.5) — thread-local, cleared after
+        spark.sparkContext.setJobDescription(s"graft build: $cell")
+        try {
+          val m = body
+          writeManifest(m.copy(wallSec = (System.nanoTime() - t0) / 1e9))
+          built += cell
+        } finally spark.sparkContext.setJobDescription(null)
       }
 
     // Phase A — doc store + corpus stats. Stats (n, avgdl, max docId)
@@ -1035,6 +1039,7 @@ class IndexBuilder(
       if (resume && bucketCells.forall(isDone)) skipped ++= bucketCells
       else {
         val t0 = System.nanoTime()
+        spark.sparkContext.setJobDescription("graft build: blocks (fused)")
         // Shuffle schema is deliberately minimal: (termId, shard, docId,
         // df) + the packed payload binary (varint tf + dl + position
         // gaps, built in the tokenize pass). No term string
@@ -1200,6 +1205,7 @@ class IndexBuilder(
             p, y, "done", wall / cfg.numBuckets))
           built += s"bucket=$b"
         }
+        spark.sparkContext.setJobDescription(null)
       }
     } else for (b <- 0 until cfg.numBuckets) {
       val lo = b.toLong * bucketWidth
